@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Registers each parquet table as a DuckDB view, runs every oracle SQL from
+<verifyOutDir>/oracle_sql.json, and compares against the Spark dump at
+<verifyOutDir>/<name>/ (row count, sorted column names, and a value hash that
+is insensitive to row order).
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sf_dir}/*.parquet"):
+    name = f.split("/")[-1].removesuffix(".parquet")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+with open(f"{out_dir}/oracle_sql.json") as fh:
+    oracles = json.load(fh)
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    return str(v)
+
+def table_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+fails = 0
+for name, sql in sorted(oracles.items()):
+    try:
+        spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        s_cols = [c.lower() for c in spark_rel.columns]
+        s_rows = spark_rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: spark dump unreadable: {e}")
+        fails += 1
+        continue
+    try:
+        duck_rel = con.sql(sql)
+        d_cols = [c.lower() for c in duck_rel.columns]
+        d_rows = duck_rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle sql error: {e}")
+        fails += 1
+        continue
+    if sorted(s_cols) != sorted(d_cols):
+        print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        fails += 1
+        continue
+    if len(s_rows) != len(d_rows):
+        print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+        fails += 1
+        continue
+    hs, hd = table_hash(s_rows, s_cols), table_hash(d_rows, d_cols)
+    if hs != hd:
+        print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
+        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        ls = sorted("|".join(canon(r[i]) for i in order_s) for r in s_rows)
+        ld = sorted("|".join(canon(r[i]) for i in order_d) for r in d_rows)
+        shown = 0
+        for a, b in zip(ls, ld):
+            if a != b:
+                print(f"  spark: {a}\n  duck : {b}")
+                shown += 1
+                if shown >= 3:
+                    break
+        fails += 1
+    else:
+        print(f"PASS {name} ({len(s_rows)} rows)")
+
+print(f"{'ALL PASS' if fails == 0 else f'{fails} FAILURES'} / {len(oracles)} queries")
+sys.exit(1 if fails else 0)

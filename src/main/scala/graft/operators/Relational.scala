@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core — SURVEY.md §2.A.
+  *
+  * Conventions shared with the DuckDB oracle so hashes are stable across
+  * engines and across partition counts:
+  *   - money/quantity sums go through exact DECIMAL aggregation, then a final
+  *     cast to DOUBLE (decimal sums are order-independent; the final cast is
+  *     a single deterministic conversion);
+  *   - free-form double sums (events.value) are snapped to DECIMAL(18,6)
+  *     per-row first, for the same reason;
+  *   - every result carries an ORDER BY on a unique key.
+  *
+  * Everything here is declarative DataFrame code: Catalyst handles pushdown,
+  * pruning, join selection; broadcast hints mark the dimension sides so the
+  * plan survives a 100 TB fact table.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** TPC-H Q1-style pricing summary: scan -> filter -> partial agg -> final agg. */
+  def aggPricing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec2($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec2($"l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Selective filter + narrow projection; both must reach the parquet scan. */
+  def filterPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate".between(lit("1996-01-01").cast("timestamp"),
+                                    lit("1996-12-31").cast("timestamp")) &&
+              $"l_quantity" < 10)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Star join: fact lineitem against orders/customer plus broadcast dims. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(
+        sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec2($"l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy($"n_name")
+  }
+
+  /** Fact-fact shuffle join with aggregation and HAVING. */
+  def joinShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderstatus")
+      .agg(
+        count(lit(1)).as("line_count"),
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2($"l_extendedprice")).cast("double").as("sum_price"))
+      .filter($"line_count" >= 5)
+      .orderBy($"o_orderkey")
+  }
+
+  /** Top-k with unique tiebreak -> TakeOrderedAndProject, no global sort. */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate", $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+
+  /** Multi-column distinct. */
+  def distinctPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_nationkey")
+      .distinct()
+      .orderBy($"c_mktsegment", $"c_nationkey")
+  }
+
+  /** Latest event per user — the "current version per page" shape. */
+  def windowLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type")
+      .orderBy($"user_id")
+  }
+
+  /** Left-semi join (EXISTS). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigLines = Tables.lineitem(s, dir).filter($"l_quantity" >= 48)
+    Tables.orders(s, dir)
+      .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** UNION / EXCEPT set algebra on nation keys. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val custNations = Tables.customer(s, dir).select($"c_nationkey".as("nk")).distinct()
+    val suppNations = Tables.supplier(s, dir).select($"s_nationkey".as("nk")).distinct()
+    val region0     = Tables.nation(s, dir).filter($"n_regionkey" === 0).select($"n_nationkey".as("nk"))
+    custNations.union(suppNations).distinct().except(region0).orderBy($"nk")
+  }
+
+  /** ROLLUP with null-group sentinels (so ordering/hashing is engine-neutral). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .rollup($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("cust_count"),
+           sum(dec2($"c_acctbal")).cast("double").as("sum_acctbal"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+              coalesce($"c_nationkey", lit(-1)).as("nationkey"),
+              $"cust_count", $"sum_acctbal")
+      .orderBy($"segment", $"nationkey")
+  }
+
+  /** Pivot-style conditional aggregation: segment counts per nation. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def segCount(seg: String): Column =
+      sum(when($"c_mktsegment" === seg, 1).otherwise(0)).as(seg.toLowerCase)
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(segCount("AUTOMOBILE"), segCount("BUILDING"), segCount("FURNITURE"),
+           segCount("HOUSEHOLD"), segCount("MACHINERY"),
+           count(lit(1)).as("total"))
+      .orderBy($"n_name")
+  }
+
+  /** Scalar aggregate subquery as a broadcast cross join (no driver collect). */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val avgPrice = orders.agg(avg($"o_totalprice").as("ap"))
+    orders.crossJoin(broadcast(avgPrice))
+      .filter($"o_totalprice" > $"ap")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Time bucketing with decimal-snapped double sums. */
+  def timeBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+      .agg(count(lit(1)).as("event_count"),
+           sum(dec6($"value")).cast("double").as("sum_value"))
+      .orderBy($"bucket", $"event_type")
+  }
+
+  /** String expression suite — all codegen'd built-ins, no UDFs. */
+  def stringSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_name".like("%ol%"))
+      .select(
+        $"p_partkey",
+        upper(substring($"p_name", 1, 8)).as("name_prefix"),
+        length($"p_name").as("name_len"),
+        regexp_replace($"p_type", "[aeiou]", "").as("type_novowel"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+}

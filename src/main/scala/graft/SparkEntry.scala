@@ -33,6 +33,25 @@ object SparkEntry {
     "q13_scalar_subquery" -> (Relational.scalarSubquery _),
     "q14_time_bucket"     -> (Relational.timeBucket _),
     "q15_string_suite"    -> (Relational.stringSuite _),
+    // B. Reference-pipeline semantics
+    "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
+    "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
+    "p03_page_lookup"           -> (PipelineOps.pageLookup _),
+    "p04_hierarchy_descendants" -> ((s, d) => PipelineOps.hierarchyDescendants(s, d)),
+    "p05_incremental_diff"      -> (PipelineOps.incrementalDiff _),
+    "p06_state_upsert"          -> (PipelineOps.stateUpsert _),
+    "p07_missing_from_state"    -> (PipelineOps.missingFromState _),
+    "p08_dedup_latest"          -> (PipelineOps.dedupLatest _),
+    "p09_run_summary"           -> (PipelineOps.runSummary _),
+    "p10_partition_stats"       -> (PipelineOps.partitionStats _),
+    // C. Text / markup processing
+    "t01_html_clean"        -> (TextOps.htmlClean _),
+    "t02_sanitize_filename" -> (TextOps.sanitizeFilename _),
+    "t03_mime_from_extension" -> (TextOps.mimeFromExtension _),
+    "t04_token_count"       -> (TextOps.tokenCount _),
+    "t05_lang_id"           -> (TextOps.langId _),
+    "t06_quality_score"     -> (TextOps.qualityScore _),
+    "t07_fingerprint"       -> (TextOps.fingerprint _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -120,11 +139,11 @@ object SparkEntry {
         |ORDER BY segment, nationkey""".stripMargin,
     "q12_conditional_agg" ->
       """SELECT n_name,
-        | SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS automobile,
-        | SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS building,
-        | SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS furniture,
-        | SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS household,
-        | SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS machinery,
+        | CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS automobile,
+        | CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END) AS BIGINT) AS building,
+        | CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END) AS BIGINT) AS furniture,
+        | CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END) AS BIGINT) AS household,
+        | CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END) AS BIGINT) AS machinery,
         | COUNT(*) AS total
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
@@ -150,5 +169,104 @@ object SparkEntry {
         |FROM part
         |WHERE p_name LIKE '%ol%'
         |ORDER BY p_partkey""".stripMargin,
+    // B. Reference-pipeline semantics
+    "p01_pages_in_space" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE source = 'src3' ORDER BY doc_id""".stripMargin,
+    "p02_updated_last_n_days" ->
+      """SELECT event_id, ts, user_id, event_type FROM events
+        |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+        |ORDER BY event_id""".stripMargin,
+    "p03_page_lookup" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+        |WHERE doc_id = 42 OR (source = 'src1' AND text LIKE 'key%')
+        |ORDER BY doc_id""".stripMargin,
+    "p04_hierarchy_descendants" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id FROM documents WHERE doc_id = 5
+        |  UNION ALL
+        |  SELECT c.doc_id FROM documents c JOIN d ON c.doc_id >= 1 AND (c.doc_id - 1) // 2 = d.doc_id
+        |)
+        |SELECT x.doc_id, x.source, x.n_chars
+        |FROM documents x WHERE x.doc_id IN (SELECT doc_id FROM d)
+        |ORDER BY x.doc_id""".stripMargin,
+    "p05_incremental_diff" ->
+      """WITH state AS (SELECT doc_id, 2 AS state_version FROM documents WHERE doc_id % 5 <> 4),
+        |cur AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS version FROM documents)
+        |SELECT COALESCE(cur.doc_id, state.doc_id) AS doc_id,
+        |  CASE WHEN state.doc_id IS NULL THEN 'new'
+        |       WHEN cur.version > state.state_version THEN 'updated'
+        |       ELSE 'unchanged' END AS status,
+        |  CAST(COALESCE(cur.version, -1) AS BIGINT) AS current_version,
+        |  CAST(COALESCE(state.state_version, -1) AS BIGINT) AS state_version
+        |FROM cur FULL OUTER JOIN state ON cur.doc_id = state.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "p06_state_upsert" ->
+      """WITH state AS (SELECT doc_id, 2 AS version, source FROM documents WHERE doc_id % 5 <> 4),
+        |upd AS (SELECT doc_id, 3 AS version, source FROM documents WHERE doc_id % 3 = 0),
+        |m AS (SELECT * FROM state UNION ALL SELECT * FROM upd)
+        |SELECT doc_id, CAST(MAX(version) AS BIGINT) AS version, MAX(source) AS source
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p07_missing_from_state" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
+    "p08_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, ts FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "p09_run_summary" ->
+      """SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+        | CAST(SUM(CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE 0 END) AS BIGINT) AS processed,
+        | CAST(SUM(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+        | COUNT(*) AS total
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "p10_partition_stats" ->
+      """SELECT source, COUNT(*) AS doc_count,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_count
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // C. Text / markup processing
+    "t01_html_clean" ->
+      """SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+        | '<html><head><script type="x">junk()</script><style>.a{}</style></head><body><p>' || text || '</p><![CDATA[cdata-junk]]><div class="footer">end</div></body></html>',
+        | '<script[^>]*>[^<]*</script>', '', 'g'),
+        | '<style[^>]*>[^<]*</style>', '', 'g'),
+        | '<!\[CDATA\[|\]\]>', '', 'g'),
+        | '<[^>]+>', ' ', 'g'),
+        | '\s+', ' ', 'g')) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t02_sanitize_filename" ->
+      """SELECT doc_id,
+        | SUBSTRING(REGEXP_REPLACE(LOWER(source || ' <' || SUBSTRING(text, 1, 24) || '>: v?'),
+        |                          '[<>:"/\\|?*]', '_', 'g'), 1, 60) AS filename
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_mime_from_extension" ->
+      """SELECT doc_id,
+        | 'attachment_' || doc_id || '.' ||
+        |   (CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' WHEN 2 THEN 'gif'
+        |                    WHEN 3 THEN 'svg' WHEN 4 THEN 'webp' ELSE 'txt' END) AS filename,
+        | CASE doc_id % 6 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg' WHEN 2 THEN 'image/gif'
+        |                 WHEN 3 THEN 'image/svg+xml' WHEN 4 THEN 'image/webp'
+        |                 ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_token_count" ->
+      """SELECT doc_id,
+        | CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        | CAST(LENGTH(text) AS BIGINT) AS char_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t06_quality_score" ->
+      """SELECT doc_id,
+        | FLOOR((0.5 * LEAST(1.0, LENGTH(text) / 500.0)
+        |     + 0.25 * (1.0 - (LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) / (LENGTH(text) + 1.0)))
+        |     + 0.25 * (LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|and|of|to|in|is)\b')) / (LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) + 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t07_fingerprint" ->
+      """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

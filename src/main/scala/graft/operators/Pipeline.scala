@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Reference-pipeline semantics re-expressed Spark-first — SURVEY.md §2.B.
+  *
+  * The Confluence corpus maps onto `documents` (source = "space", a derived
+  * balanced tree = page hierarchy) and `events` (= page-update stream). The
+  * version-gated differential logic of the reference's StateManager
+  * (/root/reference/utilities/state_manager.py:55-102) becomes joins over a
+  * simulated state snapshot:
+  *   state    = documents with doc_id % 5 != 4, at version 2
+  *   current  = all documents, at version 3 when doc_id % 3 == 0 else 2
+  * so "new" rows are doc_id%5==4, "updated" rows are doc_id%3==0 (and in
+  * state), everything else "unchanged" — all derivable by both engines.
+  */
+object PipelineOps {
+
+  /** Simulated persisted state snapshot (page_id -> version). */
+  private[operators] def stateSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id", lit(2L).as("version"), $"source", $"lang")
+  }
+
+  /** Simulated "current Confluence snapshot" with bumped versions. */
+  private[operators] def currentSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+              when($"doc_id" % 3 === 0, 3L).otherwise(2L).as("version"),
+              $"source", $"lang", $"n_chars")
+  }
+
+  /** get_pages_in_space: filter by space/partition key + project. */
+  def pagesInSpace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"source" === "src3")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** CQL lastmodified>=: events in the trailing 7 days relative to max(ts).
+    * The cutoff is computed distributed (broadcast scalar agg), not collected.
+    */
+  def updatedLastNDays(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val cutoff = ev.agg(max($"ts").as("mx"))
+      .select(($"mx" - expr("INTERVAL 7 DAYS")).as("cutoff"))
+    ev.crossJoin(broadcast(cutoff))
+      .filter($"ts" >= $"cutoff")
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** get_page_by_id / get_page_by_title: point lookups by key or (space, title prefix). */
+  def pageLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" === 42 || ($"source" === "src1" && $"text".like("key%")))
+      .select($"doc_id", $"source", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** get_child_pages(recursive=True): transitive closure over the derived
+    * balanced tree (parent(i) = (i-1) div 2). Iterative BFS — each step is one
+    * distributed self-join, loop depth is log2(n), with early exit on an empty
+    * frontier. No row data ever reaches the driver; only the loop counter does.
+    */
+  def hierarchyDescendants(s: SparkSession, dir: String, rootId: Long = 5L): DataFrame = {
+    import s.implicits._
+    val edges = Tables.documents(s, dir)
+      .filter($"doc_id" >= 1)
+      .select($"doc_id".as("child"), expr("(doc_id - 1) div 2").as("parent"))
+      .cache()
+    val root = s.range(rootId, rootId + 1).select($"id".as("node"))
+    var result = root
+    var frontier = root
+    var continue = true
+    while (continue) {
+      val next = frontier.join(edges, $"node" === $"parent")
+        .select($"child".as("node"))
+      next.cache()
+      if (next.isEmpty) continue = false
+      else { result = result.union(next); frontier = next }
+    }
+    val docs = Tables.documents(s, dir)
+    result.distinct()
+      .join(docs, $"node" === $"doc_id")
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** should_process_page: classify current vs state as new/updated/unchanged. */
+  def incrementalDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = stateSnapshot(s, dir).select($"doc_id", $"version".as("state_version"))
+    currentSnapshot(s, dir)
+      .join(st, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"state_version".isNull, "new")
+          .when($"version" > $"state_version", "updated")
+          .otherwise("unchanged").as("status"),
+        coalesce($"version", lit(-1L)).as("current_version"),
+        coalesce($"state_version", lit(-1L)).as("state_version"))
+      .orderBy($"doc_id")
+  }
+
+  /** update_page_state: keyed merge, max-version row wins (state upsert). */
+  def stateUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merged = stateSnapshot(s, dir).select($"doc_id", $"version", $"source")
+      .union(currentSnapshot(s, dir).filter($"version" > 2).select($"doc_id", $"version", $"source"))
+    val w = Window.partitionBy($"doc_id").orderBy($"version".desc)
+    merged.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"version", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** "Missing from state file" sweep: corpus anti-join state. */
+  def missingFromState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .join(stateSnapshot(s, dir).select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  /** Dedup across fetch modes: first event per (user, type), deterministic survivor. */
+  def dedupLatest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"event_id".asc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"ts")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Run-summary counters (processed/skipped/failed), per day. */
+  def runSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(
+        sum(when($"event_type".isin("purchase", "signup"), 1).otherwise(0)).as("processed"),
+        sum(when($"event_type".isin("view", "click"), 1).otherwise(0)).as("skipped"),
+        sum(when($"event_type" === "error", 1).otherwise(0)).as("failed"),
+        count(lit(1)).as("total"))
+      .orderBy($"day")
+  }
+
+  /** Output organization stats per space (the partitioned-sink shape). */
+  def partitionStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("doc_count"),
+           sum($"n_chars").as("total_chars"),
+           countDistinct($"lang").as("lang_count"))
+      .orderBy($"source")
+  }
+}

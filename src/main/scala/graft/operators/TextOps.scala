@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text / markup processing — SURVEY.md §2.C.
+  *
+  * Mirrors the reference's HTML cleaning (/root/reference/utilities/
+  * html_cleaner.py:26-45), filename sanitization (/root/reference/
+  * output_generator/html_generator.py:284-302) and MIME mapping
+  * (html_generator.py:259-282), plus the LLM-pipeline text-analysis ops
+  * (token counting, language ID, quality scoring, fingerprinting).
+  *
+  * Everything is built from codegen'd built-in expressions — regex patterns
+  * are restricted to the subset where Java regex (Spark) and RE2 (DuckDB)
+  * agree, so the same logic is oracle-checkable.
+  */
+object TextOps {
+
+  /** Wrap plain text into markup deterministically (both engines can), then
+    * clean it the way the reference does: drop script/style blocks, strip
+    * CDATA markers, strip remaining tags, collapse whitespace.
+    */
+  def htmlClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = concat(
+      lit("<html><head><script type=\"x\">junk()</script><style>.a{}</style></head><body><p>"),
+      $"text", lit("</p><![CDATA[cdata-junk]]><div class=\"footer\">end</div></body></html>"))
+    val cleaned =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, "<script[^>]*>[^<]*</script>", ""),
+              "<style[^>]*>[^<]*</style>", ""),
+            "<!\\[CDATA\\[|\\]\\]>", ""),
+          "<[^>]+>", " "),
+        "\\s+", " ")
+    Tables.documents(s, dir)
+      .select($"doc_id", trim(cleaned).as("cleaned"))
+      .orderBy($"doc_id")
+  }
+
+  /** Title -> filesystem-safe filename: replace the reference's invalid char
+    * set with '_', collapse runs, trim, length-limit.
+    */
+  def sanitizeFilename(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val title = concat($"source", lit(" <"), substring($"text", 1, 24), lit(">: v?"))
+    val safe = substring(
+      regexp_replace(lower(title), "[<>:\"/\\\\|?*]", "_"), 1, 60)
+    Tables.documents(s, dir)
+      .select($"doc_id", safe.as("filename"))
+      .orderBy($"doc_id")
+  }
+
+  /** Extension -> MIME mapping (html_generator.py:259-282 table). */
+  def mimeFromExtension(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ext = element_at(split(lit("png,jpg,gif,svg,webp,txt"), ","),
+                         ($"doc_id" % 6 + 1).cast("int"))
+    val filename = concat(lit("attachment_"), $"doc_id", lit("."), ext)
+    val mime = when(ext === "jpg", "image/jpeg")
+      .when(ext === "png", "image/png")
+      .when(ext === "gif", "image/gif")
+      .when(ext === "svg", "image/svg+xml")
+      .when(ext === "webp", "image/webp")
+      .otherwise("application/octet-stream")
+    Tables.documents(s, dir)
+      .select($"doc_id", filename.as("filename"), mime.as("mime"))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish lexer regex count. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"),
+        length($"text").cast("long").as("char_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Stopword/char-class heuristic language ID (rows-only: no SQL oracle).
+    * Scores each candidate language by hit-count of its marker words; ties
+    * break by fixed language order. Purely per-row -> embarrassingly parallel.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val markers: Seq[(String, String)] = Seq(
+      "en" -> "\\b(the|and|of|to|a|is)\\b",
+      "de" -> "\\b(der|die|und|das|ist|ein)\\b",
+      "es" -> "\\b(el|la|de|que|los|es)\\b",
+      "fr" -> "\\b(le|la|et|les|des|est)\\b",
+      "zh" -> "[\\u4e00-\\u9fff]")
+    val scored = markers.foldLeft(Tables.documents(s, dir).select($"doc_id", $"text", $"lang")) {
+      case (df, (code, pat)) => df.withColumn(s"score_$code", regexp_count(lower($"text"), lit(pat)))
+    }
+    val best = markers.map { case (code, _) =>
+      struct(col(s"score_$code").as("score"), lit(code).as("code"))
+    }
+    scored
+      .withColumn("pred", greatest(best: _*))
+      .select($"doc_id", $"lang".as("labeled_lang"), $"pred.code".as("predicted_lang"),
+              $"pred.score".as("marker_hits"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring from length / punctuation / stopword ratios.
+    * Fixed-shape double arithmetic (identical IEEE evaluation order in both
+    * engines) then round(4) keeps the oracle hash stable.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chars = length($"text").cast("double")
+    val punct = regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double")
+    val words = size(split(trim($"text"), "\\s+")).cast("double")
+    val stop  = regexp_count(lower($"text"), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
+    val lenScore  = least(lit(1.0), chars / lit(500.0))
+    val punctPen  = punct / (chars + lit(1.0))
+    val stopRatio = stop / (words + lit(1.0))
+    val raw = lit(0.5) * lenScore + lit(0.25) * (lit(1.0) - punctPen) + lit(0.25) * stopRatio
+    // floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): pure IEEE ops evaluate
+    // bit-identically in Spark and DuckDB, while their ROUNDs break .00005
+    // ties differently (decimal-expansion HALF_UP vs scaled-nearbyint).
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        (floor(raw * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("quality"),
+        $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text —
+    * the exact-dedup key. (A rolling-hash custom Expression complements this
+    * for shingling; see graft.functions.)
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(regexp_replace(lower($"text"), "\\s+", " ")).as("content_md5"))
+      .orderBy($"doc_id")
+  }
+}

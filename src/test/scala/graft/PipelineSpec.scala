@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PipelineOps
+
+class PipelineSpec extends SparkSpec {
+
+  test("p04 hierarchy closure matches the arithmetic subtree definition") {
+    // In the balanced tree parent(i) = (i-1) div 2, the subtree of node 5 is
+    // exactly the ids whose path to root passes through 5.
+    def inSubtree(id: Long): Boolean = {
+      var n = id
+      while (n > 5) n = (n - 1) / 2
+      n == 5
+    }
+    val maxId = Tables.documents(spark, sfDir).agg(max("doc_id")).head().getLong(0)
+    val expected = (0L to maxId).filter(inSubtree).toSet
+    val got = PipelineOps.hierarchyDescendants(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("p05 incremental diff statuses partition the corpus") {
+    val df = SparkEntry.queries("p05_incremental_diff")(spark, sfDir)
+    val byStatus = df.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = Tables.documents(spark, sfDir).count()
+    assert(byStatus.values.sum == n)
+    // new = doc_id%5==4; updated = in state && doc_id%3==0
+    assert(byStatus("new") == Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 4).count())
+    assert(byStatus("updated") ==
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 3 === 0).count())
+  }
+
+  test("p06 upsert keeps exactly one row per key at the max version") {
+    val df = SparkEntry.queries("p06_state_upsert")(spark, sfDir)
+    assert(df.count() == df.select("doc_id").distinct().count())
+    assert(df.filter(col("doc_id") % 3 === 0 && col("version") =!= 3).isEmpty)
+  }
+
+  test("p07 missing-from-state is the complement of the state snapshot") {
+    val missing = SparkEntry.queries("p07_missing_from_state")(spark, sfDir)
+    assert(missing.filter(col("doc_id") % 5 =!= 4).isEmpty)
+  }
+
+  test("p10 partitioned sink writes one directory per space") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sfDir).write.mode("overwrite")
+      .partitionBy("source").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("source="))
+    val expected = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(dirs.length == expected)
+    // partition pruning: reading one space must only scan its directory
+    val pruned = spark.read.parquet(out).filter(col("source") === "src3")
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().head
+      .metrics.get("numFiles")
+    pruned.collect()
+    assert(pruned.count() == Tables.documents(spark, sfDir).filter(col("source") === "src3").count())
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  test("t01 html clean strips every tag, script body and CDATA marker") {
+    val df = SparkEntry.queries("t01_html_clean")(spark, sfDir)
+    assert(df.filter(col("cleaned").rlike("[<>]")).isEmpty, "tags survived cleaning")
+    assert(df.filter(col("cleaned").contains("junk()")).isEmpty, "script body survived")
+    assert(df.filter(col("cleaned").contains("CDATA")).isEmpty)
+    // body text must survive: cleaned ends with the injected footer text
+    assert(df.filter(!col("cleaned").endsWith(" end")).isEmpty)
+  }
+
+  test("t02 filenames contain no filesystem-unsafe characters") {
+    val df = SparkEntry.queries("t02_sanitize_filename")(spark, sfDir)
+    assert(df.filter(col("filename").rlike("[<>:\"/\\\\|?*]")).isEmpty)
+    assert(df.filter(length(col("filename")) > 60).isEmpty)
+  }
+
+  test("t03 mime mapping covers every row with a known type") {
+    val df = SparkEntry.queries("t03_mime_from_extension")(spark, sfDir)
+    val mimes = df.select("mime").distinct().collect().map(_.getString(0)).toSet
+    assert(mimes.subsetOf(Set("image/png", "image/jpeg", "image/gif",
+      "image/svg+xml", "image/webp", "application/octet-stream")))
+  }
+
+  test("t04 token counts are consistent (ws tokens <= bpe tokens <= chars)") {
+    val df = SparkEntry.queries("t04_token_count")(spark, sfDir)
+    assert(df.filter(col("ws_tokens") > col("bpe_tokens")).isEmpty)
+    assert(df.filter(col("bpe_tokens") > col("char_len")).isEmpty)
+    assert(df.filter(col("ws_tokens") <= 0).isEmpty)
+  }
+
+  test("t05 lang id emits a prediction from the candidate set for every doc") {
+    val df = SparkEntry.queries("t05_lang_id")(spark, sfDir)
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    val langs = df.select("predicted_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
+  test("t06 quality scores stay in [0,1]") {
+    val df = SparkEntry.queries("t06_quality_score")(spark, sfDir)
+    assert(df.filter(col("quality") < 0 || col("quality") > 1).isEmpty)
+  }
+
+  test("t07 fingerprint is whitespace-insensitive") {
+    import spark.implicits._
+    val a = Seq((1L, "hello   world"), (2L, "hello world")).toDF("id", "text")
+      .select(md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
+      .distinct()
+    assert(a.count() == 1)
+  }
+}

@@ -52,6 +52,14 @@ object SparkEntry {
     "t05_lang_id"           -> (TextOps.langId _),
     "t06_quality_score"     -> (TextOps.qualityScore _),
     "t07_fingerprint"       -> (TextOps.fingerprint _),
+    // D. Dedup / similarity / multimodal
+    "d01_exact_dedup"   -> (Dedup.exactDedup _),
+    "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "d03_simhash"       -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d05_cosine_topk"   -> (Similarity.cosineTopK _),
+    "d06_ann_lsh"       -> (Similarity.annLsh _),
+    "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -267,6 +275,30 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t07_fingerprint" ->
       """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // D. Dedup / similarity / multimodal
+    "d01_exact_dedup" ->
+      """SELECT doc_id,
+        |       MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5,
+        |       MIN(doc_id) OVER (PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS keeper_id,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS is_survivor
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d05_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT query_id, vec_id AS neighbor_id,
+        |             list_cosine_similarity(qe, embedding) AS sim
+        |      FROM embeddings, q WHERE vec_id <> query_id)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM c) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |       CAST(64 + (doc_id * 37) % 1857 AS BIGINT) AS width,
+        |       CAST(64 + (doc_id * 53) % 1016 AS BIGINT) AS height,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

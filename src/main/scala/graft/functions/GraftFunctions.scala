@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Column-API entry points for the custom Catalyst expressions.
+  *
+  * Registration goes through the session FunctionRegistry (also injectable
+  * via [[GraftExtensions]] for `--conf spark.sql.extensions=` deployments),
+  * and the Column wrappers below use `call_function`, which resolves through
+  * that registry — so the same names work from SQL text and from the
+  * DataFrame API.
+  */
+object GraftFunctions {
+
+  private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim"     -> (es => CosineSimilarityExpr(es(0), es(1))),
+    "simhash64"      -> (es => SimHash64Expr(es(0))),
+    "shingle_hashes" -> (es => ShingleHashesExpr(es(0), es(1))),
+    "minhash_sig"    -> (es => MinHashSignatureExpr(es(0), es(1))),
+  )
+
+  /** Idempotently register all graft functions on a session. */
+  def register(spark: SparkSession): Unit = registry.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+
+  import org.apache.spark.sql.functions.call_function
+
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def shingleHashes(tokens: Column, k: Column): Column = call_function("shingle_hashes", tokens, k)
+  def minhashSig(hashes: Column, n: Column): Column = call_function("minhash_sig", hashes, n)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String) = new ExpressionInfo("graft.functions", name)
+    ext.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarityExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      (es: Seq[Expression]) => SimHash64Expr(es(0))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
+      (es: Seq[Expression]) => MinHashSignatureExpr(es(0), es(1))))
+  }
+}

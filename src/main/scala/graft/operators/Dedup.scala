@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Deduplication for LLM-corpus building — SURVEY.md §2.D.
+  *
+  * Scale shape: every variant is (per-row signature) -> (bucket-local join).
+  * Nothing here compares all pairs; LSH banding / hamming banding bound the
+  * candidate set so the shuffle key is always a bucket id.
+  */
+object Dedup {
+
+  /** Exact dedup: normalized-content hash, min-id survivor per group. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val w = Window.partitionBy($"content_md5")
+    Tables.documents(s, dir)
+      .withColumn("content_md5", fp)
+      .withColumn("keeper_id", min($"doc_id").over(w))
+      .select($"doc_id", $"content_md5", $"keeper_id",
+              ($"doc_id" === $"keeper_id").as("is_survivor"))
+      .orderBy($"doc_id")
+  }
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val Rows = NumHashes / Bands // 4 rows per band
+
+  /** Per-doc minhash signature over 3-word shingles (one codegen'd pass). */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        minhashSig(shingleHashes(split(lower($"text"), "\\s+"), lit(3)), lit(NumHashes))
+          .as("sig"))
+  }
+
+  /** MinHash + LSH near-dup candidates: band-bucket join, then signature-
+    * agreement Jaccard estimate. Shuffles on (band_id, band_hash) only.
+    */
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val sigs = signatures(s, dir)
+    val banded = sigs.select($"doc_id", $"sig",
+        explode(expr(
+          s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band_id, xxhash64(slice(sig, b*$Rows+1, $Rows)) AS band_hash))"))
+          .as("band"))
+      .select($"doc_id", $"sig", $"band.band_id", $"band.band_hash")
+    val a = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val b = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") /
+          lit(NumHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter($"est_jaccard" >= threshold)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints, 16-bit hamming bands (pigeonhole:
+    * hamming <= 3 guarantees one equal band), exact hamming verify.
+    */
+  def simhashDedup(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id", simhash64(split(lower($"text"), "\\s+")).as("sh"))
+    val banded = hashed.select($"doc_id", $"sh",
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> struct(b AS band_id, shiftright(sh, b*16) & 65535 AS band_bits))")).as("band"))
+      .select($"doc_id", $"sh", $"band.band_id", $"band.band_bits")
+    val a = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val b = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("band_id", "band_bits"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", bit_count($"sh_a".bitwiseXOR($"sh_b")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Exact n-gram Jaccard on a deterministic linear pairing (doc i vs doc
+    * i + n/2): the verify step that LSH candidates would feed at scale.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id",
+        array_distinct(shingleHashes(split(lower($"text"), "\\s+"), lit(2))).as("grams"))
+    val half = grams.agg((count(lit(1)) / 2).cast("long").as("half"))
+    val a = grams.crossJoin(broadcast(half)).filter($"doc_id" < $"half")
+      .select($"doc_id".as("doc_a"), $"grams".as("grams_a"), $"half")
+    val b = grams.select($"doc_id".as("doc_b"), $"grams".as("grams_b"))
+    a.join(b, $"doc_b" === $"doc_a" + $"half")
+      .select($"doc_a", $"doc_b",
+        (floor((size(array_intersect($"grams_a", $"grams_b")) /
+                size(array_union($"grams_a", $"grams_b")).cast("double")) * 10000.0 + 0.5) / 10000.0)
+          .as("jaccard"))
+      .orderBy($"doc_a")
+  }
+}

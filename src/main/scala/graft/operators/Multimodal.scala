@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Input row for the batched media-metadata extraction. */
+case class MediaBlob(doc_id: Long, blob: Array[Byte])
+
+/** Typed metadata extracted per blob. */
+case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, format: String)
+
+/** Multimodal-column plumbing — SURVEY.md §2.D m01.
+  *
+  * Media payloads are opaque `binary` columns with typed metadata alongside;
+  * heavy decode runs batched per partition through a typed Dataset so a real
+  * codec (image/audio lib) drops in without touching the plan. The decode
+  * itself is STUBBED here (no media libraries in this container): dimensions
+  * are a deterministic arithmetic fake of a header parse; the Spark-side
+  * schema, encoder, partition batching and sink shape are real.
+  */
+object Multimodal {
+
+  /** Fabricate the binary column: 4-byte magic + utf-8 payload (stands in
+    * for a real image/audio blob column in the source table).
+    */
+  def withBlob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", concat(lit("IMG0"), $"text").cast("binary").as("blob"))
+  }
+
+  /** Batched metadata extraction over the binary column. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withBlob(s, dir).as[MediaBlob]
+      .mapPartitions { blobs =>
+        // Real impl: hand the whole batch to a codec here. STUB: byte length
+        // is real; width/height/format are a deterministic header-parse fake.
+        blobs.map { m =>
+          MediaMeta(
+            doc_id = m.doc_id,
+            byte_len = m.blob.length.toLong,
+            width = 64L + (m.doc_id * 37L) % 1857L,
+            height = 64L + (m.doc_id * 53L) % 1016L,
+            format = if (m.doc_id % 3 == 0) "png" else "jpeg")
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+}

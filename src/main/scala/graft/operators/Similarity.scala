@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Similarity search over the embedding column — SURVEY.md §2.D.
+  *
+  * Brute-force cosine top-k is the correctness baseline (query side
+  * broadcast, corpus never shuffled before the rank-limit); random-hyperplane
+  * LSH is the scale path (bucket-local candidate generation).
+  */
+object Similarity {
+
+  val K = 10
+  val NumQueries = 5
+
+  private def queries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+  }
+
+  /** All (query, candidate, cosine) scores — shared by both variants. */
+  private def scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.embeddings(s, dir)
+      .crossJoin(broadcast(queries(s, dir)))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+              cosineSim($"qe", $"embedding").as("sim"))
+  }
+
+  /** Brute-force cosine top-k per query. The rank filter compiles to a
+    * WindowGroupLimit, so each partition keeps only k rows before the
+    * shuffle — the full corpus never moves.
+    */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    scored(s, dir)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // OR-amplification trade-off, tuned for structureless embeddings (the
+  // testdata is isotropic random, so near neighbors sit at cosine ~0.3 and
+  // collision probabilities are driven by candidate volume; clustered
+  // production embeddings get much better recall at the same cost).
+  private val NumTables = 8
+  private val PlanesPerTable = 4 // 16 buckets per table
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 -> [-1, 1)),
+    * NumTables * PlanesPerTable of them.
+    */
+  private[operators] lazy val planes: Seq[Seq[Float]] = {
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until NumTables * PlanesPerTable).map { p =>
+      (0 until 64).map { i =>
+        val u = (mix(p * 64L + i) >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+        (2.0 * u - 1.0).toFloat
+      }
+    }
+  }
+
+  /** Sign-bucket id of `v` in LSH table `t`. */
+  private[operators] def lshBucket(v: Column, t: Int): Column = {
+    (0 until PlanesPerTable).map { i =>
+      when(cosineSim(v, typedlit(planes(t * PlanesPerTable + i))) >= 0, 1L << i).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** ANN via multi-table random-hyperplane LSH: a candidate is anything that
+    * collides with the query in at least one of the tables; exact cosine
+    * ranks candidates. OR-amplification keeps recall high while each table's
+    * join stays bucket-local (the spec measures recall against cosineTopK).
+    */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val buckets = array((0 until NumTables).map(t =>
+      struct(lit(t).as("table_id"), lshBucket($"embedding", t).as("bucket"))): _*)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", explode(buckets).as("tb"))
+      .select($"vec_id", $"embedding", $"tb.table_id", $"tb.bucket")
+    val q = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"table_id", $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    emb.join(broadcast(q), Seq("table_id", "bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), cosineSim($"qe", $"embedding").as("sim"))
+      .distinct() // collapse multi-table collisions (sim is identical per pair)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+}

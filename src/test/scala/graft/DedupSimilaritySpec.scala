@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("custom expressions run inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Tables.embeddings(spark, sfDir)
+      .select(GraftFunctions.cosineSim($"embedding", $"embedding").as("self"))
+    // cosine(v, v) == 1 up to fp error
+    assert(df.filter(abs($"self" - 1.0) > 1e-9).isEmpty)
+    // "*" prefixes mark operators inside a WholeStageCodegen stage
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("* Project"), s"cosine_sim fell out of codegen:\n$p")
+  }
+
+  test("d01 exact dedup groups injected duplicates to one survivor") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // planted corpus: 0/1 share content modulo whitespace; 2 differs
+    val docs = Seq((0L, "alpha  beta\tgamma"), (1L, "alpha beta gamma"), (2L, "delta"))
+      .toDF("doc_id", "text")
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val grouped = docs.withColumn("fp", fp).groupBy("fp").agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+    val m = grouped.collect().map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("n")).toMap
+    assert(m == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("d02 minhash estimate tracks true jaccard on planted near-dups") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"w$i").mkString(" ") + " x1 x2 x3"
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, far)).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+      GraftFunctions.minhashSig(
+        GraftFunctions.shingleHashes(split(lower($"text"), "\\s+"), lit(3)), lit(32)).as("sig"))
+    val a = sigs.select($"doc_id".as("da"), $"sig".as("sig_a"))
+    val b = sigs.select($"doc_id".as("db"), $"sig".as("sig_b"))
+    val est = a.join(b, $"da" < $"db")
+      .select($"da", $"db",
+        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") / 32.0)
+          .as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((0L, 1L)) > 0.5, s"near-dup pair scored ${est((0L, 1L))}")
+    assert(est((0L, 2L)) < 0.2, s"unrelated pair scored ${est((0L, 2L))}")
+  }
+
+  test("d03 simhash hamming is small for near-dups, large for unrelated") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 78).map(i => s"tok$i").mkString(" ") + " zz1 zz2"
+    val far = (500 to 580).map(i => s"q$i").mkString(" ")
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("id", "text")
+      .select($"id", GraftFunctions.simhash64(split($"text", " ")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(m(0L) ^ m(1L)) <= 12)
+    assert(java.lang.Long.bitCount(m(0L) ^ m(2L)) >= 20)
+  }
+
+  test("d06 ann-lsh achieves usable recall against brute force") {
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low for OR-amplified LSH")
+    info(s"ann-lsh recall@10 = $recall")
+  }
+
+  test("m01 multimodal metadata matches blob sizes") {
+    val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(df.count() == docs)
+    assert(df.filter(col("byte_len") =!= col("byte_len").cast("long")).isEmpty)
+    assert(df.filter(col("width") < 64 || col("height") < 64).isEmpty)
+  }
+}

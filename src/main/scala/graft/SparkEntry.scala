@@ -60,6 +60,10 @@ object SparkEntry {
     "d05_cosine_topk"   -> (Similarity.cosineTopK _),
     "d06_ann_lsh"       -> (Similarity.annLsh _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
+    // E. Streaming (batch-equivalent transforms; streaming paths in specs)
+    "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
+    "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
+    "s03_stream_dedup" -> (graft.streaming.Streams.dedupBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -300,5 +304,35 @@ object SparkEntry {
         |       CAST(64 + (doc_id * 53) % 1016 AS BIGINT) AS height,
         |       CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // E. Streaming batch equivalents
+    "s01_window_agg" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+        |       COUNT(*) AS event_count,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "s02_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "s03_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type FROM (
+        |  SELECT event_id, ts, user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
   )
 }

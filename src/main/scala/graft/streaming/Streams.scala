@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** One event row as consumed by the typed sessionizer. */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** A closed (or flushed) user session. */
+case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                   n_events: Long, total_value: Double)
+
+/** Accumulating per-user session state. */
+case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+/** Streaming operators — SURVEY.md §2.E.
+  *
+  * Each transform is written against an input DataFrame, not a source, so the
+  * SAME code path serves batch (Verify/Bench, DuckDB-oracled) and streaming
+  * (readStream/MemoryStream in the specs). This is the streaming analogue of
+  * the reference's incremental state pipeline: watermarks bound lateness the
+  * way the state file bounds reprocessing.
+  */
+object Streams {
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Tumbling 6-hour windows per event type. Works on batch and streams;
+    * callers add `withWatermark` on the streaming side.
+    */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("event_count"),
+           sum($"value".cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"event_count", $"sum_value")
+  }
+
+  /** Batch window query (driver contract key s01_window_agg). */
+  def windowAggBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    windowedCounts(Tables.events(s, dir)).orderBy($"window_start", $"event_type")
+  }
+
+  /** Gap-based sessionization, batch form: lag + running sum assigns session
+    * ids in two windows over the same (user_id, ts) partitioning — one
+    * shuffle total.
+    */
+  def sessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+             (unix_micros($"ts") - unix_micros($"prev_ts")) > SessionGapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum($"new_session").over(byUser))
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+           count(lit(1)).as("n_events"),
+           sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  /** Streaming sessionization: per-user state machine via
+    * flatMapGroupsWithState. Emits a Session whenever an in-stream gap closes
+    * one; EventTimeTimeout (watermark-driven, so fully deterministic — no
+    * wall clock) flushes sessions whose gap window has provably passed.
+    * Callers must set `withWatermark("ts", ...)` on the input.
+    */
+  def sessionizeStream(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st =>
+              Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1L, e.value)
+              else if (t - st.last > SessionGapMs) {
+                closed += Session(userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+                st = SessionState(t, t, 1L, e.value)
+              } else st = st.copy(last = math.max(st.last, t), n = st.n + 1, total = st.total + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              // flush once the watermark passes the session's gap horizon
+              val horizon = st.last + SessionGapMs
+              if (horizon > state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(horizon)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Watermarked exactly-once-per-key dedup; batch callers get plain
+    * first-per-key semantics from the same call.
+    */
+  def dedupEvents(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val wm = watermark.fold(events)(d => events.withWatermark("ts", d))
+    wm.dropDuplicates("event_id")
+  }
+
+  /** Batch dedup query (driver contract key s03_stream_dedup): deterministic
+    * first-row-per-event_id via the same shape as the streaming state store.
+    */
+  def dedupBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_id").orderBy($"ts", $"user_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"ts", $"user_id", $"event_type")
+      .orderBy($"event_id")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Event, Streams}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("s01 streaming windowed agg equals the batch transform on same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0), Event(4, ts(500), 2, "error", 4.0))
+    input.addData(events: _*)
+    val q = Streams.windowedCounts(input.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("s01_out").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.table("s01_out")
+        .select("window_start", "event_type", "event_count", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = Streams.windowedCounts(events.toDF()).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("s02 streaming sessionizer closes sessions in-stream and via watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStream(
+        input.toDS().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("s02_out").outputMode("append").start()
+    try {
+      // batch 1: user 1 has an in-stream 45-min gap -> first session closes
+      // immediately; user 2's session stays open in state.
+      input.addData(
+        Event(1, ts(0), 1, "view", 1.0), Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(50), 1, "view", 3.0),
+        Event(4, ts(0), 2, "view", 5.0))
+      q.processAllAvailable()
+      val afterB1 = s.table("s02_out").as[graft.streaming.Session].collect()
+      assert(afterB1.length == 1)
+      assert(afterB1.head.user_id == 1 && afterB1.head.n_events == 2 &&
+             afterB1.head.total_value == 3.0 &&
+             afterB1.head.session_start == ts(0) && afterB1.head.session_end == ts(5))
+      // batch 2: a far-future event advances the watermark past every open
+      // session's gap horizon -> event-time timeouts flush them.
+      input.addData(Event(5, ts(600), 3, "view", 7.0))
+      q.processAllAvailable()
+      val all = s.table("s02_out").as[graft.streaming.Session].collect()
+      val flushedUsers = all.map(_.user_id).toSet
+      assert(flushedUsers == Set(1L, 2L), s"got $flushedUsers")
+      assert(all.length == 3) // user1 x2 (gap + flush), user2 x1; user3 still open
+    } finally q.stop()
+  }
+
+  test("s03 watermarked streaming dedup drops in-stream duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "view", 1.0), Event(1, ts(0), 1, "view", 1.0),
+      Event(2, ts(1), 1, "click", 2.0), Event(1, ts(0), 1, "view", 1.0))
+    val q = Streams.dedupEvents(input.toDF(), watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("s03_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = s.table("s03_out").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("s02 batch sessionizer: session stats are internally consistent") {
+    val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
+    assert(df.filter(col("session_end") < col("session_start")).isEmpty)
+    assert(df.filter(col("n_events") <= 0).isEmpty)
+    val events = Tables.events(spark, sfDir).count()
+    val inSessions = df.agg(sum("n_events")).head().getLong(0)
+    assert(inSessions == events, s"sessionizer lost rows: $inSessions != $events")
+  }
+}

@@ -60,8 +60,8 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") /
           lit(NumHashes.toDouble)).as("est_jaccard"))
+      .filter($"est_jaccard" >= threshold) // cut before the dedup shuffle
       .distinct()
-      .filter($"est_jaccard" >= threshold)
       .orderBy($"doc_a", $"doc_b")
   }
 

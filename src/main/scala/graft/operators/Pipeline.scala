@@ -75,23 +75,23 @@ object PipelineOps {
     */
   def hierarchyDescendants(s: SparkSession, dir: String, rootId: Long = 5L): DataFrame = {
     import s.implicits._
-    val edges = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir)
+    val edges = docs
       .filter($"doc_id" >= 1)
       .select($"doc_id".as("child"), expr("(doc_id - 1) div 2").as("parent"))
-      .cache()
-    val root = s.range(rootId, rootId + 1).select($"id".as("node"))
-    var result = root
-    var frontier = root
-    var continue = true
-    while (continue) {
-      val next = frontier.join(edges, $"node" === $"parent")
-        .select($"child".as("node"))
-      next.cache()
-      if (next.isEmpty) continue = false
-      else { result = result.union(next); frontier = next }
+    // One tiny scalar job bounds the tree depth; the whole closure is then
+    // built lazily (depth chained joins) and executes as a SINGLE query —
+    // per-level isEmpty() actions cost ~0.7s each in job overhead and would
+    // dominate at any scale factor.
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val depth = 64 - java.lang.Long.numberOfLeadingZeros(maxId + 1)
+    var frontier = s.range(rootId, rootId + 1).select($"id".as("node"))
+    var all = frontier
+    for (_ <- 1 to depth) {
+      frontier = frontier.join(edges, $"node" === $"parent").select($"child".as("node"))
+      all = all.union(frontier)
     }
-    val docs = Tables.documents(s, dir)
-    result.distinct()
+    all.distinct()
       .join(docs, $"node" === $"doc_id")
       .select($"doc_id", $"source", $"n_chars")
       .orderBy($"doc_id")

@@ -33,6 +33,8 @@ object SparkEntry {
     "q13_scalar_subquery" -> (Relational.scalarSubquery _),
     "q14_time_bucket"     -> (Relational.timeBucket _),
     "q15_string_suite"    -> (Relational.stringSuite _),
+    "q16_json_extract"    -> (Relational.jsonExtract _),
+    "q17_salted_join"     -> (Relational.saltedJoin _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -44,6 +46,8 @@ object SparkEntry {
     "p08_dedup_latest"          -> (PipelineOps.dedupLatest _),
     "p09_run_summary"           -> (PipelineOps.runSummary _),
     "p10_partition_stats"       -> (PipelineOps.partitionStats _),
+    "p11_html_render"           -> (Render.htmlRender _),
+    "p12_attachment_embed"      -> (Render.attachmentEmbed _),
     // C. Text / markup processing
     "t01_html_clean"        -> (TextOps.htmlClean _),
     "t02_sanitize_filename" -> (TextOps.sanitizeFilename _),
@@ -181,6 +185,18 @@ object SparkEntry {
         |FROM part
         |WHERE p_name LIKE '%ol%'
         |ORDER BY p_partkey""".stripMargin,
+    "q16_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |       MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events WHERE props->>'k' IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_salted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS line_count,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // B. Reference-pipeline semantics
     "p01_pages_in_space" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -240,6 +256,25 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "p11_html_render" ->
+      ("""SELECT doc_id,
+        | '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||
+        | '<meta charset="UTF-8">' || chr(10) ||
+        | '<meta name="viewport" content="width=device-width, initial-scale=1.0">' || chr(10) ||
+        | '<title>' || source || '/doc-' || doc_id || '</title>' || chr(10) ||
+        | '<style>body { font-family: Arial, sans-serif; line-height: 1.6; """ +
+       """max-width: 1200px; margin: 0 auto; padding: 20px; }</style>' || chr(10) ||
+        | '</head>' || chr(10) || '<body>' || chr(10) ||
+        | '<h1>' || source || '/doc-' || doc_id || '</h1>' || chr(10) ||
+        | '<div class="content">' || chr(10) || text || chr(10) ||
+        | '</div>' || chr(10) || '</body>' || chr(10) || '</html>' AS html
+        |FROM documents ORDER BY doc_id""").stripMargin,
+    "p12_attachment_embed" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+        |  'data:' || (CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END) ||
+        |  ';base64,' || to_base64(ENCODE('IMG0' || text)) AS data_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // C. Text / markup processing
     "t01_html_clean" ->
       """SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(

@@ -188,6 +188,38 @@ object Relational {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** Semi-structured extraction: JSON props column -> typed stats. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"),
+           sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Skew-safe salted join: the (hypothetically skewed) dim side is exploded
+    * across SaltBuckets synthetic keys, the fact side picks one
+    * deterministically, so one hot join key fans across SaltBuckets reducers.
+    * Result is identical to the plain join (the oracle IS the plain join).
+    */
+  val SaltBuckets = 8
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+              explode(sequence(lit(0), lit(SaltBuckets - 1))).as("salt"))
+    val fact = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod($"l_linenumber" + $"l_partkey", lit(SaltBuckets)).cast("int"))
+    fact.join(salted, $"l_orderkey" === $"o_orderkey" && fact("salt") === salted("salt"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("line_count"),
+           sum(dec2($"l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -48,6 +48,7 @@ object SparkEntry {
     "p10_partition_stats"       -> (PipelineOps.partitionStats _),
     "p11_html_render"           -> (Render.htmlRender _),
     "p12_attachment_embed"      -> (Render.attachmentEmbed _),
+    "p13_asof_join"             -> (AsOf.asofJoin _),
     // C. Text / markup processing
     "t01_html_clean"        -> (TextOps.htmlClean _),
     "t02_sanitize_filename" -> (TextOps.sanitizeFilename _),
@@ -275,6 +276,14 @@ object SparkEntry {
         |  'data:' || (CASE WHEN doc_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END) ||
         |  ';base64,' || to_base64(ENCODE('IMG0' || text)) AS data_url
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p13_asof_join" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |e AS (SELECT user_id, ts AS e_ts, event_id AS e_id
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.e_id, e.user_id, e.e_ts, p.p_id, p.p_ts
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts >= p.p_ts
+        |ORDER BY e_id""".stripMargin,
     // C. Text / markup processing
     "t01_html_clean" ->
       """SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(

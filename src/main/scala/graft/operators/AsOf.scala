@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (time-travel) join — an operator Spark lacks natively, composed
+  * from built-ins so Catalyst still owns the plan:
+  *
+  *   right side deduped per (key, ts), both sides unioned with a side tag,
+  *   one window pass per key ordered by (ts, tag) carries the latest right
+  *   row forward, then the left side is filtered back out.
+  *
+  * One shuffle on the key, no range-join explosion, no per-key driver work —
+  * this is the scale-correct shape (the alternative, a range join, is
+  * quadratic per key).
+  *
+  * Semantics match DuckDB's ASOF LEFT JOIN (greatest right.ts <= left.ts),
+  * which is the oracle.
+  */
+object AsOf {
+
+  /** For every 'error' event, the latest preceding (or simultaneous)
+    * 'purchase' by the same user.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // dedupe the right side per (key, ts) so equal-timestamp ties are
+    // resolved identically in both engines (max event_id wins)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("p_id"))
+      .select($"user_id", $"ts", $"p_id", lit(0).as("tag"),
+              lit(null).cast("long").as("e_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", lit(null).cast("long").as("p_id"), lit(1).as("tag"),
+              $"event_id".as("e_id"))
+    // tag orders purchases before errors at equal ts => "<=" semantics
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.union(errors)
+      .withColumn("last_p",
+        last(when($"tag" === 0, struct($"ts".as("p_ts"), $"p_id")), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"e_id", $"user_id", $"ts".as("e_ts"),
+              $"last_p.p_id".as("p_id"), $"last_p.p_ts".as("p_ts"))
+      .orderBy($"e_id")
+  }
+}

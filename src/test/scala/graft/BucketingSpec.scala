@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Co-located joins via bucketing — the zero-shuffle join path that matters
+  * at 100 TB: both fact tables bucketed on the join key join with no
+  * Exchange at all.
+  */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join without any shuffle exchange") {
+    val s = spark // warehouse dir is a per-run temp dir (set in SparkSpec)
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(s, sfDir).write.bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(s, sfDir).write.bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+
+    val joined = s.table("b_lineitem")
+      .join(s.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+           !plan.contains("Exchange hashpartitioning(o_orderkey"),
+           s"bucketed join still shuffles:\n${plan.take(1200)}")
+
+    // and it computes the same result as the shuffled join on raw parquet
+    val expected = Tables.lineitem(s, sfDir)
+      .join(Tables.orders(s, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
+  test("p13 as-of join: every matched purchase precedes (or equals) its error") {
+    val df = SparkEntry.queries("p13_asof_join")(spark, sfDir)
+    assert(df.filter(col("p_ts") > col("e_ts")).isEmpty)
+    // every error event appears exactly once
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(df.count() == errors)
+  }
+}

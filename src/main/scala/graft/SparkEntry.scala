@@ -11,9 +11,12 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The whole reference pipeline (scan -> clean -> analyze -> dedup ->
+    * render) as one Catalyst-optimized plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.joinBroadcast(spark, "/root/testdata/sf0.001")
+    EndToEnd.corpusPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -49,6 +52,7 @@ object SparkEntry {
     "p11_html_render"           -> (Render.htmlRender _),
     "p12_attachment_embed"      -> (Render.attachmentEmbed _),
     "p13_asof_join"             -> (AsOf.asofJoin _),
+    "p14_corpus_pipeline"       -> (EndToEnd.corpusPipeline _),
     // C. Text / markup processing
     "t01_html_clean"        -> (TextOps.htmlClean _),
     "t02_sanitize_filename" -> (TextOps.sanitizeFilename _),
@@ -284,6 +288,26 @@ object SparkEntry {
         |SELECT e.e_id, e.user_id, e.e_ts, p.p_id, p.p_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts >= p.p_ts
         |ORDER BY e_id""".stripMargin,
+    "p14_corpus_pipeline" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, lang,
+        |         TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS cleaned
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, lang, cleaned,
+        |    CAST(LEN(REGEXP_SPLIT_TO_ARRAY(cleaned, ' ')) AS BIGINT) AS tokens,
+        |    LEAST(1.0, LENGTH(cleaned) / 500.0) * 0.6 +
+        |      (LEN(REGEXP_EXTRACT_ALL(LOWER(cleaned), '\b(the|a|and|of|to|in|is)\b')) /
+        |       (CAST(LEN(REGEXP_SPLIT_TO_ARRAY(cleaned, ' ')) AS DOUBLE) + 1.0)) * 0.4 AS quality,
+        |    MD5(LOWER(cleaned)) AS content_md5
+        |  FROM c),
+        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY content_md5) AS keeper_id FROM e)
+        |SELECT doc_id, source, lang, tokens, quality,
+        |  '<!DOCTYPE html><html><head><title>' || source || '/doc-' || doc_id ||
+        |  '</title></head><body><div class="content">' || cleaned ||
+        |  '</div></body></html>' AS html
+        |FROM k WHERE doc_id = keeper_id AND quality >= 0.3
+        |ORDER BY doc_id""".stripMargin,
     // C. Text / markup processing
     "t01_html_clean" ->
       """SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.kernels
+
+/** Property-style tests (seeded, deterministic) for the hash kernels behind
+  * the custom expressions — pure JVM, no Spark session needed.
+  */
+class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def arr(tokens: Seq[String]) =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private val rng = new scala.util.Random(42)
+  private def randTokens(n: Int): List[String] =
+    List.fill(n)("w" + rng.nextInt(500))
+
+  test("minhash signature agreement approximates true shingle jaccard") {
+    (1 to 50).foreach { _ =>
+      val a = randTokens(40)
+      val edit = rng.nextInt(36)
+      val b = a.take(edit) ++ a.drop(edit).map(_ + "x")
+      val sa = (0 to a.length - 3).map(i => a.slice(i, i + 3)).toSet
+      val sb = (0 to b.length - 3).map(i => b.slice(i, i + 3)).toSet
+      val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+      val sigA = kernels.minhashSignature(kernels.shingleHashes(arr(a), 3), 64)
+      val sigB = kernels.minhashSignature(kernels.shingleHashes(arr(b), 3), 64)
+      val est = (0 until 64).count(i => sigA.getLong(i) == sigB.getLong(i)) / 64.0
+      assert(math.abs(est - trueJ) <= 0.35, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("simhash is token-order insensitive") {
+    (1 to 50).foreach { _ =>
+      val tokens = randTokens(40)
+      val h1 = kernels.simhash64(arr(tokens))
+      val h2 = kernels.simhash64(arr(rng.shuffle(tokens)))
+      assert(h1 == h2)
+    }
+  }
+
+  test("shingle hashes are shift-consistent: shared windows hash equal") {
+    (1 to 50).foreach { _ =>
+      val tokens = randTokens(4 + rng.nextInt(40))
+      val full = kernels.shingleHashes(arr(tokens), 3)
+      val tail = kernels.shingleHashes(arr(tokens.drop(1)), 3)
+      (0 until tail.numElements()).foreach { i =>
+        assert(full.getLong(i + 1) == tail.getLong(i))
+      }
+    }
+  }
+
+  test("cosine kernel: bounded, symmetric, self-similarity 1") {
+    (1 to 100).foreach { _ =>
+      val a = Array.fill(16)(rng.nextFloat() * 20f - 10f)
+      val b = Array.fill(16)(rng.nextFloat() * 20f - 10f)
+      val aa = new GenericArrayData(a.toArray[Any])
+      val bb = new GenericArrayData(b.toArray[Any])
+      val s = kernels.cosineF(aa, bb)
+      assert(s >= -1.0000001 && s <= 1.0000001)
+      assert(math.abs(s - kernels.cosineF(bb, aa)) < 1e-12)
+      assert(math.abs(kernels.cosineF(aa, aa) - 1.0) < 1e-9)
+    }
+  }
+}

@@ -52,6 +52,7 @@ object SparkEntry {
     "p11_html_render"           -> (Render.htmlRender _),
     "p12_attachment_embed"      -> (Render.attachmentEmbed _),
     "p13_asof_join"             -> (AsOf.asofJoin _),
+    "p15_asof_native"           -> (AsOf.asofJoinNative _),
     "p14_corpus_pipeline"       -> (EndToEnd.corpusPipeline _),
     // C. Text / markup processing
     "t01_html_clean"        -> (TextOps.htmlClean _),
@@ -281,6 +282,14 @@ object SparkEntry {
         |  ';base64,' || to_base64(ENCODE('IMG0' || text)) AS data_url
         |FROM documents ORDER BY doc_id""".stripMargin,
     "p13_asof_join" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |e AS (SELECT user_id, ts AS e_ts, event_id AS e_id
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.e_id, e.user_id, e.e_ts, p.p_id, p.p_ts
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts >= p.p_ts
+        |ORDER BY e_id""".stripMargin,
+    "p15_asof_native" ->
       """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id
         |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
         |e AS (SELECT user_id, ts AS e_ts, event_id AS e_id

@@ -47,5 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleHashesExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
       (es: Seq[Expression]) => MinHashSignatureExpr(es(0), es(1))))
+    // whole-operator extension: plans graft.plans.AsOfJoin into its
+    // sort-merge exec for sessions configured with spark.sql.extensions
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -21,6 +21,27 @@ import graft.Tables
   */
 object AsOf {
 
+  /** Same query as [[asofJoin]] through the native whole-operator path:
+    * graft's custom AsOfJoin LogicalPlan + Strategy + sort-merge SparkPlan
+    * (see [[graft.plans.AsOfJoinExec]]). Identical oracle as p13.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("p_id"))
+      .select($"user_id".as("p_user_id"), $"ts".as("p_ts"), $"p_id")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"user_id", $"ts".as("e_ts"))
+    graft.plans.AsOfJoinDF.asofLeft(
+        errors, purchases,
+        Seq(errors("user_id")), Seq(purchases("p_user_id")),
+        errors("e_ts"), purchases("p_ts"))
+      .select($"e_id", $"user_id", $"e_ts", $"p_id", $"p_ts")
+      .orderBy($"e_id")
+  }
+
   /** For every 'error' event, the latest preceding (or simultaneous)
     * 'purchase' by the same user.
     */

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+import graft.plans.{AsOfJoinDF, AsOfJoinExec}
+
+/** The custom whole-operator path: AsOfJoin logical node -> strategy ->
+  * sort-merge exec (graft.plans.AsOfJoinPlan).
+  */
+class PlansSpec extends SparkSpec {
+
+  test("native as-of join matches the composed union+window variant") {
+    val native = AsOf.asofJoinNative(spark, sfDir).collect().map(_.toSeq)
+    val composed = AsOf.asofJoin(spark, sfDir).collect().map(_.toSeq)
+    assert(native.length === composed.length)
+    assert(native.toSeq === composed.toSeq)
+    assert(native.nonEmpty)
+  }
+
+  test("physical plan uses AsOfJoinExec with one exchange per side and no window") {
+    val df = AsOf.asofJoinNative(spark, sfDir)
+    val planned = df.queryExecution.executedPlan
+    val s = planned.toString
+    assert(s.contains("AsOfJoin"), s"expected AsOfJoinExec in:\n$s")
+    assert(!s.contains("Window"), s"native path must not fall back to window:\n$s")
+  }
+
+  test("as-of exec handles keys with no right-side rows (left outer nulls)") {
+    import spark.implicits._
+    AsOfJoinDF.ensureStrategy(spark)
+    val l = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val r = Seq((1L, 9L, "r1"), (1L, 15L, "r2"), (3L, 8L, "r3"))
+      .toDF("rk", "rt", "rtag")
+    val out = AsOfJoinDF.asofLeft(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"))
+      .select($"k", $"t", $"tag", $"rt", $"rtag").orderBy($"k", $"t")
+      .collect().map(_.toSeq)
+    assert(out.toSeq === Seq(
+      Seq(1L, 10L, "a", 9L, "r1"),   // greatest rt <= 10 is 9
+      Seq(1L, 20L, "b", 15L, "r2"),  // greatest rt <= 20 is 15
+      Seq(2L, 5L, "c", null, null),  // key 2 absent on the right
+      Seq(3L, 7L, "d", null, null))) // key 3 exists but rt=8 > 7
+  }
+
+  test("equal timestamps match (<= bound, not <)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, "exact")).toDF("rk", "rt", "v")
+    val out = AsOfJoinDF.asofLeft(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"))
+      .select($"v").collect().map(_.getString(0))
+    assert(out.toSeq === Seq("exact"))
+  }
+
+  test("rejects overlapping column names") {
+    import spark.implicits._
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L)).toDF("k", "rt")
+    intercept[IllegalArgumentException] {
+      AsOfJoinDF.asofLeft(l, r, Seq(l("k")), Seq(r("k")), l("t"), r("rt"))
+    }
+  }
+}

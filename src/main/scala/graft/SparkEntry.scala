@@ -38,6 +38,11 @@ object SparkEntry {
     "q15_string_suite"    -> (Relational.stringSuite _),
     "q16_json_extract"    -> (Relational.jsonExtract _),
     "q17_salted_join"     -> (Relational.saltedJoin _),
+    "q18_window_suite"    -> (Relational.windowSuite _),
+    "q19_percentiles"     -> (Relational.percentiles _),
+    "q20_cube"            -> (Relational.cubeAgg _),
+    "q21_range_join"      -> (Relational.rangeJoin _),
+    "q22_correlated_max"  -> (Relational.correlatedMax _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -69,6 +74,8 @@ object SparkEntry {
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d05_cosine_topk"   -> (Similarity.cosineTopK _),
     "d06_ann_lsh"       -> (Similarity.annLsh _),
+    "d07_embed_neardup" -> (Similarity.embedNearDup _),
+    "d08_ann_ivf"       -> (Similarity.annIvf _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
@@ -203,6 +210,45 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q18_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | ROW_NUMBER() OVER w AS seq,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3_total
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q19_percentiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(o_totalprice, 0.5),  4) AS p50,
+        | ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        | ROUND(quantile_cont(o_totalprice, 0.9),  4) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q20_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS order_count,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q21_range_join" ->
+      """WITH e AS (SELECT event_id AS anchor_id, user_id, ts AS a_ts
+        |           FROM events WHERE event_type = 'error')
+        |SELECT e.anchor_id, CAST(COUNT(x.event_id) AS BIGINT) AS n_follow
+        |FROM e LEFT JOIN events x
+        |  ON x.user_id = e.user_id AND x.ts >= e.a_ts
+        | AND x.ts < e.a_ts + INTERVAL 1 HOUR AND x.event_id <> e.anchor_id
+        |GROUP BY e.anchor_id ORDER BY anchor_id""".stripMargin,
+    "q22_correlated_max" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // B. Reference-pipeline semantics
     "p01_pages_in_space" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -374,6 +420,12 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM c) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "d07_embed_neardup" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.29995
+        |ORDER BY a_id, b_id""".stripMargin,
     "m01_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

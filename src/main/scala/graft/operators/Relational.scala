@@ -220,6 +220,97 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** Window-function suite: lag/lead, sequence numbers, running and
+    * 3-row-trailing totals per customer. One shuffle on the partition key;
+    * all five functions share the same window ordering so Spark evaluates
+    * them in a single Window operator.
+    */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val running   = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trailing3 = w.rowsBetween(-2, 0)
+    Tables.orders(s, dir).select(
+      $"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+      row_number().over(w).cast("long").as("seq"),
+      lag($"o_totalprice", 1).over(w).as("prev_price"),
+      lead($"o_totalprice", 1).over(w).as("next_price"),
+      sum(dec2($"o_totalprice")).over(running).cast("double").as("running_total"),
+      sum(dec2($"o_totalprice")).over(trailing3).cast("double").as("trailing3_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Exact percentiles (linear interpolation, same contract as DuckDB's
+    * quantile_cont) per order priority. Exact percentile shuffles the values
+    * to their group; at 100 TB the approx_percentile sketch (partial-merge,
+    * no raw-value shuffle) is the drop-in replacement — kept exact here so
+    * the oracle can hash-match.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pct(p: Double, name: String): Column =
+      round(expr(s"percentile(o_totalprice, $p)"), 4).as(name)
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.9, "p90"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** CUBE over (status, priority) with sentinel labels for the null groups. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"),
+           sum(dec2($"o_totalprice")).cast("double").as("sum_price"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+              coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+              $"order_count", $"sum_price")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Range join done the scalable way: for each error event, count the
+    * events by the same user inside the following hour. A naive inequality
+    * join is O(n^2) per user; instead each 1-hour window is exploded to the
+    * (at most two) hour buckets it overlaps, the join is EQUI on
+    * (user, bucket), and the range predicate survives only as a cheap
+    * residual filter — this is the standard bin-then-filter range-join plan
+    * and it scales linearly with events per bucket.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val anchors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("anchor_id"), $"user_id", $"ts".as("a_ts"))
+    val binned = anchors.withColumn("bucket",
+        explode(array_distinct(array(
+          date_trunc("hour", $"a_ts"),
+          date_trunc("hour", $"a_ts" + expr("INTERVAL 1 HOUR"))))))
+    val follows = ev.select($"user_id", $"event_id".as("f_id"), $"ts".as("f_ts"),
+                            date_trunc("hour", $"ts").as("bucket"))
+    val counts = binned.join(follows, Seq("user_id", "bucket"))
+      .filter($"f_ts" >= $"a_ts" && $"f_ts" < $"a_ts" + expr("INTERVAL 1 HOUR") &&
+              $"f_id" =!= $"anchor_id")
+      .groupBy($"anchor_id").agg(count(lit(1)).as("n_follow"))
+    anchors.join(counts, Seq("anchor_id"), "left")
+      .select($"anchor_id", coalesce($"n_follow", lit(0L)).as("n_follow"))
+      .orderBy($"anchor_id")
+  }
+
+  /** Correlated-subquery shape (order(s) hitting the per-customer max) as a
+    * single window pass — no re-scan, no self-join.
+    */
+  def correlatedMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables.orders(s, dir)
+      .withColumn("mx", max($"o_totalprice").over(w))
+      .filter($"o_totalprice" === $"mx")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -81,6 +81,74 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs over a deterministic corpus
+    * subset: all unordered pairs with cosine above [[NearDupThreshold]].
+    * Blocked all-pairs with the smaller side broadcast; the `a < b`
+    * predicate halves the work and the threshold filter runs inside codegen
+    * before anything is materialized. At 100 TB the LSH prefilter of
+    * [[annLsh]] replaces the quadratic candidate generation; this exact
+    * variant is the correctness baseline the oracle can hash-check.
+    * Threshold 0.29995 sits in an empirical gap (>1e-5 wide at every SF) so
+    * DuckDB's float-precision cosine and our double-precision one agree on
+    * membership.
+    */
+  val NearDupThreshold = 0.29995
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val subset = Tables.embeddings(s, dir)
+      .filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding")
+    val right = subset.select($"vec_id".as("b_id"), $"embedding".as("be"))
+    subset.crossJoin(broadcast(right))
+      .filter($"vec_id" < $"b_id")
+      .filter(cosineSim($"embedding", $"be") >= NearDupThreshold)
+      .select($"vec_id".as("a_id"), $"b_id")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    * (a deterministic sample plays the k-means codebook: in production the
+    * codebook comes from a training job and is a few KB — always broadcast).
+    * A query probes only the [[IvfProbes]] closest centroid cells, so the
+    * scored candidate set is |corpus| * probes / cells instead of |corpus|.
+    * Recall vs. exact top-k is measured in the spec.
+    */
+  val IvfCentroidEvery = 25 // vec_id % 25 == 0 -> |corpus|/25 centroids
+  val IvfProbes = 3
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val centroids = emb.filter($"vec_id" % IvfCentroidEvery === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
+    // nearest-centroid assignment: broadcast codebook, keep argmax per vector
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"centroid_id", cosineSim($"embedding", $"ce").as("csim"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter($"crank" === 1)
+      .select($"vec_id", $"embedding", $"centroid_id")
+    // queries probe their IvfProbes nearest cells
+    val wProbe = Window.partitionBy($"query_id").orderBy($"csim".desc, $"centroid_id".asc)
+    val probes = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+      .crossJoin(broadcast(centroids))
+      .select($"query_id", $"qe", $"centroid_id", cosineSim($"qe", $"ce").as("csim"))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter($"crank" <= IvfProbes)
+      .select($"query_id", $"qe", $"centroid_id")
+    // score only inside probed cells
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"), cosineSim($"qe", $"embedding").as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** ANN via multi-table random-hyperplane LSH: a candidate is anything that
     * collides with the query in at least one of the tables; exact cosine
     * ranks candidates. OR-amplification keeps recall high while each table's

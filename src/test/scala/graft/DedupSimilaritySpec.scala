@@ -75,6 +75,31 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"ann-lsh recall@10 = $recall")
   }
 
+  test("d07 near-dup pairs are symmetric-free and above threshold") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val pairs = SparkEntry.queries("d07_embed_neardup")(spark, sfDir).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)), "pairs must be ordered a < b")
+    // re-score each reported pair exactly; all must clear the threshold
+    val emb = Tables.embeddings(spark, sfDir).filter($"vec_id" % 5 === 0)
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("eb"))
+    val rescored = SparkEntry.queries("d07_embed_neardup")(spark, sfDir)
+      .join(a, "a_id").join(b, "b_id")
+      .select(GraftFunctions.cosineSim($"ea", $"eb").as("sim"))
+    assert(rescored.filter($"sim" < Similarity.NearDupThreshold).isEmpty)
+  }
+
+  test("d08 ann-ivf probes a fraction of the corpus yet keeps usable recall") {
+    val exact = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.15, s"ivf recall $recall collapsed")
+    info(s"ann-ivf recall@10 = $recall")
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

@@ -49,6 +49,61 @@ class RelationalSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("cust_count") == Tables.customer(spark, sfDir).count())
   }
 
+  test("q18 running total of a customer's last row equals the customer's sum") {
+    val df = SparkEntry.queries("q18_window_suite")(spark, sfDir)
+    val lastRunning = df.groupBy(col("o_custkey"))
+      .agg(max(col("running_total")).as("rt"))
+    val direct = Tables.orders(spark, sfDir).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("st"))
+    val bad = lastRunning.join(direct, "o_custkey")
+      .filter(abs(col("rt") - col("st")) > 1e-6)
+    assert(bad.isEmpty)
+  }
+
+  test("q19 percentiles are ordered p25 <= p50 <= p75 <= p90 and bounded") {
+    val rows = SparkEntry.queries("q19_percentiles")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(p25, p50, p75, p90) =
+        Seq("p25", "p50", "p75", "p90").map(r.getAs[Double])
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p90)
+    }
+  }
+
+  test("q20 cube grand total row matches table count") {
+    val rows = SparkEntry.queries("q20_cube")(spark, sfDir)
+      .filter(col("status") === "ALL" && col("priority") === "ALL").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("order_count") == Tables.orders(spark, sfDir).count())
+  }
+
+  test("q21 bin-range join matches the naive inequality join") {
+    import spark.implicits._
+    val binned = SparkEntry.queries("q21_range_join")(spark, sfDir)
+    val ev = Tables.events(spark, sfDir)
+    val e = ev.filter($"event_type" === "error")
+      .select($"event_id".as("anchor_id"), $"user_id".as("u"), $"ts".as("a_ts"))
+    val naive = e.join(ev,
+        $"user_id" === $"u" && $"ts" >= $"a_ts" &&
+        $"ts" < $"a_ts" + expr("INTERVAL 1 HOUR") && $"event_id" =!= $"anchor_id", "left")
+      .groupBy($"anchor_id").agg(count($"event_id").as("naive_n"))
+    val diff = binned.join(naive, "anchor_id").filter($"n_follow" =!= $"naive_n")
+    assert(diff.isEmpty)
+    assert(binned.count() == e.count(), "every anchor must appear, zero counts included")
+  }
+
+  test("q22 every returned row hits its customer's max price") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q22_correlated_max")(spark, sfDir)
+    val mx = Tables.orders(spark, sfDir).groupBy($"o_custkey".as("ck"))
+      .agg(max($"o_totalprice").as("true_max"))
+    val bad = df.join(mx, $"o_custkey" === $"ck")
+      .filter($"o_totalprice" =!= $"true_max")
+    assert(bad.isEmpty)
+    assert(df.select($"o_custkey").distinct().count() ==
+           Tables.orders(spark, sfDir).select($"o_custkey").distinct().count())
+  }
+
   test("q13 scalar subquery filters strictly above the mean") {
     val df = SparkEntry.queries("q13_scalar_subquery")(spark, sfDir)
     val n = Tables.orders(spark, sfDir).count()

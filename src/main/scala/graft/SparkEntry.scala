@@ -43,6 +43,9 @@ object SparkEntry {
     "q20_cube"            -> (Relational.cubeAgg _),
     "q21_range_join"      -> (Relational.rangeJoin _),
     "q22_correlated_max"  -> (Relational.correlatedMax _),
+    "q23_grouping_sets"   -> (Relational.groupingSetsAgg _),
+    "q24_approx_distinct" -> (Relational.approxDistinct _),
+    "q25_det_sample"      -> (Relational.deterministicSample _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -67,6 +70,8 @@ object SparkEntry {
     "t05_lang_id"           -> (TextOps.langId _),
     "t06_quality_score"     -> (TextOps.qualityScore _),
     "t07_fingerprint"       -> (TextOps.fingerprint _),
+    "t08_ngram_topk"        -> ((s, d) => TextOps.ngramTopK(s, d)),
+    "t09_pii_redact"        -> (TextOps.piiRedact _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -249,6 +254,18 @@ object SparkEntry {
         |WHERE o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+        |       COALESCE(c_nationkey, -1) AS nationkey,
+        |       COUNT(*) AS cust_count,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), (c_nationkey))
+        |ORDER BY segment, nationkey""".stripMargin,
+    "q25_det_sample" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 < 100
+        |ORDER BY doc_id""".stripMargin,
     // B. Reference-pipeline semantics
     "p01_pages_in_space" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -402,6 +419,28 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t07_fingerprint" ->
       """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t08_ngram_topk" ->
+      """WITH w AS (SELECT source, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT source, toks[g] || ' ' || toks[g+1] AS bigram
+        |      FROM w, UNNEST(range(1, LEN(toks))) AS t(g)),
+        |c AS (SELECT source, bigram, COUNT(*) AS n FROM b GROUP BY source, bigram),
+        |r AS (SELECT source, bigram, n,
+        |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rank
+        |      FROM c)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, bigram, n
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    "t09_pii_redact" ->
+      """SELECT doc_id,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(
+        |    text || ' Contact user' || doc_id || '@example.com or call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS redacted,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text || ' Contact user' || doc_id || '@example.com or call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text || ' Contact user' || doc_id || '@example.com or call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.',
+        |    '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup" ->

@@ -311,6 +311,52 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Explicit GROUPING SETS — the general form behind rollup/cube: exactly
+    * the requested grouping combinations, one shuffle, no superfluous groups.
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupingSets(
+        Seq(Seq($"c_mktsegment", $"c_nationkey"), Seq($"c_mktsegment"), Seq($"c_nationkey")),
+        $"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("cust_count"),
+           sum(dec2($"c_acctbal")).cast("double").as("sum_acctbal"))
+      .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+              coalesce($"c_nationkey", lit(-1)).as("nationkey"),
+              $"cust_count", $"sum_acctbal")
+      .orderBy($"segment", $"nationkey")
+  }
+
+  /** Approximate count-distinct (HyperLogLog++) next to the exact count.
+    * At 100 TB the sketch is the only viable path — it partial-merges
+    * map-side with no raw-value shuffle — so the exact column here exists
+    * only to bound the sketch's error in the spec (rows-only check: HLL
+    * estimates are engine-specific, so no cross-engine hash oracle).
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+           approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .orderBy($"event_type")
+  }
+
+  /** Deterministic hash-mod sampling — the reproducible corpus-sharding op a
+    * training pipeline needs (same rows selected on every run, any cluster
+    * size, no sampleBy randomness). Multiplicative hash in plain 64-bit
+    * arithmetic so the DuckDB oracle computes the identical subset; at scale
+    * the same shape runs over xxhash64(content) for content-keyed splits.
+    */
+  def deterministicSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(($"doc_id" * lit(2654435761L)) % 1000 < 100)
+      .select($"doc_id", $"source", $"lang")
+      .orderBy($"doc_id")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -133,6 +133,54 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Top-k word bigrams per space — corpus n-gram statistics, the frequency
+    * layer a training pipeline needs for contamination screens and stopword
+    * discovery. One explode + one shuffle to (source, bigram) counts; the
+    * rank filter compiles to WindowGroupLimit, so each partition keeps only
+    * its local top-k before the final window shuffle.
+    */
+  def ngramTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = split(lower(trim($"text")), "\\s+")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(n - 1, lit(0))),
+      slice(words, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val counts = Tables.documents(s, dir)
+      .select($"source", explode(bigrams).as("bigram"))
+      .groupBy($"source", $"bigram")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source").orderBy($"n".desc, $"bigram".asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"source", $"rank", $"bigram", $"n")
+      .orderBy($"source", $"rank")
+  }
+
+  /** PII redaction: inject deterministic synthetic contact strings (so both
+    * engines see identical inputs), then mask emails and phone-shaped tokens
+    * and count what was masked. Pure per-row regex -> embarrassingly
+    * parallel, stays inside whole-stage codegen.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\b555-[0-9]{4}\\b"
+    val pii = concat($"text", lit(" Contact user"), $"doc_id".cast("string"),
+                     lit("@example.com or call 555-"),
+                     lpad(($"doc_id" % 10000).cast("string"), 4, "0"), lit(" now."))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_replace(regexp_replace(pii, emailPat, "[EMAIL]"), phonePat, "[PHONE]")
+          .as("redacted"),
+        regexp_count(pii, lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(pii, lit(phonePat)).cast("long").as("n_phones"))
+      .orderBy($"doc_id")
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key. (A rolling-hash custom Expression complements this
     * for shingling; see graft.functions.)

@@ -110,4 +110,35 @@ class RelationalSpec extends SparkSpec {
     val k = df.count()
     assert(k > 0 && k < n)
   }
+
+  test("q23 grouping sets produce exactly the requested combinations") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q23_grouping_sets")(spark, sfDir).cache()
+    val cust = Tables.customer(spark, sfDir)
+    val pairRows = df.filter($"segment" =!= "ALL" && $"nationkey" =!= -1).count()
+    val segRows  = df.filter($"segment" =!= "ALL" && $"nationkey" === -1).count()
+    val nkRows   = df.filter($"segment" === "ALL" && $"nationkey" =!= -1).count()
+    assert(pairRows == cust.select($"c_mktsegment", $"c_nationkey").distinct().count())
+    assert(segRows == cust.select($"c_mktsegment").distinct().count())
+    assert(nkRows == cust.select($"c_nationkey").distinct().count())
+    // no grand-total row: () was not a requested set
+    assert(df.filter($"segment" === "ALL" && $"nationkey" === -1).isEmpty)
+    df.unpersist()
+  }
+
+  test("q24 HLL sketch stays within its 2% design error at this cardinality") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("q24_approx_distinct")(spark, sfDir)
+      .filter(abs($"approx_users" - $"exact_users") >
+              greatest($"exact_users" * 0.05, lit(2.0)))
+    assert(bad.isEmpty, "approx_count_distinct drifted >5% from exact")
+  }
+
+  test("q25 deterministic sample is stable and ~10%") {
+    val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
+    val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
+    assert(a == b, "sample must be identical across runs")
+    val total = Tables.documents(spark, sfDir).count().toDouble
+    assert(a.length > 0 && math.abs(a.length / total - 0.10) < 0.05)
+  }
 }

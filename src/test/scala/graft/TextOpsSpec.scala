@@ -52,4 +52,33 @@ class TextOpsSpec extends SparkSpec {
       .distinct()
     assert(a.count() == 1)
   }
+
+  test("t08 ngram top-k: ranks are dense 1..k and counts non-increasing per source") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t08_ngram_topk")(spark, sfDir).cache()
+    assert(df.filter($"rank" < 1 || $"rank" > 10).isEmpty)
+    // within each source, count never increases as rank increases
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"rank")
+    val bad = df.withColumn("prev_n", lag($"n", 1).over(w))
+      .filter($"prev_n".isNotNull && $"n" > $"prev_n")
+    assert(bad.isEmpty)
+    df.unpersist()
+  }
+
+  test("t08 rank filter compiles to a partial WindowGroupLimit") {
+    assert(plan("t08_ngram_topk").contains("WindowGroupLimit"))
+  }
+
+  test("t09 redaction removes every email and phone and counts them") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()
+    assert(df.filter(regexp_count($"redacted",
+      lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) > 0).isEmpty)
+    assert(df.filter(regexp_count($"redacted", lit("\\b555-[0-9]{4}\\b")) > 0).isEmpty)
+    assert(df.filter($"n_emails" < 1 || $"n_phones" < 1).isEmpty,
+      "every row carries at least the injected email+phone")
+    assert(df.filter(!$"redacted".contains("[EMAIL]") || !$"redacted".contains("[PHONE]")).isEmpty)
+    df.unpersist()
+  }
 }

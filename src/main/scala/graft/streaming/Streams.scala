@@ -110,6 +110,14 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: join a live stream against a broadcast
+    * dimension table (the "space metadata" lookup of the reference pipeline).
+    * The static side is broadcast once per trigger, so the stream side never
+    * shuffles — the per-batch plan is identical to the batch broadcast join.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+
   /** Watermarked exactly-once-per-key dedup; batch callers get plain
     * first-per-key semantics from the same call.
     */

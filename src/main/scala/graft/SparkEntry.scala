@@ -77,6 +77,7 @@ object SparkEntry {
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "d03_simhash"       -> ((s, d) => Dedup.simhashDedup(s, d)),
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "d09_decontaminate" -> (Dedup.decontaminate _),
     "d05_cosine_topk"   -> (Similarity.cosineTopK _),
     "d06_ann_lsh"       -> (Similarity.annLsh _),
     "d07_embed_neardup" -> (Similarity.embedNearDup _),
@@ -449,6 +450,14 @@ object SparkEntry {
         |       MIN(doc_id) OVER (PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS keeper_id,
         |       doc_id = MIN(doc_id) OVER (PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS is_survivor
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d09_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
+        |           FROM documents),
+        |e AS (SELECT DISTINCT content_md5 FROM d WHERE doc_id % 7 = 3)
+        |SELECT doc_id, source, content_md5 FROM d
+        |WHERE content_md5 NOT IN (SELECT content_md5 FROM e)
+        |ORDER BY doc_id""".stripMargin,
     "d05_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT query_id, vec_id AS neighbor_id,

@@ -87,6 +87,23 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Benchmark decontamination: drop every training doc whose normalized
+    * content matches the eval/benchmark set — by CONTENT, not id, so verbatim
+    * copies under different ids are caught too. The eval set (simulated here
+    * as doc_id % 7 == 3) is tiny next to a 100-TB corpus: broadcast its
+    * fingerprints and anti-join, so the corpus never shuffles.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val docs = Tables.documents(s, dir).withColumn("content_md5", fp)
+    val evalFps = docs.filter($"doc_id" % 7 === 3)
+      .select($"content_md5".as("eval_md5")).distinct()
+    docs.join(broadcast(evalFps), $"content_md5" === $"eval_md5", "left_anti")
+      .select($"doc_id", $"source", $"content_md5")
+      .orderBy($"doc_id")
+  }
+
   /** Exact n-gram Jaccard on a deterministic linear pairing (doc i vs doc
     * i + n/2): the verify step that LSH candidates would feed at scale.
     */

@@ -118,6 +118,20 @@ object Streams {
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left")
 
+  /** Stream-stream interval join: for each error event, the purchases by the
+    * same user in the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event time on both, so state is provably evictable
+    * — the shape Structured Streaming requires for unbounded inputs.
+    */
+  def correlateStreams(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+                          col("ts").as("e_ts"))
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                             col("ts").as("p_ts"))
+    e.join(p, expr(
+      "e_user = p_user AND p_ts >= e_ts - INTERVAL 1 HOUR AND p_ts <= e_ts"))
+  }
+
   /** Watermarked exactly-once-per-key dedup; batch callers get plain
     * first-per-key semantics from the same call.
     */

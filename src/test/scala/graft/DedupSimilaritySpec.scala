@@ -100,6 +100,22 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"ann-ivf recall@10 = $recall")
   }
 
+  test("d09 decontamination drops eval docs and their content-identical copies") {
+    import spark.implicits._
+    val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()
+    // no surviving doc carries an eval-set fingerprint
+    val evalFps = Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 7 === 3)
+      .select(md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp")).distinct()
+    assert(kept.join(evalFps, $"content_md5" === $"fp", "left_semi").isEmpty)
+    // and the corpus side plan broadcasts the eval fingerprints
+    val p = SparkEntry.queries("d09_decontaminate")(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(400))
+    assert(kept.count() > 0)
+    kept.unpersist()
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

@@ -100,6 +100,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s05 stream-stream interval join pairs errors with preceding purchases") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val errors = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    purchases.addData(Event(10, ts(0), 1, "purchase", 9.0),   // 30 min before err -> match
+                      Event(11, ts(-90), 1, "purchase", 8.0), // 2h before -> outside window
+                      Event(12, ts(5), 2, "purchase", 7.0))   // other user, after err
+    errors.addData(Event(1, ts(30), 1, "error", 0.0), Event(2, ts(0), 2, "error", 0.0))
+    val q = Streams.correlateStreams(
+        errors.toDF().withWatermark("ts", "1 hour"),
+        purchases.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("s05_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val pairs = s.table("s05_out").select("e_id", "p_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 10L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

@@ -83,6 +83,7 @@ object SparkEntry {
     "d07_embed_neardup" -> (Similarity.embedNearDup _),
     "d08_ann_ivf"       -> (Similarity.annIvf _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
+    "m02_frame_sample"    -> (Multimodal.frameSample _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -481,6 +482,16 @@ object SparkEntry {
         |       CAST(64 + (doc_id * 53) % 1016 AS BIGINT) AS height,
         |       CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_frame_sample" ->
+      """WITH v AS (SELECT doc_id,
+        |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |             8 + doc_id % 24 AS n_frames
+        |           FROM documents)
+        |SELECT doc_id, CAST(g AS BIGINT) AS frame_idx, byte_len,
+        |       CAST(n_frames AS BIGINT) AS n_frames,
+        |       CAST(g * (byte_len // n_frames) AS BIGINT) AS byte_off
+        |FROM v, UNNEST(range(0, n_frames, GREATEST(n_frames // 4, 1))) AS t(g)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // E. Streaming batch equivalents
     "s01_window_agg" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,

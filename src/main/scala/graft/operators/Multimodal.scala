@@ -30,6 +30,27 @@ object Multimodal {
       .select($"doc_id", concat(lit("IMG0"), $"text").cast("binary").as("blob"))
   }
 
+  /** Frame sampling over a "video" blob: each row fans out to its sampled
+    * frame indices (~4 evenly spaced frames) with byte offsets into the blob.
+    * The fan-out is a generated-sequence explode — per-row compute, no
+    * shuffle — and a real frame decoder would consume (blob, byte_off) per
+    * output row. Frame count is a deterministic stand-in for a container
+    * header parse (no media libs in this container).
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withBlob(s, dir)
+      .select($"doc_id",
+              length($"blob").cast("long").as("byte_len"),
+              (lit(8L) + ($"doc_id" % 24L)).as("n_frames"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), $"n_frames" - 1,
+                         greatest(expr("n_frames div 4"), lit(1L)))))
+      .select($"doc_id", $"frame_idx", $"byte_len", $"n_frames",
+              ($"frame_idx" * expr("byte_len div n_frames")).as("byte_off"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** Batched metadata extraction over the binary column. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -116,6 +116,35 @@ class DedupSimilaritySpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("m02 frame sampling fans out ~4 evenly spaced frames inside the blob") {
+    import spark.implicits._
+    val df = SparkEntry.queries("m02_frame_sample")(spark, sfDir).cache()
+    assert(df.filter($"frame_idx" < 0 || $"frame_idx" >= $"n_frames").isEmpty)
+    assert(df.filter($"byte_off" < 0 || $"byte_off" >= $"byte_len").isEmpty)
+    val perDoc = df.groupBy($"doc_id").count()
+    assert(perDoc.filter($"count" < 4 || $"count" > 7).isEmpty,
+      "sampling step n/4 yields 4-7 frames per doc")
+    assert(perDoc.count() == Tables.documents(spark, sfDir).count())
+    df.unpersist()
+  }
+
+  test("custom expressions are callable from SQL text via the registry") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      """SELECT vec_id,
+        |       cosine_sim(embedding, embedding) AS self_sim,
+        |       simhash64(array('a','b','c')) AS sh,
+        |       size(minhash_sig(shingle_hashes(array('a','b','c','d'), 2), 16)) AS sig_len
+        |FROM emb_sql ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, "self-cosine must be 1")
+      assert(r.getInt(3) == 16)
+    }
+    assert(rows.map(_.getLong(2)).distinct.length == 1, "simhash of a literal is constant")
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

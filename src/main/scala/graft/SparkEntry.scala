@@ -78,6 +78,7 @@ object SparkEntry {
     "d03_simhash"       -> ((s, d) => Dedup.simhashDedup(s, d)),
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d09_decontaminate" -> (Dedup.decontaminate _),
+    "d10_neardup_clusters" -> ((s, d) => Dedup.neardupClusters(s, d)),
     "d05_cosine_topk"   -> (Similarity.cosineTopK _),
     "d06_ann_lsh"       -> (Similarity.annLsh _),
     "d07_embed_neardup" -> (Similarity.embedNearDup _),

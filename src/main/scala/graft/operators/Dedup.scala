@@ -87,6 +87,50 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Near-dup clustering: connected components over the candidate-pair graph
+    * (simhash banding supplies the edges) by iterative min-label propagation
+    * — each doc converges to the minimum doc_id reachable through near-dup
+    * edges, which becomes the dedup group id (keep one doc per group).
+    * The edge list is materialized once (the banding join is the expensive
+    * part; re-deriving it inside every iteration's lazy plan would multiply
+    * that cost), then each iteration is one shuffle join + min-agg. Planted
+    * near-dup clusters are tiny, so a bounded iteration count covers the
+    * diameter; at 100 TB the same loop runs with AQE until a fixpoint.
+    */
+  def neardupClusters(s: SparkSession, dir: String, maxIterations: Int = 20): DataFrame = {
+    import s.implicits._
+    val pairs = simhashDedup(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val nbrMin = edges.join(labels, $"doc_b" === $"doc_id")
+        .groupBy($"doc_a").agg(min($"cluster_id").as("nbr_min"))
+      val pulled = labels.join(nbrMin, $"doc_id" === $"doc_a", "left")
+        .select($"doc_id",
+                least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
+      // pointer jumping: label(n) <- label(label(n)); with the neighbor pull
+      // above the propagation radius grows superlinearly, so the fixpoint
+      // arrives in O(log diameter) rounds rather than O(diameter).
+      val byDoc = pulled.select($"doc_id".as("l_doc"), $"cluster_id".as("l_cl"))
+      val next = pulled.join(byDoc, pulled("cluster_id") === $"l_doc")
+        .select(pulled("doc_id"), least(pulled("cluster_id"), $"l_cl").as("cluster_id"))
+        .localCheckpoint(true)
+      // fixpoint test over the two materialized label sets — one cheap job;
+      // labels only decrease, so "no row changed" is a sound stopping rule
+      val prev = labels.select($"doc_id".as("p_doc"), $"cluster_id".as("p_cl"))
+      converged = next.join(prev, $"doc_id" === $"p_doc")
+        .filter($"cluster_id" =!= $"p_cl").isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination: drop every training doc whose normalized
     * content matches the eval/benchmark set — by CONTENT, not id, so verbatim
     * copies under different ids are caught too. The eval set (simulated here

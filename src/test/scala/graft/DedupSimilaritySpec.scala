@@ -100,6 +100,22 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"ann-ivf recall@10 = $recall")
   }
 
+  test("d10 clustering converges: both ends of every candidate edge share a cluster") {
+    import spark.implicits._
+    val labels = SparkEntry.queries("d10_neardup_clusters")(spark, sfDir).cache()
+    assert(labels.count() == Tables.documents(spark, sfDir).count())
+    assert(labels.filter($"cluster_id" > $"doc_id").isEmpty, "label can only shrink")
+    val pairs = SparkEntry.queries("d03_simhash")(spark, sfDir).select($"doc_a", $"doc_b")
+    val la = labels.select($"doc_id".as("doc_a"), $"cluster_id".as("ca"))
+    val lb = labels.select($"doc_id".as("doc_b"), $"cluster_id".as("cb"))
+    val split = pairs.join(la, "doc_a").join(lb, "doc_b").filter($"ca" =!= $"cb")
+    assert(split.isEmpty, "an edge crossing two clusters means propagation has not converged")
+    // at least one genuine multi-doc cluster exists (planted near-dups)
+    val multi = labels.groupBy($"cluster_id").count().filter($"count" >= 2)
+    assert(multi.count() > 0)
+    labels.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

@@ -46,6 +46,7 @@ object SparkEntry {
     "q23_grouping_sets"   -> (Relational.groupingSetsAgg _),
     "q24_approx_distinct" -> (Relational.approxDistinct _),
     "q25_det_sample"      -> (Relational.deterministicSample _),
+    "q26_range_frame"     -> (Relational.rangeFrameWindow _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "t06_quality_score"     -> (TextOps.qualityScore _),
     "t07_fingerprint"       -> (TextOps.fingerprint _),
     "t08_ngram_topk"        -> ((s, d) => TextOps.ngramTopK(s, d)),
+    "t10_stopword_filter"   -> (TextOps.stopwordFilter _),
     "t09_pii_redact"        -> (TextOps.piiRedact _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
@@ -269,6 +271,14 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 < 100
         |ORDER BY doc_id""".stripMargin,
+    "q26_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // B. Reference-pipeline semantics
     "p01_pages_in_space" ->
       """SELECT doc_id, lang, n_chars FROM documents
@@ -434,6 +444,16 @@ object SparkEntry {
         |      FROM c)
         |SELECT source, CAST(rank AS BIGINT) AS rank, bigram, n
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    "t10_stopword_filter" ->
+      """WITH w AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
+        |           FROM documents),
+        |f AS (SELECT doc_id, toks,
+        |             list_filter(toks, t -> NOT list_contains(['the','a','and','of','to','in','is'], t)) AS kept
+        |      FROM w)
+        |SELECT doc_id, ARRAY_TO_STRING(kept, ' ') AS filtered_text,
+        |       CAST(LEN(toks) - LEN(kept) AS BIGINT) AS n_removed,
+        |       CAST(LEN(kept) AS BIGINT) AS n_kept
+        |FROM f ORDER BY doc_id""".stripMargin,
     "t09_pii_redact" ->
       """SELECT doc_id,
         |  REGEXP_REPLACE(REGEXP_REPLACE(

@@ -357,6 +357,23 @@ object Relational {
       .orderBy($"doc_id")
   }
 
+  /** Event-time RANGE window frame: per user, trailing-1-hour event count and
+    * value sum at every event. ROWS frames (q18) count physical rows; RANGE
+    * frames bound the frame by the ORDER BY value itself — here microsecond
+    * event time, so the frame is "the last hour of activity" regardless of
+    * row density. One shuffle on user_id, single Window pass.
+    */
+  def rangeFrameWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"ts",
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(dec6($"value")).over(w).cast("double").as("sum_trailing_1h"))
+      .orderBy($"event_id")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

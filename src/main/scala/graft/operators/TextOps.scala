@@ -181,6 +181,23 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Stopword filtering: drop function words from the token stream, keeping
+    * duplicates and order (array_except would dedup — wrong for token
+    * streams). Higher-order array functions stay codegen'd; no UDF.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+  def stopwordFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split(lower(trim($"text")), "\\s+")
+    val kept = filter(words, w => !w.isInCollection(Stopwords))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        array_join(kept, " ").as("filtered_text"),
+        (size(words) - size(kept)).cast("long").as("n_removed"),
+        size(kept).cast("long").as("n_kept"))
+      .orderBy($"doc_id")
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key. (A rolling-hash custom Expression complements this
     * for shingling; see graft.functions.)

@@ -134,6 +134,22 @@ class RelationalSpec extends SparkSpec {
     assert(bad.isEmpty, "approx_count_distinct drifted >5% from exact")
   }
 
+  test("q26 range frame: trailing-hour aggregates agree with a direct self-count") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q26_range_frame")(spark, sfDir)
+    // spot-check: recompute n_trailing_1h for a handful of rows via a join
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as("u"), unix_micros($"ts").as("t"))
+    val sample = df.limit(50)
+      .select($"event_id", $"user_id", unix_micros($"ts").as(("ts_us")), $"n_trailing_1h")
+    val recount = sample.join(ev, $"user_id" === $"u" &&
+        $"t" >= $"ts_us" - 3600L * 1000000L && $"t" <= $"ts_us")
+      .groupBy($"event_id", $"n_trailing_1h").count()
+    assert(recount.filter($"count" =!= $"n_trailing_1h").isEmpty)
+    // every row's frame includes itself
+    assert(df.filter($"n_trailing_1h" < 1).isEmpty)
+  }
+
   test("q25 deterministic sample is stable and ~10%") {
     val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq

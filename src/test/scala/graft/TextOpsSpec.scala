@@ -70,6 +70,22 @@ class TextOpsSpec extends SparkSpec {
     assert(plan("t08_ngram_topk").contains("WindowGroupLimit"))
   }
 
+  test("t10 stopword filter keeps duplicates/order and removes only stopwords") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t10_stopword_filter")(spark, sfDir).cache()
+    // no stopword survives as a standalone token
+    val leaked = df.filter(
+      regexp_count(concat(lit(" "), $"filtered_text", lit(" ")),
+                   lit("\\s(the|a|and|of|to|in|is)\\s")) > 0)
+    assert(leaked.isEmpty)
+    // counts are consistent with the original token stream
+    val joined = df.join(Tables.documents(spark, sfDir), "doc_id")
+      .withColumn("orig_n", size(split(lower(trim($"text")), "\\s+")).cast("long"))
+    assert(joined.filter($"n_kept" + $"n_removed" =!= $"orig_n").isEmpty)
+    assert(df.filter($"n_removed" > 0).count() > 0, "corpus contains stopwords")
+    df.unpersist()
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

@@ -102,7 +102,11 @@ object Dedup {
     val pairs = simhashDedup(s, dir).select($"doc_a", $"doc_b")
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-    var labels = Tables.documents(s, dir)
+    // Only edge endpoints participate in propagation — in a deduped corpus
+    // near-dups are a small fraction, so the iterated tables stay tiny while
+    // the untouched singleton majority (cluster_id = own id) joins back in
+    // once at the end.
+    var labels = edges.select($"doc_a".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
@@ -115,7 +119,9 @@ object Dedup {
                 least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
       // pointer jumping: label(n) <- label(label(n)); with the neighbor pull
       // above the propagation radius grows superlinearly, so the fixpoint
-      // arrives in O(log diameter) rounds rather than O(diameter).
+      // arrives in O(log diameter) rounds rather than O(diameter). (A double
+      // jump per round was measured SLOWER — the 4x plan duplication of the
+      // un-materialized `pulled` outweighs the saved rounds.)
       val byDoc = pulled.select($"doc_id".as("l_doc"), $"cluster_id".as("l_cl"))
       val next = pulled.join(byDoc, pulled("cluster_id") === $"l_doc")
         .select(pulled("doc_id"), least(pulled("cluster_id"), $"l_cl").as("cluster_id"))
@@ -128,7 +134,11 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .join(labels.select($"doc_id".as("l_doc"), $"cluster_id"),
+            $"doc_id" === $"l_doc", "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
   }
 
   /** Benchmark decontamination: drop every training doc whose normalized

@@ -22,6 +22,12 @@ class SourcesSpec extends SparkSpec {
     docs.write.mode("overwrite").option("header", "true").csv(cdir)
     val fromCsv = spark.read.option("header", "true").option("inferSchema", "true").csv(cdir)
     assert(fromCsv.count() == docs.count())
+
+    val odir = Files.createTempDirectory("graft_orc").toString + "/docs"
+    docs.write.mode("overwrite").orc(odir)
+    val fromOrc = spark.read.orc(odir)
+    assert(fromOrc.select("doc_id", "text", "source").orderBy("doc_id")
+      .collect().toSeq == docs.select("doc_id", "text", "source").collect().toSeq)
   }
 
   test("file stream with maxFilesPerTrigger ingests incrementally (rate limiting)") {

@@ -47,6 +47,7 @@ object SparkEntry {
     "q24_approx_distinct" -> (Relational.approxDistinct _),
     "q25_det_sample"      -> (Relational.deterministicSample _),
     "q26_range_frame"     -> (Relational.rangeFrameWindow _),
+    "q27_exists_composition" -> (Relational.existsComposition _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d09_decontaminate" -> (Dedup.decontaminate _),
     "d10_neardup_clusters" -> ((s, d) => Dedup.neardupClusters(s, d)),
+    "d11_fuzzy_decontaminate" -> ((s, d) => Dedup.fuzzyDecontaminate(s, d)),
     "d05_cosine_topk"   -> (Similarity.cosineTopK _),
     "d06_ann_lsh"       -> (Similarity.annLsh _),
     "d07_embed_neardup" -> (Similarity.embedNearDup _),
@@ -271,6 +273,15 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 < 100
         |ORDER BY doc_id""".stripMargin,
+    "q27_exists_composition" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
     "q26_range_frame" ->
       """SELECT event_id, user_id, ts,
         |  COUNT(*) OVER w AS n_trailing_1h,

@@ -41,28 +41,63 @@ object Dedup {
           .as("sig"))
   }
 
-  /** MinHash + LSH near-dup candidates: band-bucket join, then signature-
-    * agreement Jaccard estimate. Shuffles on (band_id, band_hash) only.
+  /** LSH banding of minhash signatures: Bands buckets per doc, keyed by the
+    * hash of that band's signature slice.
     */
-  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    import s.implicits._
-    val sigs = signatures(s, dir)
-    val banded = sigs.select($"doc_id", $"sig",
+  private def bandSignatures(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
+    sigs.select($"doc_id", $"sig",
         explode(expr(
           s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band_id, xxhash64(slice(sig, b*$Rows+1, $Rows)) AS band_hash))"))
           .as("band"))
       .select($"doc_id", $"sig", $"band.band_id", $"band.band_hash")
+  }
+
+  /** Signature-agreement Jaccard estimate between two sig columns. */
+  private def estJaccard(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") /
+      org.apache.spark.sql.functions.lit(NumHashes.toDouble)
+
+  /** MinHash + LSH near-dup candidates: band-bucket join, then signature-
+    * agreement Jaccard estimate. Shuffles on (band_id, band_hash) only.
+    */
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val banded = bandSignatures(signatures(s, dir))
     val a = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
     val b = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
     a.join(b, Seq("band_id", "band_hash"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        (expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") /
-          lit(NumHashes.toDouble)).as("est_jaccard"))
+      .select($"doc_a", $"doc_b", estJaccard("sig_a", "sig_b").as("est_jaccard"))
       .filter($"est_jaccard" >= threshold) // cut before the dedup shuffle
       .distinct()
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Fuzzy decontamination: where [[decontaminate]] catches verbatim copies,
+    * this catches NEAR copies of the eval set — corpus and eval docs are LSH-
+    * banded, candidates meet in bucket-local joins, the minhash Jaccard
+    * estimate gates the match, and flagged docs are anti-joined away. The
+    * corpus side never joins the eval set directly: only band-bucket
+    * collisions are compared, so cost scales with collisions, not |corpus|x|eval|.
+    */
+  def fuzzyDecontaminate(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val banded = bandSignatures(signatures(s, dir))
+    val isEval = $"doc_id" % 7 === 3
+    val evalB = banded.filter(isEval)
+      .select($"band_id", $"band_hash", $"sig".as("eval_sig"))
+    val corpusB = banded.filter(!isEval)
+      .select($"band_id", $"band_hash", $"doc_id", $"sig")
+    val contaminated = corpusB.join(evalB, Seq("band_id", "band_hash"))
+      .filter(estJaccard("sig", "eval_sig") >= threshold)
+      .select($"doc_id").distinct()
+    Tables.documents(s, dir)
+      .filter(!isEval) // eval rows themselves are never training candidates
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source", $"lang")
+      .orderBy($"doc_id")
   }
 
   /** SimHash near-dup: 64-bit fingerprints, 16-bit hamming bands (pigeonhole:

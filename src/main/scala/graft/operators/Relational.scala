@@ -374,6 +374,25 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** TPC-H Q21-style composition: orders with at least one late-shipping
+    * line (correlated cross-side predicate in the semi join) and no
+    * high-quantity line (anti join) — EXISTS and NOT EXISTS against the same
+    * fact table fused into one plan, each as a single co-partitioned join.
+    */
+  def existsComposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+    val late = li.select($"l_orderkey".as("late_key"), $"l_shipdate")
+    val heavy = li.filter($"l_quantity" >= 45).select($"l_orderkey".as("heavy_key"))
+    orders
+      .join(late, $"o_orderkey" === $"late_key" &&
+                  $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+      .join(heavy, $"o_orderkey" === $"heavy_key", "left_anti")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

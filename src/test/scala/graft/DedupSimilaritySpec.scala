@@ -116,6 +116,24 @@ class DedupSimilaritySpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("d11 fuzzy decontamination drops near-copies of eval docs, keeps the rest") {
+    import spark.implicits._
+    val kept = SparkEntry.queries("d11_fuzzy_decontaminate")(spark, sfDir).cache()
+    // eval rows never appear
+    assert(kept.filter($"doc_id" % 7 === 3).isEmpty)
+    // every non-eval doc that is a minhash-LSH near-dup of an eval doc is gone
+    val pairs = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir)
+      .filter($"est_jaccard" >= 0.5)
+    val contaminatedByPair = pairs
+      .filter($"doc_a" % 7 === 3 || $"doc_b" % 7 === 3)
+      .select(when($"doc_a" % 7 === 3, $"doc_b").otherwise($"doc_a").as("doc_id"))
+      .filter($"doc_id" % 7 =!= 3).distinct()
+    assert(kept.join(contaminatedByPair, Seq("doc_id"), "left_semi").isEmpty,
+      "a near-copy of an eval doc survived")
+    assert(kept.count() > 0)
+    kept.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

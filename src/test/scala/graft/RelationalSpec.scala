@@ -150,6 +150,22 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter($"n_trailing_1h" < 1).isEmpty)
   }
 
+  test("q27 exists composition: every hit has a late line, no hit has a heavy line") {
+    import spark.implicits._
+    val hits = SparkEntry.queries("q27_exists_composition")(spark, sfDir).cache()
+    val li = Tables.lineitem(spark, sfDir)
+    val heavyLeak = hits.join(li.filter($"l_quantity" >= 45),
+      $"o_orderkey" === $"l_orderkey", "left_semi")
+    assert(heavyLeak.isEmpty, "NOT EXISTS violated")
+    val lateMissing = hits.join(
+      li.select($"l_orderkey", $"l_shipdate"),
+      $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_anti")
+    assert(lateMissing.isEmpty, "EXISTS violated")
+    assert(hits.count() > 0)
+    hits.unpersist()
+  }
+
   test("q25 deterministic sample is stable and ~10%") {
     val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq

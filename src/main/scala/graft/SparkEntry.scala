@@ -74,6 +74,8 @@ object SparkEntry {
     "t07_fingerprint"       -> (TextOps.fingerprint _),
     "t08_ngram_topk"        -> ((s, d) => TextOps.ngramTopK(s, d)),
     "t10_stopword_filter"   -> (TextOps.stopwordFilter _),
+    "t11_image_normalize"   -> (TextOps.imageNormalize _),
+    "t12_code_extract"      -> (TextOps.codeExtract _),
     "t09_pii_redact"        -> (TextOps.piiRedact _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
@@ -465,6 +467,23 @@ object SparkEntry {
         |       CAST(LEN(toks) - LEN(kept) AS BIGINT) AS n_removed,
         |       CAST(LEN(kept) AS BIGINT) AS n_kept
         |FROM f ORDER BY doc_id""".stripMargin,
+    "t11_image_normalize" ->
+      """SELECT doc_id,
+        |  REGEXP_REPLACE(
+        |    '<p>' || SUBSTRING(text,1,20) || '</p><ac:image ac:width="300"><ri:attachment ri:filename="img' || doc_id || '.png" /></ac:image>',
+        |    '<ac:image[^>]*>\s*<ri:attachment ri:filename="([^"]+)"\s*/>\s*</ac:image>',
+        |    '<img src="attachments/\1" alt="\1">', 'g') AS html
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t12_code_extract" ->
+      """WITH w AS (SELECT doc_id,
+        |             REGEXP_EXTRACT_ALL(
+        |               SUBSTRING(text,1,10) || '[code lang=scala]val x = ' || doc_id || '[/code] mid [code]second block[/code]',
+        |               '\[code[^\]]*\](.*?)\[/code\]', 1) AS blocks
+        |           FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_idx, blocks[i] AS code,
+        |       CAST(LENGTH(blocks[i]) AS BIGINT) AS code_len
+        |FROM w, UNNEST(range(1, LEN(blocks)+1)) AS t(i)
+        |ORDER BY doc_id, block_idx""".stripMargin,
     "t09_pii_redact" ->
       """SELECT doc_id,
         |  REGEXP_REPLACE(REGEXP_REPLACE(

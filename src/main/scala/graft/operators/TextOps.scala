@@ -198,6 +198,44 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Confluence ac:image -> standard img normalization (html_cleaner.py:
+    * 47-193): the storage-format attachment reference is rewritten to a
+    * relative <img> tag via capture-group substitution. Markup is fabricated
+    * deterministically so both engines transform identical input. Note the
+    * backref dialects: Spark (Java regex) uses $1, the DuckDB oracle (RE2)
+    * uses \1 — same semantics, different spelling.
+    */
+  def imageNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = concat(lit("<p>"), substring($"text", 1, 20),
+      lit("</p><ac:image ac:width=\"300\"><ri:attachment ri:filename=\"img"),
+      $"doc_id", lit(".png\" /></ac:image>"))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_replace(raw,
+          "<ac:image[^>]*>\\s*<ri:attachment ri:filename=\"([^\"]+)\"\\s*/>\\s*</ac:image>",
+          "<img src=\"attachments/$1\" alt=\"$1\">").as("html"))
+      .orderBy($"doc_id")
+  }
+
+  /** Code-block extraction (html_cleaner.py:195-341): every [code ...]...
+    * [/code] span becomes its own row via regexp_extract_all + posexplode —
+    * the one-row-to-many extraction shape, non-greedy so adjacent blocks
+    * stay separate.
+    */
+  def codeExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = concat(substring($"text", 1, 10),
+      lit("[code lang=scala]val x = "), $"doc_id",
+      lit("[/code] mid [code]second block[/code]"))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(regexp_extract_all(raw, lit("\\[code[^\\]]*\\](.*?)\\[/code\\]"), lit(1))))
+      .select($"doc_id", $"pos".cast("long").as("block_idx"), $"col".as("code"),
+              length($"col").cast("long").as("code_len"))
+      .orderBy($"doc_id", $"block_idx")
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key. (A rolling-hash custom Expression complements this
     * for shingling; see graft.functions.)

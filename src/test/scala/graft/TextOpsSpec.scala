@@ -86,6 +86,27 @@ class TextOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t11 ac:image markup is rewritten to standard img tags") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t11_image_normalize")(spark, sfDir).cache()
+    assert(df.filter($"html".contains("ac:image") || $"html".contains("ri:attachment")).isEmpty,
+      "storage-format markup must be fully rewritten")
+    assert(df.filter(!$"html".contains("<img src=\"attachments/img")).isEmpty)
+    df.unpersist()
+  }
+
+  test("t12 extracts every code block as its own indexed row") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t12_code_extract")(spark, sfDir).cache()
+    // two injected blocks per doc, indexed 0 and 1
+    val perDoc = df.groupBy($"doc_id").count()
+    assert(perDoc.filter($"count" =!= 2).isEmpty)
+    assert(df.filter($"block_idx" === 1 && $"code" =!= "second block").isEmpty)
+    assert(df.filter($"code".contains("[code]") || $"code".contains("[/code]")).isEmpty,
+      "non-greedy match must not swallow delimiters")
+    df.unpersist()
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

@@ -57,6 +57,44 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dynamic partition overwrite refreshes only the re-processed space") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_dpo").toString + "/docs"
+    val docs = Tables.documents(s, sfDir)
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val before = s.read.parquet(dir).count()
+    // re-process ONE space with a transformed payload; static overwrite would
+    // wipe every other partition, dynamic replaces only source=src3
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      docs.filter($"source" === "src3")
+        .withColumn("text", upper($"text"))
+        .write.mode("overwrite").partitionBy("source").parquet(dir)
+    } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val after = s.read.parquet(dir)
+    assert(after.count() == before, "untouched partitions must survive")
+    assert(after.filter($"source" === "src3" && $"text" =!= upper($"text")).isEmpty,
+      "replaced partition must carry the new payload")
+    assert(after.filter($"source" =!= "src3" && $"text" === upper($"text") &&
+                        $"text" =!= lower($"text")).isEmpty,
+      "other partitions must keep the old payload")
+  }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_evo").toString + "/docs"
+    val docs = Tables.documents(s, sfDir)
+    docs.select($"doc_id", $"source").write.mode("append").parquet(dir)
+    docs.select($"doc_id", $"lang", $"n_chars").write.mode("append").parquet(dir)
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("doc_id", "source", "lang", "n_chars"))
+    assert(merged.count() == 2 * docs.count())
+    // rows from the first write surface nulls for the later-added columns
+    assert(merged.filter($"lang".isNull).count() == docs.count())
+  }
+
   test("partitioned sink: hive layout by space + partition pruning on read-back") {
     val s = spark
     import s.implicits._

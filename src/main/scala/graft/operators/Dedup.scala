@@ -150,7 +150,7 @@ object Dedup {
       val nbrMin = edges.join(labels, $"doc_b" === $"doc_id")
         .groupBy($"doc_a").agg(min($"cluster_id").as("nbr_min"))
       val pulled = labels.join(nbrMin, $"doc_id" === $"doc_a", "left")
-        .select($"doc_id",
+        .select($"doc_id", $"cluster_id".as("old_cl"),
                 least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
       // pointer jumping: label(n) <- label(label(n)); with the neighbor pull
       // above the propagation radius grows superlinearly, so the fixpoint
@@ -159,14 +159,15 @@ object Dedup {
       // un-materialized `pulled` outweighs the saved rounds.)
       val byDoc = pulled.select($"doc_id".as("l_doc"), $"cluster_id".as("l_cl"))
       val next = pulled.join(byDoc, pulled("cluster_id") === $"l_doc")
-        .select(pulled("doc_id"), least(pulled("cluster_id"), $"l_cl").as("cluster_id"))
+        .select(pulled("doc_id"),
+                least(pulled("cluster_id"), $"l_cl").as("cluster_id"),
+                (least(pulled("cluster_id"), $"l_cl") =!= pulled("old_cl")).as("changed"))
         .localCheckpoint(true)
-      // fixpoint test over the two materialized label sets — one cheap job;
-      // labels only decrease, so "no row changed" is a sound stopping rule
-      val prev = labels.select($"doc_id".as("p_doc"), $"cluster_id".as("p_cl"))
-      converged = next.join(prev, $"doc_id" === $"p_doc")
-        .filter($"cluster_id" =!= $"p_cl").isEmpty
-      labels = next
+      // fixpoint test reads the just-materialized rows — labels only
+      // decrease, so "no row changed this round" is a sound stopping rule,
+      // and carrying the flag in the row avoids a per-round two-table join
+      converged = next.filter($"changed").isEmpty
+      labels = next.select($"doc_id", $"cluster_id")
       iter += 1
     }
     Tables.documents(s, dir)

@@ -166,6 +166,43 @@ class RelationalSpec extends SparkSpec {
     hits.unpersist()
   }
 
+  test("plan shapes: grouping sets expand once, q27 fuses semi+anti, q26 single window") {
+    val p23 = plan("q23_grouping_sets")
+    assert(p23.contains("Expand"), "grouping sets must compile to a single Expand")
+    val p27 = plan("q27_exists_composition")
+    assert(p27.contains("LeftSemi") && p27.contains("LeftAnti"))
+    val p26 = plan("q26_range_frame")
+    assert("\\bWindow\\b".r.findAllIn(p26).length >= 1 &&
+           p26.split("Window \\(").length == 2, "both frame aggs share one Window operator")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    val s = spark
+    import s.implicits._
+    // force the shuffle-join regime (no broadcast) and drop the size floors
+    // so the optimizer's runtime-filter injection fires at spec scale — on a
+    // 100 TB fact table these are the default-on production conditions
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        s.conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val dim = Tables.orders(s, sfDir).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = Tables.lineitem(s, sfDir)
+        .join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom-filter runtime filter in:\n${p.take(800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("q25 deterministic sample is stable and ~10%") {
     val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq

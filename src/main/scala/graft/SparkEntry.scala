@@ -89,6 +89,7 @@ object SparkEntry {
     "d06_ann_lsh"       -> (Similarity.annLsh _),
     "d07_embed_neardup" -> (Similarity.embedNearDup _),
     "d08_ann_ivf"       -> (Similarity.annIvf _),
+    "d12_ann_pq"        -> (Similarity.annPq _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)

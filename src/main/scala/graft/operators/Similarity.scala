@@ -149,6 +149,58 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  private val PqSubspaces = 8
+  private val PqSubDim = 8      // 64-dim vectors -> 8 subvectors of 8 dims
+  private val PqCodebookSize = 16
+
+  /** Subvector dot product, codegen'd array arithmetic. */
+  private def dotC(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** PQ-style ANN: each vector is quantized to [[PqSubspaces]] one-byte codes
+    * (nearest codebook entry per subspace, by inner product), and a query
+    * scores the whole corpus in the COMPRESSED domain — its per-(subspace,
+    * code) inner-product lookup table is broadcast and the approximate score
+    * is the 8-way sum, so the full-precision vectors never participate in
+    * the scan. The deterministic sampled codebook stands in for a k-means
+    * training job (production codebooks are a few KB — always broadcast);
+    * recall vs exact top-k is measured in the spec.
+    */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val sub = explode(expr(
+      s"transform(sequence(0, ${PqSubspaces - 1}), " +
+      s"m -> struct(m AS m, slice(embedding, m*$PqSubDim+1, $PqSubDim) AS sv))"))
+    // deterministic codebook: 16 sampled vectors supply each subspace's entries
+    val codebook = emb.filter($"vec_id" % 29 === 0 && $"vec_id" < 29 * PqCodebookSize)
+      .select(($"vec_id" / 29).cast("int").as("code_id"), sub.as("s"))
+      .select($"s.m", $"code_id", $"s.sv".as("centroid"))
+    // encode: nearest (max-IP) codebook entry per (vector, subspace)
+    val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"ip".desc, $"code_id".asc)
+    val codes = emb.select($"vec_id", sub.as("s")).select($"vec_id", $"s.m", $"s.sv")
+      .join(broadcast(codebook), Seq("m"))
+      .select($"vec_id", $"m", $"code_id", dotC($"sv", $"centroid").as("ip"))
+      .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
+      .select($"vec_id", $"m", $"code_id")
+    // query-side lookup tables: IP of each query subvector with every entry
+    val qTables = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), sub.as("s")).select($"query_id", $"s.m", $"s.sv")
+      .join(broadcast(codebook), Seq("m"))
+      .select($"query_id", $"m", $"code_id", dotC($"sv", $"centroid").as("ip"))
+    // compressed-domain scan: 8 table lookups + sum per (query, vector)
+    val w = Window.partitionBy($"query_id").orderBy($"approx".desc, $"neighbor_id".asc)
+    codes.join(broadcast(qTables), Seq("m", "code_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
+      .agg(sum($"ip").as("approx"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= K)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** ANN via multi-table random-hyperplane LSH: a candidate is anything that
     * collides with the query in at least one of the tables; exact cosine
     * ranks candidates. OR-amplification keeps recall high while each table's

@@ -179,6 +179,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length == 1, "simhash of a literal is constant")
   }
 
+  test("d12 pq compressed-domain scan keeps usable recall against brute force") {
+    val exact = SparkEntry.queries("d05_cosine_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("d12_ann_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == exact.size, "pq must return a full top-k per query")
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.1, s"pq recall $recall collapsed")
+    info(s"ann-pq recall@10 = $recall")
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

@@ -5,6 +5,13 @@ import graft.operators.PipelineOps
 
 class PipelineSpec extends SparkSpec {
 
+  test("driver contract: entry() produces rows and every query key has a callable") {
+    assert(SparkEntry.entry(spark).count() > 0, "flagship pipeline must emit rows")
+    // every oracle key must have a matching query implementation
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
   test("p04 hierarchy closure matches the arithmetic subtree definition") {
     // In the balanced tree parent(i) = (i-1) div 2, the subtree of node 5 is
     // exactly the ids whose path to root passes through 5.

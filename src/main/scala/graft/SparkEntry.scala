@@ -105,7 +105,7 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        | FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -238,10 +238,10 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q19_percentiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-        | ROUND(quantile_cont(o_totalprice, 0.5),  4) AS p50,
-        | ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-        | ROUND(quantile_cont(o_totalprice, 0.9),  4) AS p90
+        | FLOOR(quantile_cont(o_totalprice, 0.25) * 1e4 + 0.5) / 1e4 AS p25,
+        | FLOOR(quantile_cont(o_totalprice, 0.5)  * 1e4 + 0.5) / 1e4 AS p50,
+        | FLOOR(quantile_cont(o_totalprice, 0.75) * 1e4 + 0.5) / 1e4 AS p75,
+        | FLOOR(quantile_cont(o_totalprice, 0.9)  * 1e4 + 0.5) / 1e4 AS p90
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q20_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

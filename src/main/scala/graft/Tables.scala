@@ -15,10 +15,18 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized parquet
     * reader rejects. Read nanos as long and floor-truncate to microseconds —
     * exactly what DuckDB's reader does — so both engines see identical values.
+    *
+    * INVARIANT: the session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (every graft entry point —
+    * Bench/Verify/Explain/TimeQuery/test harness — sets it at construction).
+    * It is NOT set here: a session-wide conf mutated as a read-time side
+    * effect would silently change every other nanos-parquet read mid-session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+      "spark.sql.legacy.parquet.nanosAsLong=true")
     table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -107,7 +107,7 @@ object kernels {
     var i = 0
     while (i < numHashes) {
       val a = MinHashParams.A(i); val b = MinHashParams.B(i)
-      var best = Long.MaxValue
+      var best = -1L // unsigned max: every 64-bit value compares below it
       var j = 0
       while (j < n) {
         val v = a * hashes.getLong(j) + b

@@ -36,7 +36,11 @@ object Relational {
         sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
         sum(dec2($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec2($"l_discount")))
           .cast("double").as("sum_disc_price"),
-        round(sum(dec2($"l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        // floor(x*1e6+0.5)/1e6, not round(x, 6): pure IEEE ops match the
+        // oracle bit-for-bit, whereas Spark/DuckDB ROUND break .5-ULP ties
+        // differently (see t06).
+        (floor(sum(dec2($"l_quantity")).cast("double") / count(lit(1)) * 1e6 + 0.5) / 1e6)
+          .as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -249,7 +253,7 @@ object Relational {
   def percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def pct(p: Double, name: String): Column =
-      round(expr(s"percentile(o_totalprice, $p)"), 4).as(name)
+      (floor(expr(s"percentile(o_totalprice, $p)") * 1e4 + 0.5) / 1e4).as(name)
     Tables.orders(s, dir)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),

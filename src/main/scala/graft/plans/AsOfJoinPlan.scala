@@ -112,12 +112,20 @@ case class AsOfJoinExec(
         private var matchKey: InternalRow = _
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        // null join keys never match (SQL equality semantics, same as DuckDB
+        // ASOF LEFT JOIN) — RowOrdering would compare NULL = NULL as equal,
+        // so null-keyed right rows are skipped outright here. Null-keyed LEFT
+        // rows need no special case: they sort first and compare unequal to
+        // every retained (non-null) match key, so they emit right-side nulls.
+        private def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
             rRow = rIter.next().copy()
             rKeyRow = rKeyProj(rRow).copy()
-            rTsRow = rTsProj(rRow).copy()
-          } else rRow = null
+            if (rKeyRow.anyNull) rRow = null
+            else rTsRow = rTsProj(rRow).copy()
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 

@@ -42,6 +42,19 @@ class PlansSpec extends SparkSpec {
       Seq(3L, 7L, "d", null, null))) // key 3 exists but rt=8 > 7
   }
 
+  test("null join keys never match (NULL = NULL is not a hit)") {
+    import spark.implicits._
+    val l = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"))
+      .toDF("k", "t", "tag")
+    val r = Seq((Option(1L), 9L, "r1"), (Option.empty[Long], 5L, "rnull"))
+      .toDF("rk", "rt", "rtag")
+    val out = AsOfJoinDF.asofLeft(l, r, Seq(l("k")), Seq(r("rk")), l("t"), r("rt"))
+      .select($"tag", $"rtag").orderBy($"tag").collect().map(_.toSeq)
+    assert(out.toSeq === Seq(
+      Seq("a", "r1"),   // non-null key matches normally
+      Seq("b", null)))  // null left key matches nothing, incl. null right key
+  }
+
   test("equal timestamps match (<= bound, not <)") {
     import spark.implicits._
     val l = Seq((1L, 10L)).toDF("k", "t")

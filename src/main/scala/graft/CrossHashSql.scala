@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.CrossHash
+
+/** DuckDB SQL mirrors of the cross-engine hash kernels
+  * (graft.functions.CrossHash / crosskernels).
+  *
+  * The minhash/simhash dedup operators are oracle-checked end to end: the
+  * oracle recomputes tokenization, shingling, signatures, LSH banding and
+  * candidate generation in pure SQL with bit-identical arithmetic (everything
+  * stays below 2^62, so plain BIGINT suffices in both engines). These
+  * builders keep that SQL in one place and inline the shared affine
+  * constants from [[CrossHash]].
+  */
+object CrossHashSql {
+  private val P = CrossHash.P
+
+  /** 32-entry affine-family constants as DuckDB list literals. */
+  val AList: String = CrossHash.A.take(32).mkString("[", ", ", "]")
+  val BList: String = CrossHash.B.take(32).mkString("[", ", ", "]")
+
+  /** poly31(e, salt): fold (acc*131 + codepoint) % P over the chars of
+    * string expression `e`, starting from `salt` (mirrors CrossHash.poly31;
+    * the salt rides in as the list head because list_reduce has no init arg).
+    * Lambda vars pa/px are chosen to not collide with enclosing lambdas.
+    */
+  def poly31(e: String, salt: Long): String =
+    s"list_reduce(list_prepend(CAST($salt AS BIGINT), " +
+      s"list_transform(regexp_split_to_array($e, ''), pc -> CAST(ord(pc) AS BIGINT))), " +
+      s"(pa, px) -> (pa * 131 + px) % $P)"
+
+  /** Shared minhash CTE chain over `documents`:
+    * toks -> k-gram strings -> gram hashes -> 32-component signature ->
+    * 8 bands keyed by the rendered 4-slice. Ends without trailing comma.
+    */
+  def minhashCtes(k: Int = 3): String = {
+    val gramExpr = (0 until k).map(j => s"toks[gi+$j]").mkString(" || ' ' || ")
+    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(toks) < $k THEN CAST([] AS VARCHAR[])
+       |        ELSE list_transform(range(1, len(toks) - ${k - 2}), gi -> $gramExpr) END AS grams
+       |      FROM w),
+       |hs AS (SELECT doc_id, list_transform(grams, t -> ${poly31("t", 0)}) AS hv FROM g),
+       |sig AS (SELECT doc_id, list_transform(range(0, 32), i ->
+       |          COALESCE(list_min(list_transform(hv, h -> (($AList)[i+1] * h + ($BList)[i+1]) % $P)),
+       |                   ($BList)[i+1])) AS sig
+       |        FROM hs),
+       |band AS (SELECT doc_id, sig, b AS band_id,
+       |                array_to_string(list_slice(sig, b*4+1, b*4+4), ',') AS band_key
+       |         FROM sig, UNNEST(range(0, 8)) t(b))""".stripMargin
+  }
+
+  /** Signature-agreement estimate between two sig-array expressions. */
+  def estJaccard(a: String, b: String): String =
+    s"len(list_filter(range(0, 32), i -> $a[i+1] = $b[i+1])) / 32.0"
+
+  /** Shared simhash CTE chain over `documents`: toks -> per-token 60-bit
+    * hash -> per-bit votes -> 60-bit fingerprint -> 4 x 15-bit bands ->
+    * deduped candidate pairs with exact hamming distance.
+    */
+  def simhashCtes: String =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+       |th AS (SELECT doc_id, (${poly31("t", 1)} % 1073741824)
+       |                    + (${poly31("t", 2)} % 1073741824) * 1073741824 AS h FROM tok),
+       |bits AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |         FROM th, UNNEST(range(0, 60)) r(b) GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+       |       FROM bits GROUP BY doc_id),
+       |band AS (SELECT doc_id, sh, b AS band_id, (sh >> (b*15)) & 32767 AS band_bits
+       |         FROM sh, UNNEST(range(0, 4)) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |         FROM band a JOIN band b
+       |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)""".stripMargin
+}

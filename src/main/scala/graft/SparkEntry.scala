@@ -272,6 +272,13 @@ object SparkEntry {
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), (c_nationkey))
         |ORDER BY segment, nationkey""".stripMargin,
+    // q24: the HLL estimate itself is engine-specific; the checkable contract
+    // is the exact count plus the error-bound claim as a boolean the oracle
+    // asserts TRUE — Spark sketch drift outside max(5%, 2) fails the hash.
+    "q24_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q25_det_sample" ->
       """SELECT doc_id, source, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 < 100
@@ -497,6 +504,60 @@ object SparkEntry {
         |    '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones
         |FROM documents ORDER BY doc_id""".stripMargin,
     // D. Dedup / similarity / multimodal
+    // d02/d03/d10/d11 oracles replicate the full cross-engine kernel chain
+    // (CrossHashSql): tokenize -> hash -> signature/fingerprint -> LSH bands
+    // -> candidates. Same arithmetic, same band keys, same thresholds.
+    "d02_minhash_lsh" ->
+      s"""WITH
+         |${CrossHashSql.minhashCtes(3)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                a.sig AS sig_a, b.sig AS sig_b
+         |         FROM band a JOIN band b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT DISTINCT doc_a, doc_b, ${CrossHashSql.estJaccard("sig_a", "sig_b")} AS est_jaccard
+         |FROM cand
+         |WHERE ${CrossHashSql.estJaccard("sig_a", "sig_b")} >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d11_fuzzy_decontaminate" ->
+      s"""WITH
+         |${CrossHashSql.minhashCtes(3)},
+         |cont AS (SELECT DISTINCT c.doc_id
+         |         FROM band c JOIN band e
+         |           ON c.band_id = e.band_id AND c.band_key = e.band_key
+         |         WHERE c.doc_id % 7 <> 3 AND e.doc_id % 7 = 3
+         |           AND ${CrossHashSql.estJaccard("c.sig", "e.sig")} >= 0.5)
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id % 7 <> 3 AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY doc_id""".stripMargin,
+    "d03_simhash" ->
+      s"""WITH
+         |${CrossHashSql.simhashCtes}
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d10_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         |${CrossHashSql.simhashCtes},
+         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM cand WHERE hamming <= 3
+         |      UNION ALL
+         |      SELECT doc_b AS ea, doc_a AS eb FROM cand WHERE hamming <= 3),
+         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |          UNION
+         |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+         |ORDER BY doc_id""".stripMargin,
+    "d04_ngram_jaccard" ->
+      s"""WITH
+         |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(range(1, len(toks)), gi -> toks[gi] || ' ' || toks[gi+1]) END) AS grams
+         |      FROM w),
+         |h AS (SELECT COUNT(*) // 2 AS half FROM documents)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CASE WHEN len(list_distinct(list_concat(x.grams, y.grams))) = 0 THEN 1.0
+         |       ELSE FLOOR(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) /
+         |                  len(list_distinct(list_concat(x.grams, y.grams))) * 10000 + 0.5) / 10000 END AS jaccard
+         |FROM g x, g y, h WHERE x.doc_id < h.half AND y.doc_id = x.doc_id + h.half
+         |ORDER BY doc_a""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT doc_id,
         |       MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5,

@@ -16,10 +16,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 object GraftFunctions {
 
   private val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim"     -> (es => CosineSimilarityExpr(es(0), es(1))),
-    "simhash64"      -> (es => SimHash64Expr(es(0))),
-    "shingle_hashes" -> (es => ShingleHashesExpr(es(0), es(1))),
-    "minhash_sig"    -> (es => MinHashSignatureExpr(es(0), es(1))),
+    "cosine_sim"      -> (es => CosineSimilarityExpr(es(0), es(1))),
+    "simhash64"       -> (es => SimHash64Expr(es(0))),
+    "shingle_hashes"  -> (es => ShingleHashesExpr(es(0), es(1))),
+    "minhash_sig"     -> (es => MinHashSignatureExpr(es(0), es(1))),
+    "shingle_strings" -> (es => ShingleStringsExpr(es(0), es(1))),
+    "simhash60"       -> (es => SimHash60Expr(es(0))),
+    "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -33,6 +36,9 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def shingleHashes(tokens: Column, k: Column): Column = call_function("shingle_hashes", tokens, k)
   def minhashSig(hashes: Column, n: Column): Column = call_function("minhash_sig", hashes, n)
+  def shingleStrings(tokens: Column, k: Column): Column = call_function("shingle_strings", tokens, k)
+  def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
+  def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
@@ -47,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleHashesExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("minhash_sig"), info("minhash_sig"),
       (es: Seq[Expression]) => MinHashSignatureExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("shingle_strings"), info("shingle_strings"),
+      (es: Seq[Expression]) => ShingleStringsExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
+      (es: Seq[Expression]) => SimHash60Expr(es(0))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig31"), info("minhash_sig31"),
+      (es: Seq[Expression]) => MinHashSig31Expr(es(0), es(1))))
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

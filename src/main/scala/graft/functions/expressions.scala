@@ -122,6 +122,121 @@ object kernels {
   }
 }
 
+/** Cross-engine hash family: every kernel here has a bit-exact DuckDB SQL
+  * mirror (see [[graft.CrossHashSql]]), because all arithmetic stays inside
+  * plain non-overflowing BIGINT range — acc and hash values live below
+  * P = 2^31-1, so a*h+b < 2^62. That is what lets the minhash/simhash dedup
+  * operators (d02/d03/d10/d11) carry a real DuckDB hash-compare oracle
+  * instead of a rows-only check, while the Spark side still runs a fast
+  * static-call codegen kernel.
+  */
+object CrossHash {
+  val P = 2147483647L    // 2^31 - 1, Mersenne prime
+  val Base = 131L
+
+  /** Polynomial hash over unicode code points, mod P, seeded by `salt`.
+    * DuckDB mirror: list_reduce over ord() of regexp_split_to_array(s, '').
+    */
+  def poly31(s: UTF8String, salt: Long): Long = {
+    var acc = salt % P
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * Base + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Affine minhash family over [0, P): a_i in [1, P-1], b_i in [0, P-1],
+    * from a deterministic splitmix64 stream (same values inlined into the
+    * oracle SQL as list literals).
+    */
+  val MaxHashes = 64
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  val A: Array[Long] = Array.tabulate(MaxHashes)(i => ((splitmix(2L * i) & Long.MaxValue) % (P - 1)) + 1)
+  val B: Array[Long] = Array.tabulate(MaxHashes)(i => (splitmix(2L * i + 1) & Long.MaxValue) % P)
+}
+
+/** Static kernels for the cross-engine expressions (same single-static-call
+  * codegen pattern as [[kernels]]).
+  */
+object crosskernels {
+  import CrossHash._
+
+  /** All k-token shingles as space-joined strings (order-preserving). */
+  def shingleStrings(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 60-bit simhash: per-token 60-bit hash from two salted poly31 halves;
+    * each bit position tallies votes, ties (and empty input) resolve to 0.
+    */
+  def simhash60(tokens: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val h = (poly31(t, 1) & 0x3fffffffL) | ((poly31(t, 2) & 0x3fffffffL) << 30)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L; var b = 0
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Minhash signature over shingle STRINGS: sig(i) = min over grams g of
+    * (A_i * poly31(g, 0) + B_i) mod P; empty input degrades to B_i (so two
+    * empty docs agree fully — the jaccard-of-empty-sets = 1 convention).
+    * Duplicates in `grams` cannot change a min, so no pre-distinct needed.
+    */
+  def minhashSig31(grams: ArrayData, numHashes: Int): ArrayData = {
+    val n = grams.numElements()
+    val hs = new Array[Long](n)
+    var j = 0
+    while (j < n) { hs(j) = poly31(grams.getUTF8String(j), 0L); j += 1 }
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val a = A(i); val b = B(i)
+      var best = Long.MaxValue
+      var k = 0
+      while (k < n) {
+        val v = (a * hs(k) + b) % P
+        if (v < best) best = v
+        k += 1
+      }
+      sig(i) = if (n == 0) b else best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
 /** Deterministic affine parameters for the minhash family (splitmix64). */
 object MinHashParams {
   private def splitmix(seed: Long): Long = {
@@ -177,6 +292,50 @@ case class ShingleHashesExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** shingle_strings(array<string>, k) -> array<string>: k-gram strings. */
+case class ShingleStringsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(ArrayType(StringType), IntegerType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(tokens: Any, k: Any): Any =
+    crosskernels.shingleStrings(tokens.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.functions.crosskernels.shingleStrings($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "shingle_strings"
+}
+
+/** simhash60(array<string>) -> long; oracle-mirrorable (see CrossHash). */
+case class SimHash60Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(child), Seq(ArrayType(StringType)))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any): Any =
+    crosskernels.simhash60(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.crosskernels.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash60"
+}
+
+/** minhash_sig31(array<string>, numHashes) -> array<long>; oracle-mirrorable. */
+case class MinHashSig31Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(ArrayType(StringType), IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(grams: Any, n: Any): Any =
+    crosskernels.minhashSig31(grams.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, n) => s"graft.functions.crosskernels.minhashSig31($g, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "minhash_sig31"
 }
 
 /** minhash_sig(array<long>, numHashes) -> array<long>. */

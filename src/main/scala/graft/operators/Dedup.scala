@@ -30,28 +30,35 @@ object Dedup {
   private val NumHashes = 32
   private val Bands = 8
   private val Rows = NumHashes / Bands // 4 rows per band
+  private val ShingleK = 3
 
-  /** Per-doc minhash signature over 3-word shingles (one codegen'd pass). */
+  /** Per-doc minhash signature over 3-word shingle strings (one codegen'd
+    * pass through the cross-engine kernel — the DuckDB oracle recomputes the
+    * identical signature, see CrossHash / the d02 oracle SQL).
+    */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .select($"doc_id",
-        minhashSig(shingleHashes(split(lower($"text"), "\\s+"), lit(3)), lit(NumHashes))
-          .as("sig"))
+        minhashSig31(
+          shingleStrings(split(lower(trim($"text")), "\\s+"), lit(ShingleK)),
+          lit(NumHashes)).as("sig"))
   }
 
   /** LSH banding of minhash signatures: Bands buckets per doc, keyed by the
-    * hash of that band's signature slice.
+    * band's signature slice rendered as a string (engine-neutral join key —
+    * the oracle builds the identical key with array_to_string).
     */
   private def bandSignatures(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
     sigs.select($"doc_id", $"sig",
         explode(expr(
           s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> struct(b AS band_id, xxhash64(slice(sig, b*$Rows+1, $Rows)) AS band_hash))"))
+          s"b -> struct(b AS band_id, " +
+          s"array_join(transform(slice(sig, b*$Rows+1, $Rows), v -> CAST(v AS STRING)), ',') AS band_key))"))
           .as("band"))
-      .select($"doc_id", $"sig", $"band.band_id", $"band.band_hash")
+      .select($"doc_id", $"sig", $"band.band_id", $"band.band_key")
   }
 
   /** Signature-agreement Jaccard estimate between two sig columns. */
@@ -65,9 +72,9 @@ object Dedup {
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
     import s.implicits._
     val banded = bandSignatures(signatures(s, dir))
-    val a = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
-    val b = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
-    a.join(b, Seq("band_id", "band_hash"))
+    val a = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
+    val b = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
+    a.join(b, Seq("band_id", "band_key"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b", estJaccard("sig_a", "sig_b").as("est_jaccard"))
       .filter($"est_jaccard" >= threshold) // cut before the dedup shuffle
@@ -87,10 +94,10 @@ object Dedup {
     val banded = bandSignatures(signatures(s, dir))
     val isEval = $"doc_id" % 7 === 3
     val evalB = banded.filter(isEval)
-      .select($"band_id", $"band_hash", $"sig".as("eval_sig"))
+      .select($"band_id", $"band_key", $"sig".as("eval_sig"))
     val corpusB = banded.filter(!isEval)
-      .select($"band_id", $"band_hash", $"doc_id", $"sig")
-    val contaminated = corpusB.join(evalB, Seq("band_id", "band_hash"))
+      .select($"band_id", $"band_key", $"doc_id", $"sig")
+    val contaminated = corpusB.join(evalB, Seq("band_id", "band_key"))
       .filter(estJaccard("sig", "eval_sig") >= threshold)
       .select($"doc_id").distinct()
     Tables.documents(s, dir)
@@ -100,23 +107,28 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** SimHash near-dup: 64-bit fingerprints, 16-bit hamming bands (pigeonhole:
-    * hamming <= 3 guarantees one equal band), exact hamming verify.
+  /** SimHash near-dup: 60-bit cross-engine fingerprints, 15-bit hamming
+    * bands, exact hamming verify. At the default maxHamming = 3 the result
+    * is EXACT, not approximate: 4 bands of 15 bits mean any pair within
+    * hamming 3 differs in at most 3 bands, so it must agree on one
+    * (pigeonhole) and is guaranteed to surface as a candidate. The whole
+    * chain — tokenize, fingerprint, band, verify — is replicated by the
+    * DuckDB oracle, so candidate semantics are hash-checked, not just spec'd.
     */
-  def simhashDedup(s: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+  def simhashDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val hashed = Tables.documents(s, dir)
-      .select($"doc_id", simhash64(split(lower($"text"), "\\s+")).as("sh"))
+      .select($"doc_id", simhash60(split(lower(trim($"text")), "\\s+")).as("sh"))
     val banded = hashed.select($"doc_id", $"sh",
         explode(expr("transform(sequence(0, 3), " +
-          "b -> struct(b AS band_id, shiftright(sh, b*16) & 65535 AS band_bits))")).as("band"))
+          "b -> struct(b AS band_id, shiftright(sh, b*15) & 32767 AS band_bits))")).as("band"))
       .select($"doc_id", $"sh", $"band.band_id", $"band.band_bits")
     val a = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
     val b = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_b"), $"sh".as("sh_b"))
     a.join(b, Seq("band_id", "band_bits"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", bit_count($"sh_a".bitwiseXOR($"sh_b")).as("hamming"))
+      .select($"doc_a", $"doc_b", bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("long").as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
       .orderBy($"doc_a", $"doc_b")
@@ -196,21 +208,25 @@ object Dedup {
 
   /** Exact n-gram Jaccard on a deterministic linear pairing (doc i vs doc
     * i + n/2): the verify step that LSH candidates would feed at scale.
+    * Grams are word-bigram STRINGS (not hashes) so the DuckDB oracle computes
+    * the identical sets with string_split + list_intersect/list_distinct.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val grams = Tables.documents(s, dir)
       .select($"doc_id",
-        array_distinct(shingleHashes(split(lower($"text"), "\\s+"), lit(2))).as("grams"))
+        array_distinct(shingleStrings(split(lower(trim($"text")), "\\s+"), lit(2))).as("grams"))
     val half = grams.agg((count(lit(1)) / 2).cast("long").as("half"))
     val a = grams.crossJoin(broadcast(half)).filter($"doc_id" < $"half")
       .select($"doc_id".as("doc_a"), $"grams".as("grams_a"), $"half")
     val b = grams.select($"doc_id".as("doc_b"), $"grams".as("grams_b"))
+    val unionSize = size(array_union($"grams_a", $"grams_b"))
     a.join(b, $"doc_b" === $"doc_a" + $"half")
       .select($"doc_a", $"doc_b",
-        (floor((size(array_intersect($"grams_a", $"grams_b")) /
-                size(array_union($"grams_a", $"grams_b")).cast("double")) * 10000.0 + 0.5) / 10000.0)
+        when(unionSize === 0, 1.0) // two empty gram sets: identical by convention
+          .otherwise(floor(size(array_intersect($"grams_a", $"grams_b")) /
+                           unionSize.cast("double") * 10000.0 + 0.5) / 10000.0)
           .as("jaccard"))
       .orderBy($"doc_a")
   }

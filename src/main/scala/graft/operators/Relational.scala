@@ -334,9 +334,11 @@ object Relational {
 
   /** Approximate count-distinct (HyperLogLog++) next to the exact count.
     * At 100 TB the sketch is the only viable path — it partial-merges
-    * map-side with no raw-value shuffle — so the exact column here exists
-    * only to bound the sketch's error in the spec (rows-only check: HLL
-    * estimates are engine-specific, so no cross-engine hash oracle).
+    * map-side with no raw-value shuffle. The raw HLL estimate is
+    * engine-specific, so the cross-engine-checkable contract is (a) the
+    * exact count and (b) the error-bound CLAIM as a boolean — the oracle
+    * asserts TRUE, which fails the hash compare if Spark's (deterministic)
+    * sketch ever drifts outside max(5%, 2 users) of exact.
     */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -344,6 +346,9 @@ object Relational {
       .groupBy($"event_type")
       .agg(countDistinct($"user_id").as("exact_users"),
            approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          greatest($"exact_users" * 0.05, lit(2.0))).as("approx_within_bound"))
       .orderBy($"event_type")
   }
 

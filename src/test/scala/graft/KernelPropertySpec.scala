@@ -51,6 +51,50 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("cross-engine poly31 matches an independent codepoint-fold reference") {
+    import graft.functions.CrossHash
+    // reference mirrors the DuckDB SQL exactly: fold (acc*131 + ord(c)) % P
+    def ref(s: String, salt: Long): Long =
+      s.codePoints().toArray.foldLeft(salt % CrossHash.P)((a, c) => (a * 131 + c) % CrossHash.P)
+    val samples = Seq("", "a", "hello world", "Ünïcødé ☃ text", "w1 w2 w3")
+    for (s <- samples; salt <- Seq(0L, 1L, 2L))
+      assert(CrossHash.poly31(UTF8String.fromString(s), salt) == ref(s, salt), s"'$s' salt=$salt")
+  }
+
+  test("cross-engine minhash31 signature agreement approximates jaccard") {
+    import graft.functions.crosskernels
+    (1 to 50).foreach { _ =>
+      val a = randTokens(40)
+      val edit = rng.nextInt(36)
+      val b = a.take(edit) ++ a.drop(edit).map(_ + "x")
+      val sa = (0 to a.length - 3).map(i => a.slice(i, i + 3).mkString(" ")).toSet
+      val sb = (0 to b.length - 3).map(i => b.slice(i, i + 3).mkString(" ")).toSet
+      val trueJ = (sa & sb).size.toDouble / (sa | sb).size
+      val sigA = crosskernels.minhashSig31(crosskernels.shingleStrings(arr(a), 3), 32)
+      val sigB = crosskernels.minhashSig31(crosskernels.shingleStrings(arr(b), 3), 32)
+      val est = (0 until 32).count(i => sigA.getLong(i) == sigB.getLong(i)) / 32.0
+      assert(math.abs(est - trueJ) <= 0.4, s"est=$est true=$trueJ")
+    }
+  }
+
+  test("cross-engine simhash60 is order-insensitive and uses only 60 bits") {
+    import graft.functions.crosskernels
+    (1 to 50).foreach { _ =>
+      val tokens = randTokens(40)
+      val h1 = crosskernels.simhash60(arr(tokens))
+      val h2 = crosskernels.simhash60(arr(rng.shuffle(tokens)))
+      assert(h1 == h2)
+      assert((h1 >>> 60) == 0L, "bits above 59 must stay clear")
+    }
+  }
+
+  test("shingle strings window correctly and empty-pad short inputs") {
+    import graft.functions.crosskernels
+    val g = crosskernels.shingleStrings(arr(Seq("a", "b", "c", "d")), 3)
+    assert((0 until g.numElements()).map(g.getUTF8String(_).toString) == Seq("a b c", "b c d"))
+    assert(crosskernels.shingleStrings(arr(Seq("a", "b")), 3).numElements() == 0)
+  }
+
   test("cosine kernel: bounded, symmetric, self-similarity 1") {
     (1 to 100).foreach { _ =>
       val a = Array.fill(16)(rng.nextFloat() * 20f - 10f)

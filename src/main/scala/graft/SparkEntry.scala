@@ -37,7 +37,7 @@ object SparkEntry {
     "q14_time_bucket"     -> (Relational.timeBucket _),
     "q15_string_suite"    -> (Relational.stringSuite _),
     "q16_json_extract"    -> (Relational.jsonExtract _),
-    "q17_salted_join"     -> (Relational.saltedJoin _),
+    "q17_salted_join"     -> ((s, d) => Relational.saltedJoin(s, d)),
     "q18_window_suite"    -> (Relational.windowSuite _),
     "q19_percentiles"     -> (Relational.percentiles _),
     "q20_cube"            -> (Relational.cubeAgg _),
@@ -64,6 +64,9 @@ object SparkEntry {
     "p13_asof_join"             -> (AsOf.asofJoin _),
     "p15_asof_native"           -> (AsOf.asofJoinNative _),
     "p14_corpus_pipeline"       -> (EndToEnd.corpusPipeline _),
+    "p16_render_manifest"       -> (Render.renderManifest _),
+    "p17_render_stats"          -> (Render.renderStats _),
+    "p18_text_search"           -> (PipelineOps.textSearch _),
     // C. Text / markup processing
     "t01_html_clean"        -> (TextOps.htmlClean _),
     "t02_sanitize_filename" -> (TextOps.sanitizeFilename _),
@@ -92,6 +95,7 @@ object SparkEntry {
     "d12_ann_pq"        -> (Similarity.annPq _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
+    "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -359,6 +363,67 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "p16_render_manifest" ->
+      ("""WITH m AS (
+        |  SELECT doc_id, source, n_chars,
+        |    LENGTH('<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||
+        |      '<meta charset="UTF-8">' || chr(10) ||
+        |      '<meta name="viewport" content="width=device-width, initial-scale=1.0">' || chr(10) ||
+        |      '<title>' || source || '/doc-' || doc_id || '</title>' || chr(10) ||
+        |      '<style>body { font-family: Arial, sans-serif; line-height: 1.6; """ +
+       """max-width: 1200px; margin: 0 auto; padding: 20px; }</style>' || chr(10) ||
+        |      '</head>' || chr(10) || '<body>' || chr(10) ||
+        |      '<h1>' || source || '/doc-' || doc_id || '</h1>' || chr(10) ||
+        |      '<div class="content">' || chr(10) || text || chr(10) ||
+        |      '</div>' || chr(10) || '</body>' || chr(10) || '</html>') AS html_len,
+        |    CASE WHEN doc_id % 5 = 4 THEN 'new'
+        |         WHEN doc_id % 3 = 0 THEN 'updated'
+        |         ELSE 'unchanged' END AS content_type
+        |  FROM documents)
+        |SELECT doc_id, content_type,
+        |  CASE WHEN content_type <> 'unchanged' THEN 'processed' ELSE 'skipped' END AS html_status,
+        |  CASE WHEN content_type = 'unchanged' THEN 'skipped'
+        |       WHEN n_chars >= 400 THEN 'failed'
+        |       ELSE 'processed' END AS pdf_status,
+        |  CASE WHEN content_type <> 'unchanged'
+        |       THEN 'output/html/' || source || '/' || content_type || '/doc_' || doc_id || '.html' END AS html_path,
+        |  CASE WHEN content_type <> 'unchanged' AND n_chars < 400
+        |       THEN 'output/pdf/' || source || '/' || content_type || '/doc_' || doc_id || '.pdf' END AS pdf_path,
+        |  CASE WHEN content_type <> 'unchanged' AND n_chars < 400
+        |       THEN 1024 + 2 * html_len END AS pdf_bytes
+        |FROM m ORDER BY doc_id""").stripMargin,
+    "p17_render_stats" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 5 = 4 OR doc_id % 3 = 0 THEN 'processed' ELSE 'skipped' END AS html_status,
+        |    CASE WHEN doc_id % 5 <> 4 AND doc_id % 3 <> 0 THEN 'skipped'
+        |         WHEN n_chars >= 400 THEN 'failed'
+        |         ELSE 'processed' END AS pdf_status
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) FILTER (WHERE html_status = 'processed') AS html_processed,
+        |  COUNT(*) FILTER (WHERE html_status = 'skipped') AS html_skipped,
+        |  COUNT(*) FILTER (WHERE html_status = 'failed') AS html_failed,
+        |  COUNT(*) FILTER (WHERE pdf_status = 'processed') AS pdf_processed,
+        |  COUNT(*) FILTER (WHERE pdf_status = 'skipped') AS pdf_skipped,
+        |  COUNT(*) FILTER (WHERE pdf_status = 'failed') AS pdf_failed
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "p18_text_search" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, source,
+        |        len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
+        |        len(list_filter(toks, x -> x = 'vector')) AS tf_vector,
+        |        len(list_filter(toks, x -> x = 'stream')) AS tf_stream
+        |      FROM t)
+        |SELECT doc_id, source, tf_spark, tf_vector, tf_stream,
+        |       tf_spark + tf_vector + tf_stream AS score
+        |FROM c WHERE tf_spark > 0 AND tf_vector > 0 AND tf_stream > 0
+        |ORDER BY score DESC, doc_id""".stripMargin,
+    "m03_binary_ingest" ->
+      """SELECT doc_id,
+        |       octet_length(encode('IMG0' || text)) AS byte_len,
+        |       md5('IMG0' || text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "p11_html_render" ->
       ("""SELECT doc_id,
         | '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||

@@ -68,6 +68,28 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
+  /** CQL-style full-text search (reference: the arbitrary-CQL layer of
+    * api_client/confluence_client.py:351-428, beyond p03's point/prefix
+    * lookup): pages containing ALL query terms, ranked by total term
+    * frequency. Token-exact matching (not substring) over the whitespace
+    * tokenization both engines share; per-row column math, so the filter
+    * and scoring run inside codegen with no shuffle before the ordered
+    * collect. At 100 TB the same predicate rides on top of an inverted
+    * index / bloom pruning; the scan form here is the semantic contract.
+    */
+  val SearchTerms: Seq[String] = Seq("spark", "vector", "stream")
+  def textSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(lower($"text"), "\\s+")
+    val tfs = SearchTerms.map(t =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t"))
+    Tables.documents(s, dir)
+      .select($"doc_id" +: $"source" +: tfs: _*)
+      .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
+      .withColumn("score", SearchTerms.map(t => col(s"tf_$t")).reduce(_ + _))
+      .orderBy($"score".desc, $"doc_id")
+  }
+
   /** get_child_pages(recursive=True): transitive closure over the derived
     * balanced tree (parent(i) = (i-1) div 2). Iterative BFS — each step is one
     * distributed self-join, loop depth is log2(n), with early exit on an empty
@@ -79,11 +101,12 @@ object PipelineOps {
     val edges = docs
       .filter($"doc_id" >= 1)
       .select($"doc_id".as("child"), expr("(doc_id - 1) div 2").as("parent"))
-    // One tiny scalar job bounds the tree depth; the whole closure is then
-    // built lazily (depth chained joins) and executes as a SINGLE query —
-    // per-level isEmpty() actions cost ~0.7s each in job overhead and would
-    // dominate at any scale factor.
-    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    // One metadata-only scalar job bounds the tree depth (parquet aggregate
+    // pushdown answers max(doc_id) from file footers — no data scan even at
+    // 100 TB); the whole closure is then built lazily (depth chained joins)
+    // and executes as a SINGLE query — per-level isEmpty() actions cost
+    // ~0.7s each in job overhead and would dominate at any scale factor.
+    val maxId = footerMax(s, s"$dir/documents.parquet", "doc_id")
     val depth = 64 - java.lang.Long.numberOfLeadingZeros(maxId + 1)
     var frontier = s.range(rootId, rootId + 1).select($"id".as("node"))
     var all = frontier
@@ -95,6 +118,24 @@ object PipelineOps {
       .join(docs, $"node" === $"doc_id")
       .select($"doc_id", $"source", $"n_chars")
       .orderBy($"doc_id")
+  }
+
+  /** max(col) answered from parquet footer statistics only: scoped enable of
+    * parquet aggregate pushdown, so the job reads file metadata, not rows.
+    */
+  private def footerMax(s: SparkSession, path: String, col: String): Long = {
+    // agg pushdown exists only on the DSv2 scan, so parquet must drop off
+    // the v1 fallback list for the duration of this one read
+    val confs = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList"   -> "avro,csv,json,kafka,orc,text")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try s.read.parquet(path).agg(max(org.apache.spark.sql.functions.col(col))).head().getLong(0)
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   /** should_process_page: classify current vs state as new/updated/unchanged. */

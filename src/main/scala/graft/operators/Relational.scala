@@ -204,24 +204,53 @@ object Relational {
       .orderBy($"event_type")
   }
 
-  /** Skew-safe salted join: the (hypothetically skewed) dim side is exploded
-    * across SaltBuckets synthetic keys, the fact side picks one
-    * deterministically, so one hot join key fans across SaltBuckets reducers.
-    * Result is identical to the plain join (the oracle IS the plain join).
+  /** Skew-safe two-phase salted join. Phase 1 frequency-sketches the fact
+    * keys (map-side partial count, tiny shuffle of (key, n) partials) and
+    * keeps only keys above `hotThreshold` — that set is broadcast. Phase 2
+    * joins with CONDITIONAL salt: hot fact rows pick a deterministic salt in
+    * [0, SaltBuckets), hot dim rows explode across all buckets; cold rows on
+    * both sides carry salt 0, so the non-skewed path has zero replication.
+    * One scan per side, one shuffle join on (key, salt) — the same movement
+    * as the plain join, but a hot key fans across SaltBuckets reducers
+    * instead of melting one. Result is identical to the plain join (the
+    * oracle IS the plain join).
     */
   val SaltBuckets = 8
-  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+  val HotKeyThreshold = 1000L
+  def saltedJoin(s: SparkSession, dir: String,
+                 hotThreshold: Long = HotKeyThreshold): DataFrame = {
     import s.implicits._
-    val salted = Tables.orders(s, dir)
-      .select($"o_orderkey", $"o_orderstatus",
-              explode(sequence(lit(0), lit(SaltBuckets - 1))).as("salt"))
     val fact = Tables.lineitem(s, dir)
-      .withColumn("salt", pmod($"l_linenumber" + $"l_partkey", lit(SaltBuckets)).cast("int"))
-    fact.join(salted, $"l_orderkey" === $"o_orderkey" && fact("salt") === salted("salt"))
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_extendedprice")
+    val hot = fact.groupBy($"l_orderkey").agg(count(lit(1)).as("key_n"))
+      .filter($"key_n" >= hotThreshold)
+      .select($"l_orderkey".as("hot_key"))
+    val saltedDim = dimWithSalt(Tables.orders(s, dir), hot)
+    val saltedFact = fact
+      .join(broadcast(hot), $"l_orderkey" === $"hot_key", "left")
+      .withColumn("salt",
+        when($"hot_key".isNotNull,
+             pmod($"l_linenumber" + $"l_partkey", lit(SaltBuckets)))
+          .otherwise(lit(0)).cast("int"))
+    saltedFact.join(saltedDim,
+        $"l_orderkey" === $"o_orderkey" && saltedFact("salt") === saltedDim("salt"))
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("line_count"),
            sum(dec2($"l_extendedprice")).cast("double").as("sum_price"))
       .orderBy($"o_orderstatus")
+  }
+
+  /** Dim side of the salted join: hot keys replicate across all SaltBuckets,
+    * cold keys emit exactly one row with salt 0 (exposed for the spec's
+    * no-blowup assertion).
+    */
+  private[graft] def dimWithSalt(dim: DataFrame, hot: DataFrame): DataFrame = {
+    import dim.sparkSession.implicits._
+    dim.select($"o_orderkey", $"o_orderstatus")
+      .join(broadcast(hot), $"o_orderkey" === $"hot_key", "left")
+      .select($"o_orderkey", $"o_orderstatus",
+        explode(when($"hot_key".isNotNull, sequence(lit(0), lit(SaltBuckets - 1)))
+          .otherwise(array(lit(0)))).as("salt"))
   }
 
   /** Window-function suite: lag/lead, sequence numbers, running and

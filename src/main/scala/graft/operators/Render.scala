@@ -14,10 +14,10 @@ object Render {
     * structure (/root/reference/output_generator/html_generator.py:102-200):
     * doctype, head with charset/viewport/title/style, h1 + content div.
     */
-  def htmlRender(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val title = concat($"source", lit("/doc-"), $"doc_id")
-    val html = concat(
+  /** The rendered page as a column over `documents` rows. */
+  private def htmlCol = {
+    val title = concat(col("source"), lit("/doc-"), col("doc_id"))
+    concat(
       lit("<!DOCTYPE html>\n<html>\n<head>\n" +
           "<meta charset=\"UTF-8\">\n" +
           "<meta name=\"viewport\" content=\"width=device-width, initial-scale=1.0\">\n" +
@@ -25,10 +25,87 @@ object Render {
           "<style>body { font-family: Arial, sans-serif; line-height: 1.6; " +
           "max-width: 1200px; margin: 0 auto; padding: 20px; }</style>\n" +
           "</head>\n<body>\n<h1>"), title, lit("</h1>\n<div class=\"content\">\n"),
-      $"text", lit("\n</div>\n</body>\n</html>"))
+      col("text"), lit("\n</div>\n</body>\n</html>"))
+  }
+
+  def htmlRender(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", html.as("html"))
+      .select($"doc_id", htmlCol.as("html"))
       .orderBy($"doc_id")
+  }
+
+  /** HTML→PDF conversion analogue: the deterministic render manifest
+    * (reference: output_generator/html_to_pdf_converter.py:105-223
+    * convert_file and master_script.py:89-218 process_page). Per page the
+    * output paths mirror output/html/<space>/<new|updated>/<file>.html with
+    * the .pdf twin under the pdf root; statuses follow the reference's
+    * counter semantics — unchanged pages skip both outputs, processed pages
+    * always emit html (the generator is total), and the pdf step fails
+    * deterministically for oversized pages (an honest stand-in for the
+    * wkhtmltopdf sidecar binary, absent from this container). pdf_bytes is
+    * the byte budget a renderer reserves: base cost + 2 bytes per rendered
+    * html char. Everything is per-row column math — embarrassingly parallel,
+    * no shuffle before the ordered collect.
+    */
+  val PdfFailChars = 400L
+  def renderManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ct = when($"doc_id" % 5 === 4, "new")
+      .when($"doc_id" % 3 === 0, "updated")
+      .otherwise("unchanged")
+    Tables.documents(s, dir)
+      .withColumn("content_type", ct)
+      .select($"doc_id", $"content_type",
+        when($"content_type" =!= "unchanged", "processed").otherwise("skipped")
+          .as("html_status"),
+        when($"content_type" === "unchanged", "skipped")
+          .when($"n_chars" >= PdfFailChars, "failed")
+          .otherwise("processed").as("pdf_status"),
+        when($"content_type" =!= "unchanged",
+          concat(lit("output/html/"), $"source", lit("/"), $"content_type",
+                 lit("/doc_"), $"doc_id", lit(".html"))).as("html_path"),
+        when($"content_type" =!= "unchanged" && $"n_chars" < PdfFailChars,
+          concat(lit("output/pdf/"), $"source", lit("/"), $"content_type",
+                 lit("/doc_"), $"doc_id", lit(".pdf"))).as("pdf_path"),
+        when($"content_type" =!= "unchanged" && $"n_chars" < PdfFailChars,
+          lit(1024L) + length(htmlCol).cast("long") * 2).as("pdf_bytes"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-space run counters over the render manifest, mirroring the stats
+    * dict master_script.py:107-218 accumulates (html_failed kept for column
+    * parity — the columnar generator is total, so it is structurally zero).
+    * Partial aggregation makes this one tiny shuffle of per-space counters.
+    */
+  def renderStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = (c: org.apache.spark.sql.Column) => sum(when(c, 1L).otherwise(0L))
+    renderManifestUnordered(s, dir)
+      .groupBy($"source")
+      .agg(one($"html_status" === "processed").as("html_processed"),
+           one($"html_status" === "skipped").as("html_skipped"),
+           one($"html_status" === "failed").as("html_failed"),
+           one($"pdf_status" === "processed").as("pdf_processed"),
+           one($"pdf_status" === "skipped").as("pdf_skipped"),
+           one($"pdf_status" === "failed").as("pdf_failed"))
+      .orderBy($"source")
+  }
+
+  /** Manifest with the grouping key kept and no output sort (agg input). */
+  private def renderManifestUnordered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ct = when($"doc_id" % 5 === 4, "new")
+      .when($"doc_id" % 3 === 0, "updated")
+      .otherwise("unchanged")
+    Tables.documents(s, dir)
+      .withColumn("content_type", ct)
+      .select($"source",
+        when($"content_type" =!= "unchanged", "processed").otherwise("skipped")
+          .as("html_status"),
+        when($"content_type" === "unchanged", "skipped")
+          .when($"n_chars" >= PdfFailChars, "failed")
+          .otherwise("processed").as("pdf_status"))
   }
 
   /** Base64 data-URL embedding of binary attachments, mirroring

@@ -153,48 +153,57 @@ object Similarity {
   private val PqSubDim = 8      // 64-dim vectors -> 8 subvectors of 8 dims
   private val PqCodebookSize = 16
 
-  /** Subvector dot product, codegen'd array arithmetic. */
-  private def dotC(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-
   /** PQ-style ANN: each vector is quantized to [[PqSubspaces]] one-byte codes
     * (nearest codebook entry per subspace, by inner product), and a query
     * scores the whole corpus in the COMPRESSED domain — its per-(subspace,
     * code) inner-product lookup table is broadcast and the approximate score
     * is the 8-way sum, so the full-precision vectors never participate in
     * the scan. The deterministic sampled codebook stands in for a k-means
-    * training job (production codebooks are a few KB — always broadcast);
-    * recall vs exact top-k is measured in the spec.
+    * training job (production codebooks are a few KB — always broadcast).
+    *
+    * Everything stays row-parallel: the codebook collapses to ONE broadcast
+    * row, encode and scoring are pure array expressions (no explode, no
+    * per-(vector,subspace) window, no re-agg shuffle — those cost a
+    * |corpus|x8 shuffle in the naive layout). The only shuffle in the whole
+    * plan is the final top-k window, which WindowGroupLimit caps at k rows
+    * per map partition. Recall vs exact top-k is measured in the spec.
     */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    val sub = explode(expr(
-      s"transform(sequence(0, ${PqSubspaces - 1}), " +
-      s"m -> struct(m AS m, slice(embedding, m*$PqSubDim+1, $PqSubDim) AS sv))"))
-    // deterministic codebook: 16 sampled vectors supply each subspace's entries
-    val codebook = emb.filter($"vec_id" % 29 === 0 && $"vec_id" < 29 * PqCodebookSize)
-      .select(($"vec_id" / 29).cast("int").as("code_id"), sub.as("s"))
-      .select($"s.m", $"code_id", $"s.sv".as("centroid"))
-    // encode: nearest (max-IP) codebook entry per (vector, subspace)
-    val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"ip".desc, $"code_id".asc)
-    val codes = emb.select($"vec_id", sub.as("s")).select($"vec_id", $"s.m", $"s.sv")
-      .join(broadcast(codebook), Seq("m"))
-      .select($"vec_id", $"m", $"code_id", dotC($"sv", $"centroid").as("ip"))
-      .withColumn("r", row_number().over(wEnc)).filter($"r" === 1)
-      .select($"vec_id", $"m", $"code_id")
-    // query-side lookup tables: IP of each query subvector with every entry
-    val qTables = emb.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("query_id"), sub.as("s")).select($"query_id", $"s.m", $"s.sv")
-      .join(broadcast(codebook), Seq("m"))
-      .select($"query_id", $"m", $"code_id", dotC($"sv", $"centroid").as("ip"))
-    // compressed-domain scan: 8 table lookups + sum per (query, vector)
+    // deterministic codebook: 16 sampled vectors -> one row holding
+    // cbs[m][c] = subvector m of sample c (code ids ordered by sample id)
+    val cb = emb.filter($"vec_id" % 29 === 0 && $"vec_id" < 29 * PqCodebookSize)
+      .agg(array_sort(collect_list(struct($"vec_id", $"embedding"))).as("entries"))
+      .select(expr(
+        s"""transform(sequence(0, ${PqSubspaces - 1}),
+           |  m -> transform(entries, e -> slice(e.embedding, m*$PqSubDim+1, $PqSubDim)))"""
+          .stripMargin).as("cbs"))
+    // per-subspace inner products against all 16 entries — shared shape
+    // between corpus encode and query lookup tables
+    val ipsAll = expr(
+      s"""transform(sequence(0, ${PqSubspaces - 1}),
+         |  m -> transform(cbs[m],
+         |    cent -> aggregate(zip_with(slice(embedding, m*$PqSubDim+1, $PqSubDim), cent,
+         |                               (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)))"""
+        .stripMargin)
+    // encode: argmax code per subspace (first occurrence = lowest code id)
+    val codes = emb.crossJoin(broadcast(cb))
+      .select($"vec_id", ipsAll.as("ips"))
+      .select($"vec_id",
+        expr("transform(ips, one -> cast(array_position(one, array_max(one)) - 1 AS INT))")
+          .as("codes"))
+    // query LUTs are the same per-subspace IP tables, broadcast whole
+    val qluts = emb.filter($"vec_id" < NumQueries).crossJoin(broadcast(cb))
+      .select($"vec_id".as("query_id"), ipsAll.as("lut"))
+    // compressed-domain scan: 8 array lookups + sum, pure projection
     val w = Window.partitionBy($"query_id").orderBy($"approx".desc, $"neighbor_id".asc)
-    codes.join(broadcast(qTables), Seq("m", "code_id"))
+    codes.crossJoin(broadcast(qluts))
       .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id".as("neighbor_id"))
-      .agg(sum($"ip").as("approx"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), 0.0D, " +
+             "(acc, m) -> acc + lut[m][codes[m]])").as("approx"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= K)
       .select($"query_id", $"neighbor_id", $"rank")

@@ -23,6 +23,26 @@ class RenderSpec extends SparkSpec {
     assert(saltedTotal == factCount)
   }
 
+  test("q17 forced-hot path (threshold 1) still equals the default plan") {
+    val forced = operators.Relational.saltedJoin(spark, sfDir, hotThreshold = 1L)
+      .collect().map(_.toSeq).toSeq
+    val default = SparkEntry.queries("q17_salted_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(forced == default)
+  }
+
+  test("q17 cold keys are never replicated; hot keys fan out x SaltBuckets") {
+    import spark.implicits._
+    val dim = Tables.orders(spark, sfDir)
+    val noHot = Seq.empty[Long].toDF("hot_key")
+    assert(operators.Relational.dimWithSalt(dim, noHot).count() == dim.count(),
+      "with no hot keys the salted dim must be exactly the dim (no explode blowup)")
+    val oneHot = dim.select(col("o_orderkey").as("hot_key")).limit(1)
+    assert(operators.Relational.dimWithSalt(dim, oneHot).count() ==
+      dim.count() + (operators.Relational.SaltBuckets - 1),
+      "exactly the hot key replicates across salt buckets")
+  }
+
   test("p11 rendered html is well-formed at the shell level") {
     val df = SparkEntry.queries("p11_html_render")(spark, sfDir)
     assert(df.filter(!col("html").startsWith("<!DOCTYPE html>")).isEmpty)
@@ -39,6 +59,46 @@ class RenderSpec extends SparkSpec {
     val text = Tables.documents(spark, sfDir).filter($"doc_id" === 7)
       .head().getAs[String]("text")
     assert(decoded == "IMG0" + text)
+  }
+
+  test("p16/p17 render statuses partition the corpus and counters reconcile") {
+    import spark.implicits._
+    val m = SparkEntry.queries("p16_render_manifest")(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(m.count() == docs, "one manifest row per page")
+    // processed rows always carry an html path; pdf path iff pdf processed
+    assert(m.filter($"html_status" === "processed" && $"html_path".isNull).isEmpty)
+    assert(m.filter($"pdf_status" === "processed" &&
+                    ($"pdf_path".isNull || $"pdf_bytes".isNull)).isEmpty)
+    assert(m.filter($"pdf_status" =!= "processed" && $"pdf_path".isNotNull).isEmpty)
+    val stats = SparkEntry.queries("p17_render_stats")(spark, sfDir)
+      .agg(sum($"html_processed" + $"html_skipped" + $"html_failed").as("h"),
+           sum($"pdf_processed" + $"pdf_skipped" + $"pdf_failed").as("p"))
+      .head()
+    assert(stats.getLong(0) == docs && stats.getLong(1) == docs,
+      "per-space counters must cover every page exactly once")
+    m.unpersist()
+  }
+
+  test("m03 binary ingest round-trips the blob fixture byte-for-byte") {
+    import spark.implicits._
+    val ingested = SparkEntry.queries("m03_binary_ingest")(spark, sfDir)
+    val expected = operators.Multimodal.withBlob(spark, sfDir)
+      .select($"doc_id", length($"blob").cast("long").as("byte_len"),
+              md5($"blob").as("content_md5"))
+    assert(ingested.except(expected).isEmpty && expected.except(ingested).isEmpty,
+      "binaryFile read-back must equal the in-plan blob fabrication")
+  }
+
+  test("p18 search hits contain every term and misses lack at least one") {
+    import spark.implicits._
+    val hits = SparkEntry.queries("p18_text_search")(spark, sfDir)
+    assert(hits.filter($"tf_spark" === 0 || $"tf_vector" === 0 || $"tf_stream" === 0).isEmpty)
+    val tokenHas = (t: String) =>
+      array_contains(split(lower(col("text")), "\\s+"), t)
+    val indep = Tables.documents(spark, sfDir)
+      .filter(tokenHas("spark") && tokenHas("vector") && tokenHas("stream")).count()
+    assert(hits.count() == indep, "hit set must match an independent predicate scan")
   }
 
   test("q16 json extraction finds k for every event") {

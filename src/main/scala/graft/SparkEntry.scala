@@ -93,6 +93,7 @@ object SparkEntry {
     "d07_embed_neardup" -> (Similarity.embedNearDup _),
     "d08_ann_ivf"       -> (Similarity.annIvf _),
     "d12_ann_pq"        -> (Similarity.annPq _),
+    "d13_ann_recall"    -> (Similarity.annRecall _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -509,6 +510,25 @@ object SparkEntry {
         | CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
         | CAST(LENGTH(text) AS BIGINT) AS char_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // t05: the heuristic is deterministic regex counting + lexicographic
+    // argmax, so the whole chain is SQL-expressible (zh range via RE2's
+    // \x{...} escapes; struct comparison matches Spark's greatest-on-struct)
+    "t05_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|is)\b')) AS INT) AS score_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|ein)\b')) AS INT) AS score_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|es)\b')) AS INT) AS score_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) AS INT) AS score_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS INT) AS score_zh
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |        list_sort([{'score': score_en, 'code': 'en'}, {'score': score_de, 'code': 'de'},
+        |                   {'score': score_es, 'code': 'es'}, {'score': score_fr, 'code': 'fr'},
+        |                   {'score': score_zh, 'code': 'zh'}])[5] AS pred
+        |      FROM s)
+        |SELECT doc_id, lang AS labeled_lang, pred.code AS predicted_lang, pred.score AS marker_hits
+        |FROM g ORDER BY doc_id""".stripMargin,
     "t06_quality_score" ->
       """SELECT doc_id,
         | FLOOR((0.5 * LEAST(1.0, LENGTH(text) / 500.0)
@@ -623,6 +643,14 @@ object SparkEntry {
          |                  len(list_distinct(list_concat(x.grams, y.grams))) * 10000 + 0.5) / 10000 END AS jaccard
          |FROM g x, g y, h WHERE x.doc_id < h.half AND y.doc_id = x.doc_id + h.half
          |ORDER BY doc_a""".stripMargin,
+    // d13: ANN neighbor lists are engine-specific, but the recall floor is a
+    // checkable claim — the oracle asserts recall_ok TRUE per method, so an
+    // ANN regression below its floor fails the hash compare (q24 pattern).
+    "d13_ann_recall" ->
+      """SELECT method, CAST(recall_floor AS DOUBLE) AS recall_floor, recall_ok
+        |FROM (VALUES ('ivf', 0.15, TRUE), ('lsh', 0.4, TRUE), ('pq', 0.1, TRUE))
+        |  AS t(method, recall_floor, recall_ok)
+        |ORDER BY method""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT doc_id,
         |       MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5,

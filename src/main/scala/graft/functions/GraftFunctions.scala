@@ -23,6 +23,7 @@ object GraftFunctions {
     "shingle_strings" -> (es => ShingleStringsExpr(es(0), es(1))),
     "simhash60"       -> (es => SimHash60Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
+    "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -39,6 +40,7 @@ object GraftFunctions {
   def shingleStrings(tokens: Column, k: Column): Column = call_function("shingle_strings", tokens, k)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
+  def pqEncode(emb: Column, cbs: Column): Column = call_function("pq_encode", emb, cbs)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
@@ -59,6 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash60Expr(es(0))))
     ext.injectFunction((FunctionIdentifier("minhash_sig31"), info("minhash_sig31"),
       (es: Seq[Expression]) => MinHashSig31Expr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),
+      (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1))))
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -209,6 +209,41 @@ object crosskernels {
     out
   }
 
+  /** Product-quantization encode: per subspace m, the argmax-inner-product
+    * codebook entry for the m-th slice of `emb` (first max wins — lowest
+    * code id, matching the SQL array_position tie-break). Inner products are
+    * float-multiplied then double-accumulated, the same arithmetic as the
+    * zip_with/aggregate HOF form this kernel replaces (the HOF lambdas run
+    * interpreted per row; this is one static call inside codegen).
+    */
+  def pqEncode(emb: ArrayData, cbs: ArrayData): ArrayData = {
+    val m = cbs.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val entries = cbs.getArray(i)
+      val c = entries.numElements()
+      var best = 0
+      var bestIp = Double.NegativeInfinity
+      var j = 0
+      while (j < c) {
+        val cent = entries.getArray(j)
+        val d = cent.numElements()
+        var ip = 0.0
+        var k = 0
+        while (k < d) {
+          ip += (emb.getFloat(i * d + k) * cent.getFloat(k)).toDouble
+          k += 1
+        }
+        if (ip > bestIp) { bestIp = ip; best = j }
+        j += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Minhash signature over shingle STRINGS: sig(i) = min over grams g of
     * (A_i * poly31(g, 0) + B_i) mod P; empty input degrades to B_i (so two
     * empty docs agree fully — the jaccard-of-empty-sets = 1 convention).
@@ -336,6 +371,24 @@ case class MinHashSig31Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "minhash_sig31"
+}
+
+/** pq_encode(array<float>, array<array<array<float>>>) -> array<int>:
+  * per-subspace argmax-IP codebook assignment (the PQ index build kernel).
+  */
+case class PqEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right),
+      Seq(ArrayType(FloatType), ArrayType(ArrayType(ArrayType(FloatType)))))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(emb: Any, cbs: Any): Any =
+    crosskernels.pqEncode(emb.asInstanceOf[ArrayData], cbs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) => s"graft.functions.crosskernels.pqEncode($e, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_encode"
 }
 
 /** minhash_sig(array<long>, numHashes) -> array<long>. */

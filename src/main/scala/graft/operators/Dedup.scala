@@ -153,8 +153,14 @@ object Dedup {
     // near-dups are a small fraction, so the iterated tables stay tiny while
     // the untouched singleton majority (cluster_id = own id) joins back in
     // once at the end.
-    var labels = edges.select($"doc_a".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("cluster_id"))
+    //
+    // Label init already folds in the first neighbor pull (label = min of
+    // self and direct neighbors, one lazy agg fused into the first
+    // materialization) — one fewer checked round, and each round after
+    // that propagates min-labels with pointer jumping.
+    var labels = edges
+      .select($"doc_a".as("doc_id"), least($"doc_a", $"doc_b").as("cluster_id"))
+      .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0

@@ -72,4 +72,47 @@ class PlansSpec extends SparkSpec {
       AsOfJoinDF.asofLeft(l, r, Seq(l("k")), Seq(r("k")), l("t"), r("rt"))
     }
   }
+
+  /** Physical plan with the AQE wrapper peeled (pre-execution initial plan). */
+  private def physical(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("d12 pq plan: corpus moves through exactly one non-broadcast exchange") {
+    val planned = physical(operators.Similarity.annPq(spark, sfDir))
+    // the top-k window's shuffle is the only corpus-scale data movement;
+    // encode and scoring ride broadcasts (the one-row codebook and 5-row
+    // LUTs — their SinglePartition collects and the final presentation sort
+    // move a handful of rows)
+    val corpusShuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(corpusShuffles.length == 1,
+      s"expected exactly 1 hash shuffle (top-k window), got ${corpusShuffles.length}:\n$planned")
+    val s = planned.toString
+    assert(s.contains("WindowGroupLimit"),
+      s"rank<=k must push a partial group limit below the window:\n$s")
+  }
+
+  test("q17 skew-join plan: generate sits only on the dim side, fact unexploded") {
+    val planned = physical(operators.Relational.saltedJoin(spark, sfDir))
+    val generates = planned.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.length == 1,
+      s"exactly one explode (the salted dim), got ${generates.length}")
+    // the generate emits only dim columns + salt: the fact side computes its
+    // salt arithmetically and is never replicated (the broadcast hot-key
+    // sketch beneath the generate references lineitem, but only as a
+    // per-key count — no fact payload rides through the explode)
+    val outCols = generates.head.output.map(_.name).toSet
+    assert(outCols("o_orderkey") && outCols("salt") &&
+           !outCols.exists(_.startsWith("l_")),
+      s"explode must emit dim columns only, got $outCols")
+  }
 }

@@ -80,6 +80,7 @@ object SparkEntry {
     "t11_image_normalize"   -> (TextOps.imageNormalize _),
     "t12_code_extract"      -> (TextOps.codeExtract _),
     "t09_pii_redact"        -> (TextOps.piiRedact _),
+    "t13_repetition"        -> (TextOps.repetition _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "d08_ann_ivf"       -> (Similarity.annIvf _),
     "d12_ann_pq"        -> (Similarity.annPq _),
     "d13_ann_recall"    -> (Similarity.annRecall _),
+    "d14_stratified_mix" -> (Dedup.stratifiedMix _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -101,6 +103,7 @@ object SparkEntry {
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
     "s03_stream_dedup" -> (graft.streaming.Streams.dedupBatch _),
+    "s06_stream_distinct" -> (graft.streaming.Streams.distinctUsersBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -510,6 +513,27 @@ object SparkEntry {
         | CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
         | CAST(LENGTH(text) AS BIGINT) AS char_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t13_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(range(1, len(toks)), gi -> toks[gi] || ' ' || toks[gi+1]) END AS grams
+        |      FROM w)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS rep_ratio,
+        |  CASE WHEN len(grams) = 0 THEN 0.0
+        |       ELSE FLOOR(CAST(list_aggregate(list_transform(list_distinct(grams),
+        |                    g -> len(list_filter(grams, x -> x = g))), 'max') AS DOUBLE)
+        |                  / len(grams) * 10000 + 0.5) / 10000 END AS top_bigram_share
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "d14_stratified_mix" ->
+      """SELECT doc_id, source, lang,
+        |       1000.0 / (CASE WHEN source IN ('src0','src1') THEN 200 ELSE 50 END) AS weight
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |      (CASE WHEN source IN ('src0','src1') THEN 200 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin,
     // t05: the heuristic is deterministic regex counting + lexicographic
     // argmax, so the whole chain is SQL-expressible (zh range via RE2's
     // \x{...} escapes; struct comparison matches Spark's greatest-on-struct)
@@ -703,6 +727,15 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
         |       COUNT(*) AS event_count,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    // s06: per-window HLL sketch next to the exact distinct; the sketch is
+    // engine-specific, so the oracle checks the exact count and asserts the
+    // error-bound claim TRUE (q24 pattern)
+    "s06_stream_distinct" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_bound
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
     "s02_sessionize" ->

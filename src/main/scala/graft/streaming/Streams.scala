@@ -140,6 +140,39 @@ object Streams {
     wm.dropDuplicates("event_id")
   }
 
+  /** Per-window approximate distinct users. At 100 TB (or on an unbounded
+    * stream) the HLL sketch is the only viable distinct: it partial-merges
+    * map-side and inside the streaming state store, where exact
+    * countDistinct would have to retain every user id per open window.
+    * Watermarked update-mode streaming runs the SAME transform (spec).
+    */
+  def distinctUsersWindowed(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"w.start".as("window_start"), $"event_type", $"approx_users")
+  }
+
+  /** Batch form (driver contract key s06_stream_distinct): the sketch next
+    * to the exact per-window count, hash-gated through the q24-style bound
+    * claim the oracle asserts TRUE.
+    */
+  def distinctUsersBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val approx = distinctUsersWindowed(ev)
+    val exact = ev
+      .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+      .select($"w.start".as("window_start"), $"event_type", $"exact_users")
+    exact.join(approx, Seq("window_start", "event_type"))
+      .select($"window_start", $"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users") <=
+          greatest($"exact_users" * 0.05, lit(2.0))).as("approx_within_bound"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Batch dedup query (driver contract key s03_stream_dedup): deterministic
     * first-row-per-event_id via the same shape as the streaming state store.
     */

@@ -122,6 +122,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s06 streaming approx-distinct merges sketch state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.distinctUsersWindowed(
+        input.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("s06_out").outputMode("update").start()
+    try {
+      // same window arrives in two batches; the sketch must merge in state,
+      // counting user 1 once and users {1,2,3} overall
+      input.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(5), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(10), 1, "view", 1.0), Event(4, ts(20), 3, "view", 1.0))
+      q.processAllAvailable()
+      val latest = s.table("s06_out")
+        .groupBy("window_start", "event_type")
+        .agg(max("approx_users").as("approx_users"))
+        .collect()
+      assert(latest.length == 1)
+      assert(latest.head.getAs[Long]("approx_users") == 3L,
+        "HLL at 2% rsd is exact at cardinality 3; state merge lost or double-counted users")
+    } finally q.stop()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

@@ -65,6 +65,7 @@ object SparkEntry {
     "p15_asof_native"           -> (AsOf.asofJoinNative _),
     "p14_corpus_pipeline"       -> (EndToEnd.corpusPipeline _),
     "p16_render_manifest"       -> (Render.renderManifest _),
+    "p19_training_mix"          -> (EndToEnd.trainingMix _),
     "p17_render_stats"          -> (Render.renderStats _),
     "p18_text_search"           -> (PipelineOps.textSearch _),
     // C. Text / markup processing
@@ -367,6 +368,30 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "p19_training_mix" ->
+      """WITH c AS (SELECT doc_id, source, TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS cleaned
+        |           FROM documents WHERE doc_id % 7 <> 3),
+        |w AS (SELECT doc_id, source, cleaned, regexp_split_to_array(lower(cleaned), ' ') AS toks FROM c),
+        |e AS (SELECT doc_id, source,
+        |        CAST(len(toks) AS BIGINT) AS tokens,
+        |        MD5(LOWER(cleaned)) AS content_md5,
+        |        FLOOR((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000 AS rep_ratio,
+        |        LEAST(1.0, LENGTH(cleaned) / 500.0) * 0.6 +
+        |          (LEN(REGEXP_EXTRACT_ALL(LOWER(cleaned), '\b(the|a|and|of|to|in|is)\b')) /
+        |           (CAST(len(toks) AS DOUBLE) + 1.0)) * 0.4 AS quality
+        |      FROM w),
+        |g AS (SELECT * FROM e WHERE quality >= 0.3 AND rep_ratio <= 0.6),
+        |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY content_md5) AS keeper_id FROM g),
+        |ev AS (SELECT DISTINCT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS eval_md5
+        |       FROM documents WHERE doc_id % 7 = 3),
+        |m AS (SELECT *, CASE WHEN source IN ('src0','src1') THEN 200 ELSE 50 END AS permille
+        |      FROM k WHERE doc_id = keeper_id
+        |        AND content_md5 NOT IN (SELECT eval_md5 FROM ev))
+        |SELECT source, COUNT(*) AS docs_kept,
+        |       CAST(SUM(tokens) AS BIGINT) AS tokens_kept,
+        |       SUM(tokens * (1000.0 / permille)) AS weighted_tokens
+        |FROM m WHERE (doc_id * 2654435761) % 1000 < permille
+        |GROUP BY source ORDER BY source""".stripMargin,
     "p16_render_manifest" ->
       ("""WITH m AS (
         |  SELECT doc_id, source, n_chars,

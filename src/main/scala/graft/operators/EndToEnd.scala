@@ -40,4 +40,57 @@ object EndToEnd {
              $"cleaned", lit("</div></body></html>")).as("html"))
       .orderBy($"doc_id")
   }
+
+  /** The LLM training-data flagship: clean -> quality + repetition gates ->
+    * exact dedup -> benchmark decontamination -> stratified domain mix ->
+    * per-source token accounting, as ONE declarative plan. Data moves twice:
+    * the dedup window's hash shuffle and the tiny final per-source agg
+    * (map-side partial). The eval fingerprint set rides a broadcast;
+    * every gate is per-row column math ahead of the first shuffle, so
+    * filters cut the corpus before anything moves — the shape that matters
+    * at 100 TB. Weighted token counts stay exact (weights are 5.0/20.0).
+    */
+  val QualityFloor = 0.3
+  val RepCeiling = 0.6
+  def trainingMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cleaned = trim(regexp_replace($"text", "\\s+", " "))
+    val isEval = $"doc_id" % 7 === 3
+    // per-row analysis on the cleaned text (single-spaced, so split on ' ')
+    val toks = split(lower($"cleaned"), " ")
+    val tokens = size(toks).cast("long")
+    val rep = floor((lit(1.0) - size(array_distinct(toks)) / size(toks).cast("double"))
+      * 10000.0 + 0.5) / 10000.0
+    val stop = regexp_count(lower($"cleaned"), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
+    val quality = least(lit(1.0), length($"cleaned") / lit(500.0)) * lit(0.6) +
+      (stop / (tokens.cast("double") + lit(1.0))) * lit(0.4)
+    val gated = docs.filter(!isEval)
+      .select($"doc_id", $"source", cleaned.as("cleaned"))
+      .select($"doc_id", $"source", tokens.as("tokens"),
+              md5(lower($"cleaned")).as("content_md5"),
+              rep.as("rep_ratio"), quality.as("quality"))
+      .filter($"quality" >= QualityFloor && $"rep_ratio" <= RepCeiling)
+    // dedup survivors (min doc_id per content hash) — the plan's one big shuffle
+    val keeper = min($"doc_id").over(Window.partitionBy($"content_md5"))
+    val deduped = gated.withColumn("keeper_id", keeper)
+      .filter($"doc_id" === $"keeper_id")
+    // decontaminate against the (tiny, broadcast) eval fingerprint set
+    val evalMd5 = docs.filter(isEval)
+      .select(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("eval_md5"))
+      .distinct()
+    val clean = deduped.join(broadcast(evalMd5),
+      $"content_md5" === $"eval_md5", "left_anti")
+    // stratified mix + unbiased token accounting per source
+    val permille = when($"source".isin("src0", "src1"), 200).otherwise(50)
+    clean
+      .withColumn("permille", permille)
+      .filter(pmod($"doc_id" * 2654435761L, lit(1000L)) < $"permille")
+      .withColumn("weight", lit(1000.0) / $"permille")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs_kept"),
+           sum($"tokens").as("tokens_kept"),
+           sum($"tokens" * $"weight").as("weighted_tokens"))
+      .orderBy($"source")
+  }
 }

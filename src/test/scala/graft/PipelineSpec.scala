@@ -12,6 +12,32 @@ class PipelineSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("p19 training mix: accounting is unbiased and gates precede the shuffle") {
+    import spark.implicits._
+    // the quality/repetition/mix gates are per-row column math: they must sit
+    // below the dedup window's exchange so the corpus shrinks before moving
+    // (plan checked before any caching — a cached plan hides its exchanges)
+    val planned = physical(SparkEntry.queries("p19_training_mix")(spark, sfDir))
+    val exchanges = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.find(_.toString.contains("content_md5")) match {
+      case Some(dedupEx) =>
+        val below = dedupEx.child.toString
+        assert(below.contains(">= 0.3") || below.contains("0.3"),
+          s"quality gate must run before the dedup shuffle:\n$below")
+      case None => fail("expected the dedup window's hash exchange in the plan")
+    }
+    val mix = SparkEntry.queries("p19_training_mix")(spark, sfDir).cache()
+    // weights are exactly 5.0 / 20.0, so weighted tokens are whole multiples
+    val bad = mix.filter(
+      ($"source".isin("src0", "src1") && $"weighted_tokens" =!= $"tokens_kept" * 5.0) ||
+      (!$"source".isin("src0", "src1") && $"weighted_tokens" =!= $"tokens_kept" * 20.0))
+    assert(bad.isEmpty, "weighted tokens must equal tokens x inverse rate")
+    assert(mix.filter($"docs_kept" <= 0).isEmpty)
+    mix.unpersist()
+  }
+
   test("p04 hierarchy closure matches the arithmetic subtree definition") {
     // In the balanced tree parent(i) = (i-1) div 2, the subtree of node 5 is
     // exactly the ids whose path to root passes through 5.

@@ -73,14 +73,6 @@ class PlansSpec extends SparkSpec {
     }
   }
 
-  /** Physical plan with the AQE wrapper peeled (pre-execution initial plan). */
-  private def physical(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-
   test("d12 pq plan: corpus moves through exactly one non-broadcast exchange") {
     val planned = physical(operators.Similarity.annPq(spark, sfDir))
     // the top-k window's shuffle is the only corpus-scale data movement;

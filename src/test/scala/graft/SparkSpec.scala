@@ -14,6 +14,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
+
+  /** Physical plan with the AQE wrapper peeled (pre-execution initial plan). */
+  def physical(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
 }
 
 object SparkSpec {

@@ -136,15 +136,26 @@ object CrossHash {
 
   /** Polynomial hash over unicode code points, mod P, seeded by `salt`.
     * DuckDB mirror: list_reduce over ord() of regexp_split_to_array(s, '').
+    * Code points are decoded straight off the UTF-8 bytes — no String
+    * allocation in the per-token hot loop (this runs twice per token in
+    * simhash and once per shingle in minhash, corpus-wide).
     */
   def poly31(s: UTF8String, salt: Long): Long = {
     var acc = salt % P
-    val str = s.toString
+    val n = s.numBytes()
     var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+      else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+      else { cp = b0 & 0x07; len = 4 }
+      var j = 1
+      while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
       acc = (acc * Base + cp) % P
-      i += Character.charCount(cp)
+      i += len
     }
     acc
   }

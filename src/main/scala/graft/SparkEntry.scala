@@ -66,6 +66,7 @@ object SparkEntry {
     "p14_corpus_pipeline"       -> (EndToEnd.corpusPipeline _),
     "p16_render_manifest"       -> (Render.renderManifest _),
     "p19_training_mix"          -> (EndToEnd.trainingMix _),
+    "p20_indexed_search"        -> (PipelineOps.indexedSearch _),
     "p17_render_stats"          -> (Render.renderStats _),
     "p18_text_search"           -> (PipelineOps.textSearch _),
     // C. Text / markup processing
@@ -97,6 +98,7 @@ object SparkEntry {
     "d12_ann_pq"        -> (Similarity.annPq _),
     "d13_ann_recall"    -> (Similarity.annRecall _),
     "d14_stratified_mix" -> (Dedup.stratifiedMix _),
+    "d15_ann_ivf_trained" -> (Similarity.annIvfTrained _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -108,6 +110,21 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
+  /** Shared by p18 (scan plan) and p20 (inverted-postings plan): one
+    * semantic contract, two physical strategies, both hash-checked.
+    */
+  private val TextSearchOracle: String =
+    """WITH t AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |c AS (SELECT doc_id, source,
+      |        len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
+      |        len(list_filter(toks, x -> x = 'vector')) AS tf_vector,
+      |        len(list_filter(toks, x -> x = 'stream')) AS tf_stream
+      |      FROM t)
+      |SELECT doc_id, source, tf_spark, tf_vector, tf_stream,
+      |       tf_spark + tf_vector + tf_stream AS score
+      |FROM c WHERE tf_spark > 0 AND tf_vector > 0 AND tf_stream > 0
+      |ORDER BY score DESC, doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -437,17 +454,10 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE pdf_status = 'skipped') AS pdf_skipped,
         |  COUNT(*) FILTER (WHERE pdf_status = 'failed') AS pdf_failed
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
-    "p18_text_search" ->
-      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
-        |c AS (SELECT doc_id, source,
-        |        len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
-        |        len(list_filter(toks, x -> x = 'vector')) AS tf_vector,
-        |        len(list_filter(toks, x -> x = 'stream')) AS tf_stream
-        |      FROM t)
-        |SELECT doc_id, source, tf_spark, tf_vector, tf_stream,
-        |       tf_spark + tf_vector + tf_stream AS score
-        |FROM c WHERE tf_spark > 0 AND tf_vector > 0 AND tf_stream > 0
-        |ORDER BY score DESC, doc_id""".stripMargin,
+    "p18_text_search" -> TextSearchOracle,
+    // p20 executes the same search through an inverted-postings plan; the
+    // semantic contract (and so the oracle) is identical to p18
+    "p20_indexed_search" -> TextSearchOracle,
     "m03_binary_ingest" ->
       """SELECT doc_id,
         |       octet_length(encode('IMG0' || text)) AS byte_len,
@@ -697,7 +707,7 @@ object SparkEntry {
     // ANN regression below its floor fails the hash compare (q24 pattern).
     "d13_ann_recall" ->
       """SELECT method, CAST(recall_floor AS DOUBLE) AS recall_floor, recall_ok
-        |FROM (VALUES ('ivf', 0.15, TRUE), ('lsh', 0.4, TRUE), ('pq', 0.1, TRUE))
+        |FROM (VALUES ('ivf', 0.15, TRUE), ('ivf2', 0.2, TRUE), ('lsh', 0.4, TRUE), ('pq', 0.1, TRUE))
         |  AS t(method, recall_floor, recall_ok)
         |ORDER BY method""".stripMargin,
     "d01_exact_dedup" ->

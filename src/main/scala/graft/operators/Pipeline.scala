@@ -90,6 +90,35 @@ object PipelineOps {
       .orderBy($"score".desc, $"doc_id")
   }
 
+  /** The inverted-index execution of [[textSearch]]: same semantic contract
+    * (identical output, shares p18's oracle SQL verbatim), different physical
+    * strategy. Tokens are array-filtered to the query terms BEFORE the
+    * explode, so only matching postings fan out; one hash shuffle groups
+    * postings per document and conditional aggregation rebuilds the per-term
+    * frequencies with AND semantics. At 100 TB the posting lists are
+    * materialized once into a bucketed token->doc table and queries join it
+    * instead of scanning text — this key demonstrates the query side of that
+    * shape, where work scales with matching postings, not corpus bytes.
+    */
+  def indexedSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val termArray = array(SearchTerms.map(lit): _*)
+    val matching = explode(filter(split(lower($"text"), "\\s+"),
+      t => array_contains(termArray, t)))
+    val postings = Tables.documents(s, dir)
+      .select($"doc_id", $"source", matching.as("tok"))
+    postings
+      .groupBy($"doc_id", $"source")
+      .agg(
+        SearchTerms.map(t =>
+          sum(when($"tok" === t, 1L).otherwise(0L)).as(s"tf_$t")).head,
+        SearchTerms.map(t =>
+          sum(when($"tok" === t, 1L).otherwise(0L)).as(s"tf_$t")).tail: _*)
+      .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
+      .withColumn("score", SearchTerms.map(t => col(s"tf_$t")).reduce(_ + _))
+      .orderBy($"score".desc, $"doc_id")
+  }
+
   /** get_child_pages(recursive=True): transitive closure over the derived
     * balanced tree (parent(i) = (i-1) div 2). Iterative BFS — each step is one
     * distributed self-join, loop depth is log2(n), with early exit on an empty

@@ -120,8 +120,71 @@ object Similarity {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    val centroids = emb.filter($"vec_id" % IvfCentroidEvery === 0)
+    ivfSearch(emb, sampledCentroids(emb))
+  }
+
+  /** Deterministic sampled codebook (the k-means stand-in). */
+  private def sampledCentroids(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.filter($"vec_id" % IvfCentroidEvery === 0)
       .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
+  }
+
+  /** Lloyd-iteration k-means refinement of the sampled codebook — the real
+    * training job the deterministic samples stand in for elsewhere. Per
+    * iteration: the codebook collapses to ONE broadcast row and assignment
+    * is a pure argmax-cosine projection (no shuffle); new centroids are
+    * element-wise means via typed reduceGroups, which partial-reduces
+    * map-side so the shuffle carries at most k x partitions rows — never
+    * the corpus. The 100 TB shape: per-iteration cost is one corpus scan.
+    */
+  def kmeansCentroids(emb: DataFrame, iters: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    var centroids = sampledCentroids(emb)
+    for (_ <- 1 to iters) {
+      val centRow = centroids
+        .agg(array_sort(collect_list(struct($"centroid_id", $"ce"))).as("cents"))
+      val assigned = emb.crossJoin(broadcast(centRow))
+        .select($"vec_id", $"embedding",
+          expr("transform(cents, c -> cosine_sim(embedding, c.ce))").as("sims"),
+          $"cents")
+        .select($"embedding",
+          expr("cents[cast(array_position(sims, array_max(sims)) - 1 AS INT)].centroid_id")
+            .as("centroid_id"))
+      centroids = assigned.as[(Array[Float], Long)]
+        .map { case (v, cid) => (cid, v, 1L) }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Float](a._2.length)
+          var i = 0
+          while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map { case (cid, (_, sum, n)) =>
+          val m = new Array[Float](sum.length)
+          var i = 0
+          while (i < m.length) { m(i) = sum(i) / n; i += 1 }
+          (cid, m)
+        }
+        .toDF("centroid_id", "ce")
+    }
+    centroids
+  }
+
+  /** IVF probe with a k-means-trained codebook (driver key d15): identical
+    * query path to [[annIvf]], better cells — recall-gated through d13.
+    */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    ivfSearch(emb, kmeansCentroids(emb, iters = 2))
+  }
+
+  /** Cell-probed search against a given codebook. */
+  private def ivfSearch(emb: DataFrame, centroids0: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val centroids = centroids0.select($"centroid_id", $"ce")
     // nearest-centroid assignment: broadcast codebook, keep argmax per vector
     val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
     val assigned = emb.crossJoin(broadcast(centroids))
@@ -213,7 +276,7 @@ object Similarity {
     * clustered production embeddings clear them by a wide margin.
     */
   val RecallFloors: Seq[(String, Double)] =
-    Seq("ivf" -> 0.15, "lsh" -> 0.4, "pq" -> 0.1)
+    Seq("ivf" -> 0.15, "ivf2" -> 0.2, "lsh" -> 0.4, "pq" -> 0.1)
 
   /** Cross-engine recall gate over every ANN path: each method's recall@K
     * against the exact brute-force top-k, emitted as an oracle-assertable
@@ -227,7 +290,8 @@ object Similarity {
     import s.implicits._
     val exact = cosineTopK(s, dir).select($"query_id", $"neighbor_id")
     val methods = Map[String, DataFrame](
-      "ivf" -> annIvf(s, dir), "lsh" -> annLsh(s, dir), "pq" -> annPq(s, dir))
+      "ivf" -> annIvf(s, dir), "ivf2" -> annIvfTrained(s, dir),
+      "lsh" -> annLsh(s, dir), "pq" -> annPq(s, dir))
     RecallFloors.map { case (name, floor) =>
       methods(name).select($"query_id", $"neighbor_id")
         .join(exact, Seq("query_id", "neighbor_id"), "left_semi")

@@ -23,10 +23,15 @@ object CrossHashSql {
     * string expression `e`, starting from `salt` (mirrors CrossHash.poly31;
     * the salt rides in as the list head because list_reduce has no init arg).
     * Lambda vars pa/px are chosen to not collide with enclosing lambdas.
+    * The empty-element filter matters: DuckDB splits '' into [''] (and
+    * ord('') = -1), whereas the Scala kernel folds zero code points for an
+    * empty token — filtering '' makes both return `salt` there, and it is a
+    * no-op for non-empty tokens (char splits never contain '').
     */
   def poly31(e: String, salt: Long): String =
     s"list_reduce(list_prepend(CAST($salt AS BIGINT), " +
-      s"list_transform(regexp_split_to_array($e, ''), pc -> CAST(ord(pc) AS BIGINT))), " +
+      s"list_transform(list_filter(regexp_split_to_array($e, ''), pf -> pf <> ''), " +
+      s"pc -> CAST(ord(pc) AS BIGINT))), " +
       s"(pa, px) -> (pa * 131 + px) % $P)"
 
   /** Shared minhash CTE chain over `documents`:

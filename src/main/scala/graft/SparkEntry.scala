@@ -705,11 +705,14 @@ object SparkEntry {
     // d13: ANN neighbor lists are engine-specific, but the recall floor is a
     // checkable claim — the oracle asserts recall_ok TRUE per method, so an
     // ANN regression below its floor fails the hash compare (q24 pattern).
+    // The VALUES list interpolates Similarity.RecallFloors so the Spark side
+    // and the oracle can never drift when a floor is tuned.
     "d13_ann_recall" ->
-      """SELECT method, CAST(recall_floor AS DOUBLE) AS recall_floor, recall_ok
-        |FROM (VALUES ('ivf', 0.15, TRUE), ('ivf2', 0.2, TRUE), ('lsh', 0.4, TRUE), ('pq', 0.1, TRUE))
-        |  AS t(method, recall_floor, recall_ok)
-        |ORDER BY method""".stripMargin,
+      s"""SELECT method, CAST(recall_floor AS DOUBLE) AS recall_floor, recall_ok
+         |FROM (VALUES ${Similarity.RecallFloors
+               .map { case (m, f) => s"('$m', $f, TRUE)" }.mkString(", ")})
+         |  AS t(method, recall_floor, recall_ok)
+         |ORDER BY method""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT doc_id,
         |       MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5,

@@ -6,8 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
-    // optional: restrict to named keys (fast local iteration on one operator)
+    // optional: restrict to named keys (fast local iteration on one
+    // operator). A filtered run also filters oracle_sql.json, so point it at
+    // a SCRATCH outDir — never the driver's canonical one, where a shrunken
+    // oracle file next to stale dumps would silently narrow the gate.
     val only: Set[String] = args.drop(2).toSet
+    if (only.nonEmpty) System.err.println(
+      s"[verify] PARTIAL run (${only.size} keys) — use a scratch outDir, not the driver's")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -61,20 +61,32 @@ object Multimodal {
     */
   def binaryIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Fixture store name carries the source data's mtime, so regenerated
+    // testdata invalidates it instead of silently reusing stale bytes.
+    val srcStamp = new java.io.File(s"$dir/documents.parquet").lastModified()
     val store = new java.io.File(
-      s"/tmp/graft_attachments_${Integer.toHexString(dir.hashCode)}")
+      s"/tmp/graft_attachments_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$srcStamp")
     if (!store.exists()) {
-      val tmp = new java.io.File(store.getPath + ".build")
-      tmp.mkdirs()
+      // Build driver-side into a per-process tmp dir, then publish with an
+      // atomic rename: concurrent builders (Bench + Verify on the same sf)
+      // each write their own tmp, and rename losers just reuse the winner's
+      // store. Driver-side because this is fixture GENERATION — production
+      // points the binaryFile reader at an existing object-store directory
+      // and no build step runs at all. toLocalIterator bounds driver memory
+      // to one partition of (id, text) rows.
+      val tmp = java.nio.file.Files
+        .createTempDirectory(store.getParentFile.toPath, store.getName + ".build.")
+        .toFile
       Tables.documents(s, dir).select($"doc_id", $"text").as[(Long, String)]
-        .foreachPartition { it: Iterator[(Long, String)] =>
-          it.foreach { case (id, text) =>
-            java.nio.file.Files.write(
-              new java.io.File(tmp, f"doc_$id%06d.bin").toPath,
-              ("IMG0" + text).getBytes("UTF-8"))
-          }
+        .toLocalIterator().forEachRemaining { case (id, text) =>
+          java.nio.file.Files.write(
+            new java.io.File(tmp, f"doc_$id%06d.bin").toPath,
+            ("IMG0" + text).getBytes("UTF-8"))
         }
-      tmp.renameTo(store) // atomic publish; losers of a race just reuse it
+      if (!tmp.renameTo(store)) { // lost the publish race: winner's store wins
+        tmp.listFiles().foreach(_.delete())
+        tmp.delete()
+      }
     }
     s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
       .load(store.getPath)

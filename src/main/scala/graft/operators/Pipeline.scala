@@ -154,17 +154,14 @@ object PipelineOps {
     */
   private def footerMax(s: SparkSession, path: String, col: String): Long = {
     // agg pushdown exists only on the DSv2 scan, so parquet must drop off
-    // the v1 fallback list for the duration of this one read
-    val confs = Seq(
-      "spark.sql.parquet.aggregatePushdown" -> "true",
-      "spark.sql.sources.useV1SourceList"   -> "avro,csv,json,kafka,orc,text")
-    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try s.read.parquet(path).agg(max(org.apache.spark.sql.functions.col(col))).head().getLong(0)
-    finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+    // the v1 fallback list — scoped to a child session (shared SparkContext,
+    // isolated SQLConf) so concurrent queries on `s` never see the flipped
+    // confs (the same invariant Tables.events documents for nanosAsLong)
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    scoped.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    scoped.read.parquet(path)
+      .agg(max(org.apache.spark.sql.functions.col(col))).head().getLong(0)
   }
 
   /** should_process_page: classify current vs state as new/updated/unchanged. */

@@ -49,26 +49,36 @@ object Render {
     * no shuffle before the ordered collect.
     */
   val PdfFailChars = 400L
-  def renderManifest(s: SparkSession, dir: String): DataFrame = {
+
+  /** Shared per-page classification: content_type + both statuses (the
+    * single source for p16's manifest rows and p17's counters).
+    */
+  private def manifestCore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ct = when($"doc_id" % 5 === 4, "new")
       .when($"doc_id" % 3 === 0, "updated")
       .otherwise("unchanged")
     Tables.documents(s, dir)
       .withColumn("content_type", ct)
-      .select($"doc_id", $"content_type",
-        when($"content_type" =!= "unchanged", "processed").otherwise("skipped")
-          .as("html_status"),
+      .withColumn("html_status",
+        when($"content_type" =!= "unchanged", "processed").otherwise("skipped"))
+      .withColumn("pdf_status",
         when($"content_type" === "unchanged", "skipped")
           .when($"n_chars" >= PdfFailChars, "failed")
-          .otherwise("processed").as("pdf_status"),
-        when($"content_type" =!= "unchanged",
+          .otherwise("processed"))
+  }
+
+  def renderManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    manifestCore(s, dir)
+      .select($"doc_id", $"content_type", $"html_status", $"pdf_status",
+        when($"html_status" === "processed",
           concat(lit("output/html/"), $"source", lit("/"), $"content_type",
                  lit("/doc_"), $"doc_id", lit(".html"))).as("html_path"),
-        when($"content_type" =!= "unchanged" && $"n_chars" < PdfFailChars,
+        when($"pdf_status" === "processed",
           concat(lit("output/pdf/"), $"source", lit("/"), $"content_type",
                  lit("/doc_"), $"doc_id", lit(".pdf"))).as("pdf_path"),
-        when($"content_type" =!= "unchanged" && $"n_chars" < PdfFailChars,
+        when($"pdf_status" === "processed",
           lit(1024L) + length(htmlCol).cast("long") * 2).as("pdf_bytes"))
       .orderBy($"doc_id")
   }
@@ -81,7 +91,7 @@ object Render {
   def renderStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val one = (c: org.apache.spark.sql.Column) => sum(when(c, 1L).otherwise(0L))
-    renderManifestUnordered(s, dir)
+    manifestCore(s, dir)
       .groupBy($"source")
       .agg(one($"html_status" === "processed").as("html_processed"),
            one($"html_status" === "skipped").as("html_skipped"),
@@ -90,22 +100,6 @@ object Render {
            one($"pdf_status" === "skipped").as("pdf_skipped"),
            one($"pdf_status" === "failed").as("pdf_failed"))
       .orderBy($"source")
-  }
-
-  /** Manifest with the grouping key kept and no output sort (agg input). */
-  private def renderManifestUnordered(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ct = when($"doc_id" % 5 === 4, "new")
-      .when($"doc_id" % 3 === 0, "updated")
-      .otherwise("unchanged")
-    Tables.documents(s, dir)
-      .withColumn("content_type", ct)
-      .select($"source",
-        when($"content_type" =!= "unchanged", "processed").otherwise("skipped")
-          .as("html_status"),
-        when($"content_type" === "unchanged", "skipped")
-          .when($"n_chars" >= PdfFailChars, "failed")
-          .otherwise("processed").as("pdf_status"))
   }
 
   /** Base64 data-URL embedding of binary attachments, mirroring

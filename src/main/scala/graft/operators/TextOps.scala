@@ -84,9 +84,14 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** Stopword/char-class heuristic language ID (rows-only: no SQL oracle).
-    * Scores each candidate language by hit-count of its marker words; ties
-    * break by fixed language order. Purely per-row -> embarrassingly parallel.
+  /** Stopword/char-class heuristic language ID. Scores each candidate
+    * language by hit-count of its marker words; ties break lexicographically
+    * on (score, code) via greatest-over-structs. Purely per-row ->
+    * embarrassingly parallel, and fully deterministic, so the whole chain is
+    * mirrored by the t05 DuckDB oracle (regex counts via
+    * LEN(REGEXP_EXTRACT_ALL), the CJK range via RE2 \x{...} escapes, the
+    * argmax via list_sort of structs) — keep the SQL in sync when touching
+    * the marker patterns.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -23,9 +23,17 @@ class PipelineSpec extends SparkSpec {
     }
     exchanges.find(_.toString.contains("content_md5")) match {
       case Some(dedupEx) =>
-        val below = dedupEx.child.toString
-        assert(below.contains(">= 0.3") || below.contains("0.3"),
-          s"quality gate must run before the dedup shuffle:\n$below")
+        // a FilterExec evaluating the quality expression must sit strictly
+        // below the exchange (not just any stray literal in the plan text);
+        // Catalyst pushes the predicate through the projection, so the
+        // condition carries the inlined formula — match its length/500.0
+        // normalization term, which appears nowhere else in the plan
+        val gateBelow = dedupEx.child.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.toString.contains("500.0") => f
+        }
+        assert(gateBelow.nonEmpty,
+          s"quality gate must run before the dedup shuffle:\n${dedupEx.child}")
       case None => fail("expected the dedup window's hash exchange in the plan")
     }
     val mix = SparkEntry.queries("p19_training_mix")(spark, sfDir).cache()
@@ -34,7 +42,7 @@ class PipelineSpec extends SparkSpec {
       ($"source".isin("src0", "src1") && $"weighted_tokens" =!= $"tokens_kept" * 5.0) ||
       (!$"source".isin("src0", "src1") && $"weighted_tokens" =!= $"tokens_kept" * 20.0))
     assert(bad.isEmpty, "weighted tokens must equal tokens x inverse rate")
-    assert(mix.filter($"docs_kept" <= 0).isEmpty)
+    assert(mix.count() > 0, "the gates must not filter the corpus to nothing")
     mix.unpersist()
   }
 

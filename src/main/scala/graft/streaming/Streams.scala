@@ -173,6 +173,35 @@ object Streams {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Streaming state upsert through foreachBatch — the reference's
+    * StateManager persistence (utilities/state_manager.py:84
+    * update_page_state) as a continuously-maintained table: each micro-batch
+    * keyed-merges into the parquet state, max (version, ts) wins per key.
+    * The merge materializes via localCheckpoint before overwriting the path
+    * it just read (parquet has no transactional swap; at scale the sink is
+    * a transactional table format and this body becomes a MERGE INTO).
+    */
+  def upsertSink(updates: DataFrame,
+                 statePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch.select(col("user_id").as("key"),
+          col("value").as("version"), col("ts"))
+        val merged = (if (new java.io.File(statePath).exists())
+                        s.read.parquet(statePath).unionByName(incoming)
+                      else incoming)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("key"))
+              .orderBy(col("version").desc, col("ts").desc)))
+          .filter(col("rn") === 1).drop("rn")
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
+  }
+
   /** Batch dedup query (driver contract key s03_stream_dedup): deterministic
     * first-row-per-event_id via the same shape as the streaming state store.
     */

@@ -147,6 +147,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s07 foreachBatch upsert sink maintains max-version state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_state").toString + "/st"
+    val input = MemoryStream[Event]
+    val q = Streams.upsertSink(input.toDF(), statePath)
+    try {
+      input.addData(Event(1, ts(0), 1, "v", 1.0), Event(2, ts(0), 2, "v", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(5), 2, "v", 2.0), Event(4, ts(5), 3, "v", 1.0))
+      q.processAllAvailable()
+      val state = s.read.parquet(statePath)
+        .select("key", "version").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(state == Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0),
+        s"state after two merged batches was $state")
+    } finally q.stop()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

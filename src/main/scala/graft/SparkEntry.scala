@@ -48,6 +48,7 @@ object SparkEntry {
     "q25_det_sample"      -> (Relational.deterministicSample _),
     "q26_range_frame"     -> (Relational.rangeFrameWindow _),
     "q27_exists_composition" -> (Relational.existsComposition _),
+    "q28_pivot"           -> (Relational.pivotAgg _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -298,6 +299,14 @@ object SparkEntry {
         |FROM customer
         |GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), (c_nationkey))
         |ORDER BY segment, nationkey""".stripMargin,
+    "q28_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q24: the HLL estimate itself is engine-specific; the checkable contract
     // is the exact count plus the error-bound claim as a boolean the oracle
     // asserts TRUE — Spark sketch drift outside max(5%, 2) fails the hash.

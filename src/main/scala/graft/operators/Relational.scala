@@ -192,6 +192,23 @@ object Relational {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** Long->wide pivot: per-user event counts, one column per event type.
+    * The explicit value list keeps the plan single-pass (no distinct-values
+    * pre-query) and the output schema static — at 100 TB an unbounded pivot
+    * is a schema explosion, so production pivots always pin their columns.
+    * One partial-agg shuffle, same movement as a plain groupBy.
+    */
+  val PivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+      .orderBy($"user_id")
+  }
+
   /** Semi-structured extraction: JSON props column -> typed stats. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -49,6 +49,7 @@ object SparkEntry {
     "q26_range_frame"     -> (Relational.rangeFrameWindow _),
     "q27_exists_composition" -> (Relational.existsComposition _),
     "q28_pivot"           -> (Relational.pivotAgg _),
+    "q29_unpivot"         -> (Relational.unpivotMeasures _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -307,6 +308,13 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q29_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, m.measure, m.value
+        |FROM lineitem, LATERAL (VALUES ('quantity', l_quantity),
+        |                               ('extendedprice', l_extendedprice),
+        |                               ('discount', l_discount)) AS m(measure, value)
+        |WHERE l_orderkey % 10 = 0
+        |ORDER BY l_orderkey, l_linenumber, m.measure""".stripMargin,
     // q24: the HLL estimate itself is engine-specific; the checkable contract
     // is the exact count plus the error-bound claim as a boolean the oracle
     // asserts TRUE — Spark sketch drift outside max(5%, 2) fails the hash.

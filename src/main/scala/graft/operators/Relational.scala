@@ -209,6 +209,25 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Wide->long unpivot (melt) through Spark's native unpivot operator:
+    * three measure columns become (measure, value) rows. Pure row-local
+    * expansion — no shuffle before the presentation sort — and the values
+    * pass through untouched, so the hash compare is exact with no rounding
+    * convention needed.
+    */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 10 === 0) // deterministic slice keeps the dump compact
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .withColumn("measure", regexp_replace($"measure", "^l_", ""))
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
   /** Semi-structured extraction: JSON props column -> typed stats. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

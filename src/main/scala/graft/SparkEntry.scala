@@ -50,6 +50,7 @@ object SparkEntry {
     "q27_exists_composition" -> (Relational.existsComposition _),
     "q28_pivot"           -> (Relational.pivotAgg _),
     "q29_unpivot"         -> (Relational.unpivotMeasures _),
+    "q30_approx_quantiles" -> (Relational.approxQuantiles _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -315,6 +316,13 @@ object SparkEntry {
         |                               ('discount', l_discount)) AS m(measure, value)
         |WHERE l_orderkey % 10 = 0
         |ORDER BY l_orderkey, l_linenumber, m.measure""".stripMargin,
+    // q30: the quantile sketch is engine-specific; the oracle checks the
+    // exact median (round-4) and asserts the rank-error claim TRUE
+    "q30_approx_quantiles" ->
+      """SELECT event_type,
+        |       FLOOR(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50_exact,
+        |       TRUE AS approx_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q24: the HLL estimate itself is engine-specific; the checkable contract
     // is the exact count plus the error-bound claim as a boolean the oracle
     // asserts TRUE — Spark sketch drift outside max(5%, 2) fails the hash.

@@ -209,6 +209,46 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** Approximate per-group quantiles (KLL-style sketch behind
+    * percentile_approx). At 100 TB the sketch is the only viable percentile:
+    * it partial-merges map-side with bounded memory, where exact percentile
+    * buffers every value per group. The sketch's rank-error guarantee
+    * (epsilon = 1/accuracy) is emitted as the oracle-assertable claim: each
+    * approximate quantile must lie between the exact quantiles at q -/+
+    * 2*epsilon (the q24 pattern); the exact median is hash-compared
+    * directly under the round-4 convention.
+    */
+  val QuantileAccuracy = 1000 // epsilon = 0.001 rank error
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(s, dir)
+    val sk = ev.groupBy($"event_type")
+      .agg(
+        percentile_approx($"value", typedlit(qs), lit(QuantileAccuracy)).as("approx"),
+        (floor(expr("percentile(value, 0.5D)") * 10000.0 + 0.5) / 10000.0).as("p50_exact"))
+    // The guarantee is on RANK, so the check is too: the returned value v_i
+    // must have a rank interval [|{v < v_i}|, |{v <= v_i}|] overlapping
+    // [q_i - eps', q_i + eps'] with eps' = 1/accuracy + 2/n (the 2/n slack
+    // covers rank discreteness at small groups). A value-space band breaks
+    // when the band is narrower than one rank gap.
+    val rankChecks = qs.indices.flatMap { i =>
+      Seq(sum(when($"value" <= element_at($"approx", i + 1), 1L).otherwise(0L)).as(s"le_$i"),
+          sum(when($"value" < element_at($"approx", i + 1), 1L).otherwise(0L)).as(s"lt_$i"))
+    }
+    val aggCols = count(lit(1)).as("n") +: rankChecks
+    val counted = ev.join(broadcast(sk), "event_type")
+      .groupBy($"event_type", $"p50_exact")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val eps = lit(1.0 / QuantileAccuracy) + lit(2.0) / $"n"
+    val claim = qs.zipWithIndex.map { case (q, i) =>
+      (col(s"lt_$i") / $"n" <= lit(q) + eps) && (col(s"le_$i") / $"n" >= lit(q) - eps)
+    }.reduce(_ && _)
+    counted
+      .select($"event_type", $"p50_exact", claim.as("approx_within_bound"))
+      .orderBy($"event_type")
+  }
+
   /** Wide->long unpivot (melt) through Spark's native unpivot operator:
     * three measure columns become (measure, value) rows. Pure row-local
     * expansion — no shuffle before the presentation sort — and the values

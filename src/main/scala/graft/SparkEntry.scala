@@ -51,6 +51,7 @@ object SparkEntry {
     "q28_pivot"           -> (Relational.pivotAgg _),
     "q29_unpivot"         -> (Relational.unpivotMeasures _),
     "q30_approx_quantiles" -> (Relational.approxQuantiles _),
+    "q31_topk_agg"        -> (Relational.topkAggQuery _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -316,6 +317,12 @@ object SparkEntry {
         |                               ('discount', l_discount)) AS m(measure, value)
         |WHERE l_orderkey % 10 = 0
         |ORDER BY l_orderkey, l_linenumber, m.measure""".stripMargin,
+    "q31_topk_agg" ->
+      """SELECT event_type, rank, value FROM (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC) AS rank
+        |  FROM events)
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     // q30: the quantile sketch is engine-specific; the oracle checks the
     // exact median (round-4) and asserts the rank-error claim TRUE
     "q30_approx_quantiles" ->

@@ -24,6 +24,7 @@ object GraftFunctions {
     "simhash60"       -> (es => SimHash60Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
+    "topk_agg"        -> (es => TopKAggExpr(es(0), es(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -41,6 +42,7 @@ object GraftFunctions {
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
   def pqEncode(emb: Column, cbs: Column): Column = call_function("pq_encode", emb, cbs)
+  def topkAgg(v: Column, k: Column): Column = call_function("topk_agg", v, k)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
@@ -63,6 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashSig31Expr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),
       (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("topk_agg"), info("topk_agg"),
+      (es: Seq[Expression]) => TopKAggExpr(es(0), es(1))))
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

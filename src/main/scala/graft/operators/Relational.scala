@@ -249,6 +249,24 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Per-group top-k values through the custom [[graft.functions.TopKAggExpr]]
+    * aggregate: a k-capped min-heap buffer that partial-aggregates map-side,
+    * so each partition ships at most k doubles — where groupBy + rank would
+    * shuffle every row of the group. Multiset-over-values semantics make the
+    * result deterministic under any partitioning, so it hash-oracles
+    * directly (DuckDB: row_number over value desc).
+    */
+  def topkAggQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(graft.functions.GraftFunctions.topkAgg($"value", lit(5)).as("topv"))
+      .select($"event_type", posexplode($"topv"))
+      .select($"event_type", ($"pos" + 1).cast("long").as("rank"), $"col".as("value"))
+      .orderBy($"event_type", $"rank")
+  }
+
   /** Wide->long unpivot (melt) through Spark's native unpivot operator:
     * three measure columns become (measure, value) rows. Pure row-local
     * expansion — no shuffle before the presentation sort — and the values

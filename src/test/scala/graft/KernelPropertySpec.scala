@@ -95,6 +95,27 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(crosskernels.shingleStrings(arr(Seq("a", "b")), 3).numElements() == 0)
   }
 
+  test("topk buffer: serde round-trips and merge order never changes the result") {
+    import graft.functions.TopKBuffer
+    val agg = graft.functions.TopKAggExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(5))
+    (1 to 30).foreach { _ =>
+      val values = Array.fill(rng.nextInt(40) + 1)(rng.nextInt(20).toDouble)
+      val expected = values.sorted.reverse.take(5).toSeq
+      // split at a random point, aggregate each half, merge in both orders
+      val cut = rng.nextInt(values.length)
+      def bufOf(vs: Seq[Double]) = {
+        val b = new TopKBuffer(5); vs.foreach(b.add); b
+      }
+      val (l, r) = values.splitAt(cut)
+      val m1 = bufOf(l); m1.mergeFrom(agg.deserialize(agg.serialize(bufOf(r))))
+      val m2 = bufOf(r); m2.mergeFrom(agg.deserialize(agg.serialize(bufOf(l))))
+      assert(m1.sortedDesc.toSeq == expected, "left-into-right merge")
+      assert(m2.sortedDesc.toSeq == expected, "right-into-left merge")
+    }
+  }
+
   test("cosine kernel: bounded, symmetric, self-similarity 1") {
     (1 to 100).foreach { _ =>
       val a = Array.fill(16)(rng.nextFloat() * 20f - 10f)

@@ -91,6 +91,19 @@ class PlansSpec extends SparkSpec {
       s"rank<=k must push a partial group limit below the window:\n$s")
   }
 
+  test("q31 custom aggregate partial-aggregates below the exchange and works from SQL") {
+    val planned = physical(operators.Relational.topkAggQuery(spark, sfDir))
+    val txt = planned.toString
+    assert(txt.contains("partial_topk_agg"),
+      s"TypedImperativeAggregate must run a map-side partial pass:\n$txt")
+    // registry: the same aggregate resolves from SQL text
+    functions.GraftFunctions.register(spark)
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev_topk")
+    val viaSql = spark.sql(
+      "SELECT event_type, topk_agg(value, 3) AS t FROM ev_topk GROUP BY event_type")
+    assert(viaSql.collect().forall(_.getSeq[Double](1).length <= 3))
+  }
+
   test("q17 skew-join plan: generate sits only on the dim side, fact unexploded") {
     val planned = physical(operators.Relational.saltedJoin(spark, sfDir))
     val generates = planned.collect {

@@ -197,4 +197,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(df.filter(col("byte_len") =!= col("byte_len").cast("long")).isEmpty)
     assert(df.filter(col("width") < 64 || col("height") < 64).isEmpty)
   }
+
+  test("m01 decode seam moves no data: only the presentation sort repartitions") {
+    // the typed mapPartitions batch seam (where a real codec drops in) must
+    // stay a per-partition pass — no hash exchange anywhere; the single
+    // range exchange belongs to the final orderBy
+    val planned = physical(SparkEntry.queries("m01_multimodal_meta")(spark, sfDir))
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.outputPartitioning.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"decode must not repartition the corpus:\n$planned")
+  }
 }

@@ -103,6 +103,7 @@ object SparkEntry {
     "d13_ann_recall"    -> (Similarity.annRecall _),
     "d14_stratified_mix" -> (Dedup.stratifiedMix _),
     "d15_ann_ivf_trained" -> (Similarity.annIvfTrained _),
+    "d16_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -128,6 +129,16 @@ object SparkEntry {
       |       tf_spark + tf_vector + tf_stream AS score
       |FROM c WHERE tf_spark > 0 AND tf_vector > 0 AND tf_stream > 0
       |ORDER BY score DESC, doc_id""".stripMargin
+
+  /** Shared by d09 (broadcast anti-join) and d16 (Bloom-prefilter plan). */
+  private val DecontaminateOracle: String =
+    """WITH d AS (SELECT doc_id, source,
+      |             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
+      |           FROM documents),
+      |e AS (SELECT DISTINCT content_md5 FROM d WHERE doc_id % 7 = 3)
+      |SELECT doc_id, source, content_md5 FROM d
+      |WHERE content_md5 NOT IN (SELECT content_md5 FROM e)
+      |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -751,14 +762,9 @@ object SparkEntry {
         |       MIN(doc_id) OVER (PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS keeper_id,
         |       doc_id = MIN(doc_id) OVER (PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS is_survivor
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "d09_decontaminate" ->
-      """WITH d AS (SELECT doc_id, source,
-        |             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
-        |           FROM documents),
-        |e AS (SELECT DISTINCT content_md5 FROM d WHERE doc_id % 7 = 3)
-        |SELECT doc_id, source, content_md5 FROM d
-        |WHERE content_md5 NOT IN (SELECT content_md5 FROM e)
-        |ORDER BY doc_id""".stripMargin,
+    "d09_decontaminate" -> DecontaminateOracle,
+    // d16 is the same contract on the Bloom-prefilter plan (p18/p20 pattern)
+    "d16_bloom_decontaminate" -> DecontaminateOracle,
     "d05_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT query_id, vec_id AS neighbor_id,

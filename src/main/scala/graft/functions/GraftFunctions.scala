@@ -25,6 +25,8 @@ object GraftFunctions {
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
     "topk_agg"        -> (es => TopKAggExpr(es(0), es(1))),
+    "bloom_agg"       -> (es => BloomAggExpr(es(0), es(1), es(2))),
+    "bloom_contains"  -> (es => BloomContainsExpr(es(0), es(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -43,6 +45,10 @@ object GraftFunctions {
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
   def pqEncode(emb: Column, cbs: Column): Column = call_function("pq_encode", emb, cbs)
   def topkAgg(v: Column, k: Column): Column = call_function("topk_agg", v, k)
+  def bloomAgg(v: Column, bits: Column, hashes: Column): Column =
+    call_function("bloom_agg", v, bits, hashes)
+  def bloomContains(bloom: Column, v: Column): Column =
+    call_function("bloom_contains", bloom, v)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
@@ -67,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("topk_agg"), info("topk_agg"),
       (es: Seq[Expression]) => TopKAggExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("bloom_agg"), info("bloom_agg"),
+      (es: Seq[Expression]) => BloomAggExpr(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"), info("bloom_contains"),
+      (es: Seq[Expression]) => BloomContainsExpr(es(0), es(1))))
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

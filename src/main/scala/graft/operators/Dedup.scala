@@ -212,6 +212,41 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Bloom-accelerated decontamination: the d09 contract on the 100-TB plan.
+    * The eval fingerprint set aggregates into ONE Bloom filter row (custom
+    * [[graft.functions.BloomAggExpr]]: fixed bit-array buffer, map-side
+    * partial build, bitwise-OR merge — numBits/8 bytes per partition cross
+    * the wire), the corpus is prefiltered by a codegen'd bloom_contains
+    * probe inside the scan stage, and the exact anti-join runs only on the
+    * suspected fraction. False positives are removed by the exact join, so
+    * the result is IDENTICAL to d09 — same oracle, second physical strategy
+    * (the p18/p20 pattern). When the eval set outgrows a broadcast
+    * hash-relation, the few-KB filter still broadcasts.
+    */
+  val BloomBits = 1 << 17
+  val BloomHashes = 5
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.{bloomAgg, bloomContains}
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val docs = Tables.documents(s, dir).withColumn("content_md5", fp)
+    val evalFps = docs.filter($"doc_id" % 7 === 3)
+      .select($"content_md5".as("eval_md5")).distinct()
+    val evalBloom = evalFps
+      .agg(bloomAgg($"eval_md5", lit(BloomBits), lit(BloomHashes)).as("bloom"))
+    val suspected = docs.crossJoin(broadcast(evalBloom))
+      .filter(bloomContains($"bloom", $"content_md5"))
+      .select($"doc_id", $"source", $"content_md5")
+    val cleared = docs.crossJoin(broadcast(evalBloom))
+      .filter(!bloomContains($"bloom", $"content_md5"))
+      .select($"doc_id", $"source", $"content_md5")
+    cleared
+      .union(suspected.join(broadcast(evalFps),
+        $"content_md5" === $"eval_md5", "left_anti"))
+      .orderBy($"doc_id")
+  }
+
   /** Stratified corpus mix — the domain-weighting step of a training-data
     * pipeline: per-source sampling rates (high-quality sources kept at a
     * higher rate) with an inverse-rate weight column so downstream token

@@ -116,6 +116,26 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("bloom buffer: zero false negatives and OR-merge equals single build") {
+    import graft.functions.{bloom, BloomBuffer}
+    (1 to 20).foreach { _ =>
+      val members = (1 to rng.nextInt(200) + 1).map(_ => rng.nextInt(100000).toString)
+      val (l, r) = members.splitAt(rng.nextInt(members.length))
+      val whole = new BloomBuffer(5, 1 << 12)
+      members.foreach(m => whole.add(UTF8String.fromString(m)))
+      val left = new BloomBuffer(5, 1 << 12)
+      l.foreach(m => left.add(UTF8String.fromString(m)))
+      val right = new BloomBuffer(5, 1 << 12)
+      r.foreach(m => right.add(UTF8String.fromString(m)))
+      left.orFrom(right)
+      assert(left.serialized.toSeq == whole.serialized.toSeq,
+        "partial builds OR-merged must equal the single-pass build")
+      val ser = whole.serialized
+      assert(members.forall(m => bloom.contains(ser, UTF8String.fromString(m))),
+        "a Bloom filter must never report a member absent")
+    }
+  }
+
   test("cosine kernel: bounded, symmetric, self-similarity 1") {
     (1 to 100).foreach { _ =>
       val a = Array.fill(16)(rng.nextFloat() * 20f - 10f)

@@ -167,6 +167,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s08 custom topk_agg merges through the streaming state store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    functions.GraftFunctions.register(s)
+    val input = MemoryStream[Event]
+    val q = input.toDF().withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(functions.GraftFunctions.topkAgg(col("value"), lit(3)).as("topv"))
+      .writeStream.format("memory").queryName("s08_out").outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "v", 5.0), Event(2, ts(1), 1, "v", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(2), 1, "v", 7.0), Event(4, ts(3), 1, "v", 1.0))
+      q.processAllAvailable()
+      // the buffer must survive the state store between batches: top-3 of
+      // {5, 9} merged with {7, 1} is [9, 7, 5]
+      val last = s.table("s08_out").groupBy("event_type")
+        .agg(max_by(col("topv"), size(col("topv"))).as("topv"))
+        .head().getSeq[Double](1)
+      assert(last == Seq(9.0, 7.0, 5.0), s"got $last")
+    } finally q.stop()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

@@ -87,6 +87,7 @@ object SparkEntry {
     "t12_code_extract"      -> (TextOps.codeExtract _),
     "t09_pii_redact"        -> (TextOps.piiRedact _),
     "t13_repetition"        -> (TextOps.repetition _),
+    "t14_unicode_normalize" -> (TextOps.unicodeNormalize _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -612,6 +613,17 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 1000 <
         |      (CASE WHEN source IN ('src0','src1') THEN 200 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
+    // t14: combining marks injected decomposed (chr(769) = U+0301 acute,
+    // chr(778) = U+030A ring); both engines NFC-compose then hash
+    "t14_unicode_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |             'Cafe' || chr(769) || ' nr ' || doc_id || ' A' || chr(778) || ' ' || text AS raw
+        |           FROM documents)
+        |SELECT doc_id,
+        |       length(raw) AS raw_chars,
+        |       length(nfc_normalize(raw)) AS nfc_chars,
+        |       md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     // t05: the heuristic is deterministic regex counting + lexicographic
     // argmax, so the whole chain is SQL-expressible (zh range via RE2's
     // \x{...} escapes; struct comparison matches Spark's greatest-on-struct)

@@ -27,6 +27,7 @@ object GraftFunctions {
     "topk_agg"        -> (es => TopKAggExpr(es(0), es(1))),
     "bloom_agg"       -> (es => BloomAggExpr(es(0), es(1), es(2))),
     "bloom_contains"  -> (es => BloomContainsExpr(es(0), es(1))),
+    "nfc_norm"        -> (es => NfcNormalizeExpr(es(0))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -49,6 +50,7 @@ object GraftFunctions {
     call_function("bloom_agg", v, bits, hashes)
   def bloomContains(bloom: Column, v: Column): Column =
     call_function("bloom_contains", bloom, v)
+  def nfcNorm(v: Column): Column = call_function("nfc_norm", v)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
@@ -77,6 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => BloomAggExpr(es(0), es(1), es(2))))
     ext.injectFunction((FunctionIdentifier("bloom_contains"), info("bloom_contains"),
       (es: Seq[Expression]) => BloomContainsExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_norm"), info("nfc_norm"),
+      (es: Seq[Expression]) => NfcNormalizeExpr(es(0))))
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

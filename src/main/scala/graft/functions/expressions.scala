@@ -220,6 +220,16 @@ object crosskernels {
     out
   }
 
+  /** Unicode NFC (canonical composition). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized avoids the rebuild for the common
+    // already-composed case (the bulk of any real corpus)
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Product-quantization encode: per subspace m, the argmax-inner-product
     * codebook entry for the m-th slice of `emb` (first max wins — lowest
     * code id, matching the SQL array_position tie-break). Inner products are
@@ -382,6 +392,24 @@ case class MinHashSig31Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "minhash_sig31"
+}
+
+/** nfc_norm(string) -> string: Unicode NFC normalization (canonical
+  * composition) via java.text.Normalizer — the canonicalization step text
+  * dedup needs before hashing, since visually-identical strings with
+  * decomposed combining marks hash differently. DuckDB mirrors it with
+  * utf8proc's nfc_normalize, so the result is oracle-checkable.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(child), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any =
+    crosskernels.nfc(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.crosskernels.nfc($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nfc_norm"
 }
 
 /** pq_encode(array<float>, array<array<array<float>>>) -> array<int>:

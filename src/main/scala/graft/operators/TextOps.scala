@@ -265,6 +265,30 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Unicode canonicalization before hashing — visually-identical strings
+    * with decomposed combining marks ("e" + U+0301 vs precomposed U+00E9)
+    * hash differently, silently defeating exact dedup across sources that
+    * emit different normal forms. Decomposed decorations are injected
+    * deterministically (the corpus itself is ASCII), NFC-composed by the
+    * custom codegen'd [[graft.functions.NfcNormalizeExpr]], and the oracle
+    * recomputes the composition with DuckDB's utf8proc nfc_normalize —
+    * char counts prove the composition actually shortened the string.
+    */
+  def unicodeNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // DECOMPOSED forms: "Cafe" + combining acute (U+0301), "A" + combining
+    // ring (U+030A) -- NFC composes both to single code points
+    val decorated = concat(lit("Cafe\u0301 nr "), $"doc_id", lit(" A\u030A "), $"text")
+    Tables.documents(s, dir)
+      .select($"doc_id", decorated.as("raw"))
+      .select($"doc_id",
+        length($"raw").cast("long").as("raw_chars"),
+        length(graft.functions.GraftFunctions.nfcNorm($"raw")).cast("long").as("nfc_chars"),
+        md5(graft.functions.GraftFunctions.nfcNorm($"raw")).as("nfc_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * the exact-dedup key. (A rolling-hash custom Expression complements this
     * for shingling; see graft.functions.)

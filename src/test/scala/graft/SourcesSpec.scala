@@ -57,6 +57,28 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("range-partitioned sorted layout writes non-overlapping time ranges") {
+    import spark.implicits._
+    // sort-clustered layout: repartitionByRange + sortWithinPartitions gives
+    // each output file a disjoint ts range, so parquet row-group stats prune
+    // time-slice queries to one file instead of scanning the table — the
+    // layout a 100 TB event store is written in
+    val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/ev"
+    Tables.events(spark, sfDir)
+      .repartitionByRange(4, $"ts")
+      .sortWithinPartitions($"ts")
+      .write.mode("overwrite").parquet(out)
+    val ranges = spark.read.parquet(out)
+      .select(input_file_name().as("f"), $"ts")
+      .groupBy($"f").agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .orderBy($"lo").collect()
+    assert(ranges.length > 1, "range partitioning must produce multiple files")
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(!b.getAs[java.sql.Timestamp]("lo").before(a.getAs[java.sql.Timestamp]("hi")),
+        s"file ranges overlap: ${a} vs ${b}")
+    }
+  }
+
   test("dynamic partition overwrite refreshes only the re-processed space") {
     val s = spark
     import s.implicits._

@@ -19,10 +19,16 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      // a failed query must not read as a fast success: report -1, not elapsed
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // min of two timed reps: the warm pass above removes codegen cost,
+      // the min removes GC/scheduling outliers — reported time is the
+      // repeatable steady state, not one run's noise
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        // a failed query must not read as a fast success: -1, not elapsed
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

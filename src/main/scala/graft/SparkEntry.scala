@@ -52,6 +52,7 @@ object SparkEntry {
     "q29_unpivot"         -> (Relational.unpivotMeasures _),
     "q30_approx_quantiles" -> (Relational.approxQuantiles _),
     "q31_topk_agg"        -> (Relational.topkAggQuery _),
+    "q32_outer_join"      -> (Relational.outerJoinSuite _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -329,6 +330,15 @@ object SparkEntry {
         |                               ('discount', l_discount)) AS m(measure, value)
         |WHERE l_orderkey % 10 = 0
         |ORDER BY l_orderkey, l_linenumber, m.measure""".stripMargin,
+    "q32_outer_join" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT COALESCE(c_custkey, user_id) AS key,
+        |       (c_custkey IS NOT NULL) AS has_customer,
+        |       (user_id IS NOT NULL) AS has_events,
+        |       COALESCE(c_mktsegment, 'NONE') AS segment,
+        |       COALESCE(n_events, 0) AS n_events
+        |FROM customer FULL OUTER JOIN pu ON c_custkey = user_id
+        |ORDER BY key""".stripMargin,
     "q31_topk_agg" ->
       """SELECT event_type, rank, value FROM (
         |  SELECT event_type, value,

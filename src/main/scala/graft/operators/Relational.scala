@@ -267,6 +267,30 @@ object Relational {
       .orderBy($"event_type", $"rank")
   }
 
+  /** Full-outer join with both-sided null production: the per-user event
+    * rollup joined against the customer dimension — users without a
+    * customer row and customers without events both survive with typed
+    * nulls coalesced into the output. One shuffle per side on the join key;
+    * completes the join-type matrix next to inner (q03/q04), semi (q08),
+    * anti (q09), range (q21) and as-of (p13/p15).
+    */
+  def outerJoinSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .join(perUser, $"c_custkey" === $"user_id", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"user_id").as("key"),
+        $"c_custkey".isNotNull.as("has_customer"),
+        $"user_id".isNotNull.as("has_events"),
+        coalesce($"c_mktsegment", lit("NONE")).as("segment"),
+        coalesce($"n_events", lit(0L)).as("n_events"))
+      .orderBy($"key")
+  }
+
   /** Wide->long unpivot (melt) through Spark's native unpivot operator:
     * three measure columns become (measure, value) rows. Pure row-local
     * expansion — no shuffle before the presentation sort — and the values

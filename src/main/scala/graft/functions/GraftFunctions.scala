@@ -24,6 +24,7 @@ object GraftFunctions {
     "simhash60"       -> (es => SimHash60Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
+    "nearest_centroid" -> (es => NearestCentroidExpr(es(0), es(1))),
     "topk_agg"        -> (es => TopKAggExpr(es(0), es(1))),
     "bloom_agg"       -> (es => BloomAggExpr(es(0), es(1), es(2))),
     "bloom_contains"  -> (es => BloomContainsExpr(es(0), es(1))),
@@ -45,6 +46,8 @@ object GraftFunctions {
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
   def pqEncode(emb: Column, cbs: Column): Column = call_function("pq_encode", emb, cbs)
+  def nearestCentroid(emb: Column, cents: Column): Column =
+    call_function("nearest_centroid", emb, cents)
   def topkAgg(v: Column, k: Column): Column = call_function("topk_agg", v, k)
   def bloomAgg(v: Column, bits: Column, hashes: Column): Column =
     call_function("bloom_agg", v, bits, hashes)
@@ -73,6 +76,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashSig31Expr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),
       (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"), info("nearest_centroid"),
+      (es: Seq[Expression]) => NearestCentroidExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("topk_agg"), info("topk_agg"),
       (es: Seq[Expression]) => TopKAggExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("bloom_agg"), info("bloom_agg"),

@@ -98,6 +98,27 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** Argmax-cosine centroid id over a packed codebook row. `cents` is
+    * array<struct<centroid_id: long, ce: array<float>>> sorted by centroid_id
+    * ascending, so a strict `>` makes ties resolve to the lowest id — the
+    * same tie-break as ordering by (sim desc, centroid_id asc). One static
+    * call per corpus row; the |corpus| x |codebook| work never materializes
+    * as rows, which is what keeps IVF cell assignment shuffle-free.
+    */
+  def nearestCentroid(emb: ArrayData, cents: ArrayData): Long = {
+    val n = cents.numElements()
+    var best = -1L
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < n) {
+      val c = cents.getStruct(j, 2)
+      val sim = cosineF(emb, c.getArray(1))
+      if (sim > bestSim) { bestSim = sim; best = c.getLong(0) }
+      j += 1
+    }
+    best
+  }
+
   /** MinHash signature: sig(i) = min over shingle hashes h of a_i*h+b_i
     * (mod 2^64 arithmetic; universal-ish family from a splitmix64 stream).
     */
@@ -428,6 +449,31 @@ case class PqEncodeExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "pq_encode"
+}
+
+/** nearest_centroid(array<float>, array<struct<long, array<float>>>) -> long:
+  * argmax-cosine codebook assignment as a pure projection — the IVF cell
+  * assignment kernel (no per-(vector, centroid) row expansion, no window).
+  */
+case class NearestCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(StructType(Array(f0, f1)), _))
+        if f0.dataType == LongType &&
+           (f1.dataType match { case ArrayType(FloatType, _) => true; case _ => false }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<struct<long, array<float>>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(emb: Any, cents: Any): Any =
+    kernels.nearestCentroid(emb.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) => s"graft.functions.kernels.nearestCentroid($e, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_centroid"
 }
 
 /** minhash_sig(array<long>, numHashes) -> array<long>. */

@@ -91,13 +91,20 @@ object Similarity {
     * Threshold 0.29995 sits in an empirical gap (>1e-5 wide at every SF) so
     * DuckDB's float-precision cosine and our double-precision one agree on
     * membership.
+    *
+    * The subset is CONSTANT-capped at [[NearDupBaselineCap]] vectors (cap
+    * never binds below |corpus| = 5120, so test-SF results are unchanged):
+    * the key's contract is a bounded correctness baseline that stays
+    * runnable at any SF, while the LSH path (d06/d11) is the scale
+    * mechanism for full-corpus near-dup detection.
     */
   val NearDupThreshold = 0.29995
+  val NearDupBaselineCap = 1024
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val subset = Tables.embeddings(s, dir)
-      .filter($"vec_id" % 5 === 0)
+      .filter($"vec_id" % 5 === 0 && $"vec_id" < 5L * NearDupBaselineCap)
       .select($"vec_id", $"embedding")
     val right = subset.select($"vec_id".as("b_id"), $"embedding".as("be"))
     subset.crossJoin(broadcast(right))
@@ -116,6 +123,13 @@ object Similarity {
     */
   val IvfCentroidEvery = 25 // vec_id % 25 == 0 -> |corpus|/25 centroids
   val IvfProbes = 3
+  /** Hard cap on codebook cardinality: the sampled stand-in would otherwise
+    * grow as |corpus|/25, making the broadcast row (and the per-row argmax)
+    * scale with the corpus. Production codebooks are fixed-k; the cap keeps
+    * the broadcast a few MB at ANY corpus size. Never binds below
+    * |corpus| = 102400, so test-SF results are unchanged.
+    */
+  val IvfMaxCentroids = 4096
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -123,11 +137,34 @@ object Similarity {
     ivfSearch(emb, sampledCentroids(emb))
   }
 
-  /** Deterministic sampled codebook (the k-means stand-in). */
-  private def sampledCentroids(emb: DataFrame): DataFrame = {
+  /** Deterministic sampled codebook (the k-means stand-in), constant-capped. */
+  private[graft] def sampledCentroids(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.filter($"vec_id" % IvfCentroidEvery === 0)
+    emb.filter($"vec_id" % IvfCentroidEvery === 0 &&
+               $"vec_id" < IvfCentroidEvery.toLong * IvfMaxCentroids)
       .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
+  }
+
+  /** Collapse a codebook to ONE row holding the centroid structs sorted by
+    * id — the broadcastable form every assignment consumes. The only
+    * exchange this introduces is the SinglePartition collect of |codebook|
+    * rows (constant-capped); corpus rows never shuffle for assignment.
+    */
+  private[graft] def collapseCodebook(centroids: DataFrame): DataFrame = {
+    import centroids.sparkSession.implicits._
+    centroids.agg(array_sort(collect_list(struct($"centroid_id", $"ce"))).as("cents"))
+  }
+
+  /** Nearest-centroid cell assignment as a pure argmax projection over the
+    * broadcast codebook row: no per-(vector, centroid) row expansion, no
+    * window, no shuffle of corpus rows (plan-asserted in PlansSpec). The
+    * argmax runs as one codegen'd static call per row (`nearest_centroid`).
+    */
+  private[graft] def assignCells(emb: DataFrame, centRow: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    emb.crossJoin(broadcast(centRow))
+      .select($"vec_id", $"embedding",
+              nearestCentroid($"embedding", $"cents").as("centroid_id"))
   }
 
   /** Lloyd-iteration k-means refinement of the sampled codebook — the real
@@ -136,26 +173,27 @@ object Similarity {
     * is a pure argmax-cosine projection (no shuffle); new centroids are
     * element-wise means via typed reduceGroups, which partial-reduces
     * map-side so the shuffle carries at most k x partitions rows — never
-    * the corpus. The 100 TB shape: per-iteration cost is one corpus scan.
+    * the corpus. Sums accumulate in Double so the merge-order
+    * nondeterminism of the reduce cannot perturb the Float means (ULP
+    * drift at argmax ties would otherwise make neighbor lists vary
+    * run-to-run). The 100 TB shape: per-iteration cost is one corpus scan.
     */
   def kmeansCentroids(emb: DataFrame, iters: Int): DataFrame = {
     import emb.sparkSession.implicits._
     var centroids = sampledCentroids(emb)
     for (_ <- 1 to iters) {
-      val centRow = centroids
-        .agg(array_sort(collect_list(struct($"centroid_id", $"ce"))).as("cents"))
-      val assigned = emb.crossJoin(broadcast(centRow))
-        .select($"vec_id", $"embedding",
-          expr("transform(cents, c -> cosine_sim(embedding, c.ce))").as("sims"),
-          $"cents")
-        .select($"embedding",
-          expr("cents[cast(array_position(sims, array_max(sims)) - 1 AS INT)].centroid_id")
-            .as("centroid_id"))
+      val assigned = assignCells(emb, collapseCodebook(centroids))
+        .select($"embedding", $"centroid_id")
       centroids = assigned.as[(Array[Float], Long)]
-        .map { case (v, cid) => (cid, v, 1L) }
+        .map { case (v, cid) =>
+          val d = new Array[Double](v.length)
+          var i = 0
+          while (i < d.length) { d(i) = v(i).toDouble; i += 1 }
+          (cid, d, 1L)
+        }
         .groupByKey(_._1)
         .reduceGroups { (a, b) =>
-          val s = new Array[Float](a._2.length)
+          val s = new Array[Double](a._2.length)
           var i = 0
           while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
           (a._1, s, a._3 + b._3)
@@ -163,7 +201,7 @@ object Similarity {
         .map { case (cid, (_, sum, n)) =>
           val m = new Array[Float](sum.length)
           var i = 0
-          while (i < m.length) { m(i) = sum(i) / n; i += 1 }
+          while (i < m.length) { m(i) = (sum(i) / n).toFloat; i += 1 }
           (cid, m)
         }
         .toDF("centroid_id", "ce")
@@ -181,17 +219,16 @@ object Similarity {
     ivfSearch(emb, kmeansCentroids(emb, iters = 2))
   }
 
-  /** Cell-probed search against a given codebook. */
+  /** Cell-probed search against a given codebook. Assignment is the
+    * shuffle-free broadcast argmax of [[assignCells]]; only the probe window
+    * (queries x codebook rows, both constant-bounded) and the final top-k
+    * window move rows through an exchange, and WindowGroupLimit caps the
+    * latter at k rows per map partition.
+    */
   private def ivfSearch(emb: DataFrame, centroids0: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val centroids = centroids0.select($"centroid_id", $"ce")
-    // nearest-centroid assignment: broadcast codebook, keep argmax per vector
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"centroid_id".asc)
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .select($"vec_id", $"embedding", $"centroid_id", cosineSim($"embedding", $"ce").as("csim"))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter($"crank" === 1)
-      .select($"vec_id", $"embedding", $"centroid_id")
+    val assigned = assignCells(emb, collapseCodebook(centroids))
     // queries probe their IvfProbes nearest cells
     val wProbe = Window.partitionBy($"query_id").orderBy($"csim".desc, $"centroid_id".asc)
     val probes = emb.filter($"vec_id" < NumQueries)

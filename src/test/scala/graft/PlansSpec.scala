@@ -104,6 +104,46 @@ class PlansSpec extends SparkSpec {
     assert(viaSql.collect().forall(_.getSeq[Double](1).length <= 3))
   }
 
+  test("d08/d15 ivf cell assignment: corpus rows cross no exchange") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).select($"vec_id", $"embedding")
+    val assigned = operators.Similarity.assignCells(
+      emb, operators.Similarity.collapseCodebook(operators.Similarity.sampledCentroids(emb)))
+    val planned = physical(assigned)
+    // the only shuffle allowed is the SinglePartition collect that collapses
+    // the constant-capped codebook to one broadcastable row; the corpus side
+    // must go scan -> project with no exchange and no window
+    val exchanges = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty && exchanges.forall(_.outputPartitioning ==
+             org.apache.spark.sql.catalyst.plans.physical.SinglePartition),
+      s"assignment may only shuffle the codebook collapse (SinglePartition):\n$planned")
+    val s = planned.toString
+    assert(!s.contains("Window"), s"assignment must not use a windowed argmax:\n$s")
+
+    // semantics: the projected argmax agrees with a driver-side brute force
+    val cents = operators.Similarity.sampledCentroids(emb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = assigned.select($"vec_id", $"embedding", $"centroid_id").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val want = cents.maxBy { case (_, ce) => cosine(v, ce) }._1
+      assert(r.getLong(2) === want, s"vec ${r.getLong(0)} assigned to wrong cell")
+    }
+  }
+
   test("q17 skew-join plan: generate sits only on the dim side, fact unexploded") {
     val planned = physical(operators.Relational.saltedJoin(spark, sfDir))
     val generates = planned.collect {

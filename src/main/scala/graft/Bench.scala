@@ -18,17 +18,26 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
-      // min of two timed reps: the warm pass above removes codegen cost,
-      // the min removes GC/scheduling outliers — reported time is the
-      // repeatable steady state, not one run's noise
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        // a failed query must not read as a fast success: -1, not elapsed
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    // Three timed ROUNDS in round-robin order (rep 1 of every query, then
+    // rep 2 of every query, ...), min per query across rounds: a transient
+    // GC/compilation episode lands on different queries in different rounds,
+    // so the reported min is robust to bench order — round 2 saw p14 read
+    // 3.5x its isolated steady state purely from order-sensitive noise.
+    val reps = 3
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val failedKeys = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to reps; (name, fn) <- ordered) {
+      val t0 = System.nanoTime()
+      // a failed query must not read as a fast success: mark, don't time
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      if (!ok) failedKeys += name
+      else {
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> (if (failedKeys(name) || !best.contains(name)) -1.0 else best(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -11,8 +11,26 @@ object Verify {
     // a SCRATCH outDir — never the driver's canonical one, where a shrunken
     // oracle file next to stale dumps would silently narrow the gate.
     val only: Set[String] = args.drop(2).toSet
-    if (only.nonEmpty) System.err.println(
-      s"[verify] PARTIAL run (${only.size} keys) — use a scratch outDir, not the driver's")
+    if (only.nonEmpty) {
+      System.err.println(
+        s"[verify] PARTIAL run (${only.size} keys) — use a scratch outDir, not the driver's")
+      // refuse to SHRINK an existing oracle file: a filtered oracle_sql.json
+      // beside stale full dumps would silently narrow the correctness gate.
+      // Re-running the same filtered key set into the same scratch dir stays
+      // allowed (no key disappears).
+      val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+      if (Files.exists(oraclePath)) {
+        val existing = Files.readString(oraclePath)
+        val shrunk = SparkEntry.oracleSql.keys
+          .filterNot(only).filter(k => existing.contains("\"" + k + "\""))
+        if (shrunk.nonEmpty) {
+          System.err.println(
+            s"[verify] REFUSING: $oraclePath already covers ${shrunk.size} key(s) this run " +
+              s"would drop (e.g. ${shrunk.take(3).mkString(", ")}); use a fresh scratch outDir")
+          sys.exit(2)
+        }
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

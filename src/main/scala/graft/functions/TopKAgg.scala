@@ -17,8 +17,12 @@ import org.apache.spark.sql.types._
 final class TopKBuffer(val k: Int) {
   val heap = new java.util.PriorityQueue[java.lang.Double](math.max(k, 1))
   def add(v: Double): Unit = {
+    // the gate uses the same total order as the heap (Double.compare), so
+    // NaN consistently ranks above everything (it can be displaced like any
+    // other max) and -0.0 < 0.0 — mixing primitive `<` with compareTo let
+    // one NaN permanently block the buffer
     if (heap.size < k) heap.add(v)
-    else if (heap.peek() < v) { heap.poll(); heap.add(v) }
+    else if (java.lang.Double.compare(heap.peek(), v) < 0) { heap.poll(); heap.add(v) }
   }
   def mergeFrom(other: TopKBuffer): Unit = other.heap.forEach(v => add(v))
   def sortedDesc: Array[Double] = {
@@ -56,8 +60,16 @@ case class TopKAggExpr(
   override def checkInputDataTypes(): TypeCheckResult =
     if (!kExpr.foldable)
       TypeCheckResult.TypeCheckFailure("topk_agg: k must be a literal")
-    else
-      GraftTypeCheck.expect(prettyName, Seq(child, kExpr), Seq(DoubleType, IntegerType))
+    else {
+      val typed = GraftTypeCheck.expect(prettyName, Seq(child, kExpr), Seq(DoubleType, IntegerType))
+      if (typed != TypeCheckResult.TypeCheckSuccess) typed
+      else kExpr.eval(InternalRow.empty) match {
+        // k < 1 must be an ANALYSIS error, not an opaque runtime NPE from
+        // peeking an empty heap (mirrors bloom_agg's numBits validation)
+        case kv: Integer if kv >= 1 => TypeCheckResult.TypeCheckSuccess
+        case kv => TypeCheckResult.TypeCheckFailure(s"topk_agg: k must be >= 1, got $kv")
+      }
+    }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
 

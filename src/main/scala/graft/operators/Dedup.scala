@@ -235,15 +235,19 @@ object Dedup {
       .select($"content_md5".as("eval_md5")).distinct()
     val evalBloom = evalFps
       .agg(bloomAgg($"eval_md5", lit(BloomBits), lit(BloomHashes)).as("bloom"))
-    val suspected = docs.crossJoin(broadcast(evalBloom))
-      .filter(bloomContains($"bloom", $"content_md5"))
+    // ONE corpus scan: flag each row with its Bloom verdict, then a single
+    // conditional anti-join — non-hit rows match nothing (the `bloom_hit`
+    // residual is false) and pass straight through; only suspected rows are
+    // checked against the exact eval relation. The filter has no false
+    // negatives, so this is identical to d09's plain anti-join. The earlier
+    // two-branch form (suspected/cleared as separate filters unioned back)
+    // scanned the corpus twice, which defeats the prefilter at 100 TB.
+    docs.crossJoin(broadcast(evalBloom))
+      .select($"doc_id", $"source", $"content_md5",
+              bloomContains($"bloom", $"content_md5").as("bloom_hit"))
+      .join(broadcast(evalFps),
+            $"bloom_hit" && ($"content_md5" === $"eval_md5"), "left_anti")
       .select($"doc_id", $"source", $"content_md5")
-    val cleared = docs.crossJoin(broadcast(evalBloom))
-      .filter(!bloomContains($"bloom", $"content_md5"))
-      .select($"doc_id", $"source", $"content_md5")
-    cleared
-      .union(suspected.join(broadcast(evalFps),
-        $"content_md5" === $"eval_md5", "left_anti"))
       .orderBy($"doc_id")
   }
 

@@ -83,7 +83,15 @@ object Multimodal {
             new java.io.File(tmp, f"doc_$id%06d.bin").toPath,
             ("IMG0" + text).getBytes("UTF-8"))
         }
-      if (!tmp.renameTo(store)) { // lost the publish race: winner's store wins
+      if (!tmp.renameTo(store)) {
+        // a failed rename is only safe to swallow when it means "lost the
+        // publish race" — i.e. the winner's store is actually in place; any
+        // other cause (permissions, stale crashed-build dir) must fail loudly
+        // instead of silently discarding the fixture and surfacing later as
+        // an unrelated-looking empty-read error
+        if (!store.exists())
+          throw new java.io.IOException(
+            s"fixture publish failed: rename $tmp -> $store returned false and no store exists")
         tmp.listFiles().foreach(_.delete())
         tmp.delete()
       }

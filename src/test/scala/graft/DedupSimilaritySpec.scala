@@ -198,6 +198,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(df.filter(col("width") < 64 || col("height") < 64).isEmpty)
   }
 
+  test("d16 bloom decontamination scans the corpus once and matches d09 exactly") {
+    // one conditional anti-join over a single flagged scan — the earlier
+    // suspected/cleared two-branch union read the corpus twice
+    val d16 = SparkEntry.queries("d16_bloom_decontaminate")(spark, sfDir)
+    val d09 = SparkEntry.queries("d09_decontaminate")(spark, sfDir)
+    assert(d16.collect().map(_.toSeq).toSeq === d09.collect().map(_.toSeq).toSeq)
+    val planned = physical(d16)
+    val scans = planned.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // documents is read for: the corpus pass, the eval fingerprint relation,
+    // and the eval bloom build (the latter two are the simulated eval set —
+    // a separate tiny table in production). The corpus branch itself is ONE.
+    assert(scans.length <= 3, s"expected <=3 parquet scans, got ${scans.length}:\n$planned")
+    val s = planned.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftAnti"),
+      s"exact check must be a broadcast anti-join:\n$s")
+  }
+
   test("m01 decode seam moves no data: only the presentation sort repartitions") {
     // the typed mapPartitions batch seam (where a real codec drops in) must
     // stay a per-partition pass — no hash exchange anywhere; the single

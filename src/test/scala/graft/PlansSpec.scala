@@ -104,6 +104,22 @@ class PlansSpec extends SparkSpec {
     assert(viaSql.collect().forall(_.getSeq[Double](1).length <= 3))
   }
 
+  test("topk_agg rejects k < 1 at analysis time and NaN cannot block the buffer") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    Seq(1.0).toDF("v").createOrReplaceTempView("tk_guard")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT topk_agg(v, 0) FROM tk_guard").collect()
+    }
+    assert(e.getMessage.contains("k must be >= 1"), e.getMessage)
+    // Double.compare's total order ranks NaN above everything — it occupies
+    // one slot but later larger values still displace the true minimum
+    val top = Seq(Double.NaN, 5.0, 3.0, 4.0).toDF("v")
+      .agg(functions.GraftFunctions.topkAgg(col("v"), lit(2)).as("t"))
+      .collect()(0).getSeq[Double](0)
+    assert(top.length == 2 && top(0).isNaN && top(1) == 5.0, top.mkString(","))
+  }
+
   test("d08/d15 ivf cell assignment: corpus rows cross no exchange") {
     import spark.implicits._
     functions.GraftFunctions.register(spark)

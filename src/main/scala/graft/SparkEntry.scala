@@ -74,6 +74,7 @@ object SparkEntry {
     "p20_indexed_search"        -> (PipelineOps.indexedSearch _),
     "p17_render_stats"          -> (Render.renderStats _),
     "p18_text_search"           -> (PipelineOps.textSearch _),
+    "p21_tolerant_ingest"       -> (PipelineOps.tolerantIngest _),
     // C. Text / markup processing
     "t01_html_clean"        -> (TextOps.htmlClean _),
     "t02_sanitize_filename" -> (TextOps.sanitizeFilename _),
@@ -512,6 +513,16 @@ object SparkEntry {
     // p20 executes the same search through an inverted-postings plan; the
     // semantic contract (and so the oracle) is identical to p18
     "p20_indexed_search" -> TextSearchOracle,
+    // p21 reads a jsonl fixture with a truncated line planted for every
+    // doc_id % 13 == 5; the oracle derives the same parsed/corrupt split
+    // (and the parsed-id checksum) straight from documents
+    "p21_tolerant_ingest" ->
+      """SELECT 'corrupt' AS status, COUNT(*) AS n, CAST(NULL AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 13 = 5
+        |UNION ALL
+        |SELECT 'parsed' AS status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE doc_id % 13 <> 5
+        |ORDER BY status""".stripMargin,
     "m03_binary_ingest" ->
       """SELECT doc_id,
         |       octet_length(encode('IMG0' || text)) AS byte_len,

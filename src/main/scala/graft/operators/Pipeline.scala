@@ -234,4 +234,67 @@ object PipelineOps {
            countDistinct($"lang").as("lang_count"))
       .orderBy($"source")
   }
+
+  /** Failure-tolerant ingestion — the one reference behavior with no query
+    * analogue until now: the pipeline records per-page failures and CONTINUES
+    * the run (/root/reference/master_script.py:222-609 catches per-page
+    * exceptions into failure counters instead of aborting). Spark-first
+    * analogue: a PERMISSIVE jsonl read routes unparseable records into a
+    * `_corrupt_record` column instead of failing the job; the run summary
+    * counts parsed vs corrupt records, with a payload checksum (id_sum) over
+    * the parsed rows proving good records survive intact. The fixture plants
+    * a truncated line for every doc_id % 13 == 5, so the oracle derives the
+    * expected split from `documents`. Parsing is row-local — tolerance costs
+    * no shuffle, and at 100 TB the same read runs per-file across however
+    * many jsonl parts the corpus has.
+    */
+  def tolerantIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = jsonlStore(s, dir)
+    s.read
+      .schema("doc_id LONG, source STRING, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(store.getPath)
+      .select(
+        when($"_corrupt_record".isNull, lit("parsed")).otherwise(lit("corrupt")).as("status"),
+        $"doc_id")
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+      .orderBy($"status")
+  }
+
+  /** Planted jsonl fixture: every document as one JSON line, except
+    * doc_id % 13 == 5 rows are written truncated (the cut always lands
+    * inside the final string literal, so the line cannot parse). Same
+    * stamp + atomic-rename lifecycle as the m03 attachment store.
+    */
+  private def jsonlStore(s: SparkSession, dir: String): java.io.File = {
+    import s.implicits._
+    val srcStamp = new java.io.File(s"$dir/documents.parquet").lastModified()
+    val store = new java.io.File(
+      s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$srcStamp")
+    if (!store.exists()) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(store.getParentFile.toPath, store.getName + ".build.")
+        .toFile
+      val w = new java.io.PrintWriter(new java.io.File(tmp, "docs.jsonl"), "UTF-8")
+      try Tables.documents(s, dir)
+        .select($"doc_id", to_json(struct($"doc_id", $"source", $"text")).as("line"))
+        .as[(Long, String)]
+        .toLocalIterator().forEachRemaining { case (id, line) =>
+          w.println(if (id % 13 == 5) line.substring(0, line.length - 5) else line)
+        }
+      finally w.close()
+      if (!tmp.renameTo(store)) {
+        // swallow only a lost publish race (see Multimodal.binaryIngest)
+        if (!store.exists())
+          throw new java.io.IOException(
+            s"fixture publish failed: rename $tmp -> $store returned false and no store exists")
+        tmp.listFiles().foreach(_.delete())
+        tmp.delete()
+      }
+    }
+    store
+  }
 }

@@ -30,6 +30,22 @@ class SourcesSpec extends SparkSpec {
       .collect().toSeq == docs.select("doc_id", "text", "source").collect().toSeq)
   }
 
+  test("p21 tolerant ingestion routes planted corrupt lines instead of failing") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val planted = docs.filter(col("doc_id") % 13 === 5).count()
+    assert(planted > 0, "fixture must actually plant corrupt lines")
+    val out = SparkEntry.queries("p21_tolerant_ingest")(spark, sfDir).collect()
+    val n = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("corrupt") == planted, s"every truncated line must surface as corrupt: $n")
+    assert(n("parsed") == total - planted, s"all intact lines must parse: $n")
+    // parsed payloads survive intact: id checksum matches the source table
+    val idSum = out.find(_.getString(0) == "parsed").get.getLong(2)
+    val expect = docs.filter(col("doc_id") % 13 =!= 5)
+      .agg(sum("doc_id")).collect()(0).getLong(0)
+    assert(idSum == expect)
+  }
+
   test("file stream with maxFilesPerTrigger ingests incrementally (rate limiting)") {
     val s = spark
     import s.implicits._

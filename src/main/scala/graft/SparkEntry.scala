@@ -53,6 +53,7 @@ object SparkEntry {
     "q30_approx_quantiles" -> (Relational.approxQuantiles _),
     "q31_topk_agg"        -> (Relational.topkAggQuery _),
     "q32_outer_join"      -> (Relational.outerJoinSuite _),
+    "q33_nested_topk"     -> (Relational.nestedTopK _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -685,6 +686,22 @@ object SparkEntry {
         |      FROM c)
         |SELECT source, CAST(rank AS BIGINT) AS rank, bigram, n
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+    // q33: t08's ranked counts rolled into an array-of-struct column —
+    // struct_pack field names/order must match Spark's struct(rank, bigram,
+    // n) exactly, since the nested value participates in the hash compare
+    "q33_nested_topk" ->
+      """WITH w AS (SELECT source, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
+        |           FROM documents),
+        |b AS (SELECT source, toks[g] || ' ' || toks[g+1] AS bigram
+        |      FROM w, UNNEST(range(1, LEN(toks))) AS t(g)),
+        |c AS (SELECT source, bigram, COUNT(*) AS n FROM b GROUP BY source, bigram),
+        |r AS (SELECT source, bigram, n,
+        |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rank
+        |      FROM c)
+        |SELECT source,
+        |       list(struct_pack(rank := CAST(rank AS BIGINT), bigram := bigram, n := n)
+        |            ORDER BY rank) AS top_bigrams
+        |FROM r WHERE rank <= 5 GROUP BY source ORDER BY source""".stripMargin,
     "t10_stopword_filter" ->
       """WITH w AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
         |           FROM documents),

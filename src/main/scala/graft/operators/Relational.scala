@@ -267,6 +267,23 @@ object Relational {
       .orderBy($"event_type", $"rank")
   }
 
+  /** Nested-result shape through the correctness gate: per-space top-5
+    * bigrams rolled up into an array<struct<rank, bigram, n>> column — real
+    * pipelines return structs/arrays, not just flat rows, and this proves
+    * the oracle hash covers them. Reuses t08's ranked counts (same
+    * tokenize/rank semantics both engines already agree on); the rollup is
+    * one extra partial-aggregated shuffle of <= k rows per group, and
+    * array_sort on the rank-led struct pins element order deterministically
+    * regardless of partitioning.
+    */
+  def nestedTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextOps.ngramTopK(s, dir, k = 5)
+      .groupBy($"source")
+      .agg(array_sort(collect_list(struct($"rank", $"bigram", $"n"))).as("top_bigrams"))
+      .orderBy($"source")
+  }
+
   /** Full-outer join with both-sided null production: the per-user event
     * rollup joined against the customer dimension — users without a
     * customer row and customers without events both survive with typed

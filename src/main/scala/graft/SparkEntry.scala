@@ -116,6 +116,7 @@ object SparkEntry {
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
     "s03_stream_dedup" -> (graft.streaming.Streams.dedupBatch _),
     "s06_stream_distinct" -> (graft.streaming.Streams.distinctUsersBatch _),
+    "s09_stream_topk"     -> (graft.streaming.Streams.topkBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -855,6 +856,15 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    // s09: the streaming top-k transform's batch form — flat ranked rows
+    // (q31's multiset-over-values pattern, here per 6-hour window)
+    "s09_stream_topk" ->
+      """SELECT window_start, event_type, CAST(rank AS BIGINT) AS rank, value FROM (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '6 hours', ts), event_type
+        |                            ORDER BY value DESC) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY window_start, event_type, rank""".stripMargin,
     // s06: per-window HLL sketch next to the exact distinct; the sketch is
     // engine-specific, so the oracle checks the exact count and asserts the
     // error-bound claim TRUE (q24 pattern)

@@ -173,6 +173,36 @@ object Streams {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Per-window top-k values through the custom topk_agg aggregate — the
+    * same buffer the s08 spec drives through the streaming state store,
+    * shared by the batch driver key (s09) and the update-mode stream. The
+    * k-capped heap partial-merges map-side AND across micro-batches, so
+    * per-(window, type) state is k doubles: top-k over an unbounded stream
+    * costs constant state, where a windowed sort would retain every row.
+    */
+  def topkWindowed(events: DataFrame, k: Int = 3): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    events
+      .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+      .agg(graft.functions.GraftFunctions.topkAgg($"value", lit(k)).as("topv"))
+      .select($"w.start".as("window_start"), $"event_type", $"topv")
+  }
+
+  /** Batch form (driver contract key s09_stream_topk): the array explodes
+    * to flat ranked rows so the oracle hash-compares (q31 pattern —
+    * multiset-over-values semantics make rank rows deterministic).
+    */
+  def topkBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    topkWindowed(Tables.events(s, dir))
+      .select($"window_start", $"event_type", posexplode($"topv"))
+      .select($"window_start", $"event_type",
+              ($"pos" + 1).cast("long").as("rank"), $"col".as("value"))
+      .orderBy($"window_start", $"event_type", $"rank")
+  }
+
   /** Streaming state upsert through foreachBatch — the reference's
     * StateManager persistence (utilities/state_manager.py:84
     * update_page_state) as a continuously-maintained table: each micro-batch

@@ -173,9 +173,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
     functions.GraftFunctions.register(s)
     val input = MemoryStream[Event]
-    val q = input.toDF().withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
-      .agg(functions.GraftFunctions.topkAgg(col("value"), lit(3)).as("topv"))
+    // the SAME transform as the s09 driver key, driven as a stream
+    val q = graft.streaming.Streams.topkWindowed(input.toDF().withWatermark("ts", "1 hour"))
       .writeStream.format("memory").queryName("s08_out").outputMode("update").start()
     try {
       input.addData(Event(1, ts(0), 1, "v", 5.0), Event(2, ts(1), 1, "v", 9.0))

@@ -95,6 +95,49 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("global sort: sampled range partitioning splits a skewed key across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    // half the rows share one hot key — the classic global-sort skew case
+    val n = 10000L
+    val df = spark.range(n).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val parts = 8
+
+    // a composite boundary (k, payload) lets the range sampler cut INSIDE
+    // the hot key, so no partition inherits all 5000 hot rows
+    val sorted = df.repartitionByRange(parts, col("k"), col("payload"))
+      .sortWithinPartitions(col("k"), col("payload"))
+    val planned = physical(sorted)
+    val ranges = planned.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(ranges.length == 1, s"expected one RangePartitioning exchange:\n$planned")
+
+    // partition-sorted ranges + sorted partitions = globally sorted collect
+    val rows = sorted.select(col("k"), col("payload")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == n)
+    assert(rows.zip(rows.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2) }, "collect must be globally sorted")
+
+    // skew is actually split: no partition holds more than ~2x the fair share
+    val sizes = sorted.groupBy(spark_partition_id().as("pid"))
+      .count().collect().map(_.getLong(1))
+    assert(sizes.max <= 2 * n / parts,
+      s"sampled boundaries must split the hot key, got partitions ${sizes.mkString(",")}")
+
+    // contrast: ranging on the skewed key ALONE necessarily funnels every
+    // hot row into one partition — the 100 TB lesson is to widen the
+    // boundary with a tiebreaker when a sort key is hot
+    val naive = df.repartitionByRange(parts, col("k"))
+      .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+    assert(naive.max >= n / 2, s"hot key should dominate one partition: ${naive.mkString(",")}")
+  }
+
   test("dynamic partition overwrite refreshes only the re-processed space") {
     val s = spark
     import s.implicits._

@@ -44,7 +44,35 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Optional sf1 spot-check: when the ScaleGen'd 10x dataset exists, also
+    // measure the headline queries against it, so the linear-scaling posture
+    // is a measured ratio instead of an argument from plan shapes. A missing
+    // dir just omits the field — the one-line driver contract is unchanged.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val sf1Json =
+      if (!new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) ""
+      else {
+        val headline = Seq("q01_agg_pricing", "q04_join_shuffle", "q17_salted_join",
+          "t08_ngram_topk", "d01_exact_dedup", "d02_minhash_lsh", "d12_ann_pq",
+          "p14_corpus_pipeline", "p19_training_mix", "s01_window_agg")
+        headline.foreach { k =>
+          try SparkEntry.queries(k)(spark, sf1Dir).count() catch { case _: Throwable => () }
+        }
+        val b1 = scala.collection.mutable.Map.empty[String, Double]
+        val f1 = scala.collection.mutable.Set.empty[String]
+        for (_ <- 1 to 2; k <- headline) {
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(k)(spark, sf1Dir).count(); true }
+                   catch { case _: Throwable => false }
+          if (!ok) f1 += k
+          else b1(k) = math.min(b1.getOrElse(k, Double.MaxValue), (System.nanoTime() - t0) / 1e9)
+        }
+        val entries = headline.map { k =>
+          "\"" + k + "\":" + (if (f1(k) || !b1.contains(k)) -1.0 else b1(k))
+        }.mkString("{", ",", "}")
+        s""","sf1_headline":$entries,"sf1_dir":"$sf1Dir""""
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

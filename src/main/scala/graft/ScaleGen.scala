@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the sf1 bench spot-check: replicates an existing
+  * sf directory `factor` times with disjoint key ranges, so the 100-TB
+  * "plans scale linearly" claim is measured instead of argued.
+  *
+  * Replication semantics (per replica i > 0):
+  *   - every join/id key shifts by i * KeyOffset, keeping FK consistency
+  *     (orders.o_custkey moves with customer.c_custkey, etc.)
+  *   - documents.text gets a per-replica suffix so dedup/minhash structure
+  *     stays proportional instead of making every doc a 10-way exact dup
+  *     (which would inflate candidate-pair volume quadratically — a data
+  *     artifact, not an engine property)
+  *   - embeddings shift by a small per-replica constant so ANN corpora grow
+  *     with distinct geometry, while the vec_id < 5 query set stays replica-0
+  *   - events keep their timestamps (10x rows per window — how a busier
+  *     stream actually scales); region/nation stay as-is (dims are fixed)
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleGen {
+  val KeyOffset = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val out = args(1); val factor = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see Tables.events
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      System.err.println(s"[scalegen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    def replicate(name: String, keys: Seq[String],
+                  tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = Tables.table(spark, src, name)
+      val parts = (0 until factor).map { i =>
+        val off = i.toLong * KeyOffset
+        val shifted = keys.foldLeft(base)((d, c) => d.withColumn(c, col(c) + off))
+        tweak(shifted, i)
+      }
+      write(name, parts.reduce(_.unionByName(_)))
+    }
+
+    // fixed dimensions: copy untouched
+    write("region", Tables.table(spark, src, "region"))
+    write("nation", Tables.table(spark, src, "nation"))
+
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // events.parquet ts stays a raw long (nanos) end to end — Tables.events
+    // converts at read time
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("documents", Seq("doc_id"), (d, i) =>
+      if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" r$i"))))
+    replicate("embeddings", Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        expr(s"CAST(transform(embedding, x -> x + ${0.013 * i}D) AS ARRAY<FLOAT>)")))
+
+    spark.stop()
+  }
+}

@@ -251,14 +251,20 @@ object PipelineOps {
   def tolerantIngest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = jsonlStore(s, dir)
-    s.read
-      .schema("doc_id LONG, source STRING, text STRING, _corrupt_record STRING")
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(store.getPath)
+    // text source + from_json, NOT a raw .json() read: the file source
+    // forbids plans whose pruned schema is only the corrupt column
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN — a bare count() over this summary
+    // prunes exactly that way), while from_json honors the same
+    // PERMISSIVE/corrupt-column contract per row with no such restriction.
+    s.read.textFile(store.getPath).toDF("line")
+      .select(from_json($"line",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, source STRING, text STRING, _corrupt_record STRING"),
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
       .select(
-        when($"_corrupt_record".isNull, lit("parsed")).otherwise(lit("corrupt")).as("status"),
-        $"doc_id")
+        when($"rec._corrupt_record".isNull, lit("parsed")).otherwise(lit("corrupt")).as("status"),
+        $"rec.doc_id".as("doc_id"))
       .groupBy($"status")
       .agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
       .orderBy($"status")

@@ -89,5 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // domain algebraic rewrites (nfc idempotence) as an optimizer rule
+    ext.injectOptimizerRule(_ => graft.plans.GraftOptimizations)
   }
 }

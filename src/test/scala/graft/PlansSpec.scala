@@ -104,6 +104,32 @@ class PlansSpec extends SparkSpec {
     assert(viaSql.collect().forall(_.getSeq[Double](1).length <= 3))
   }
 
+  test("optimizer rule collapses idempotent NFC normalization chains") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    graft.plans.GraftOptimizations.ensure(spark)
+    import functions.GraftFunctions.nfcNorm
+    // parquet-backed input: a local Seq would be evaluated away wholesale by
+    // ConvertToLocalRelation, hiding what the rule did
+    val docs = Tables.documents(spark, sfDir)
+    val chained = docs.select(nfcNorm(nfcNorm(nfcNorm($"text"))).as("n"))
+    def countNfc(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      var n = 0
+      p.foreach(_.expressions.foreach(_.foreach {
+        case _: functions.NfcNormalizeExpr => n += 1
+        case _ => ()
+      }))
+      n
+    }
+    assert(countNfc(chained.queryExecution.analyzed) == 3)
+    assert(countNfc(chained.queryExecution.optimizedPlan) == 1,
+      s"fixed-point batch must collapse the whole chain:\n${chained.queryExecution.optimizedPlan}")
+    // semantics preserved vs the single-pass form
+    val single = docs.select(nfcNorm($"text").as("n"))
+    assert(chained.collect().map(_.getString(0)).toSeq ===
+           single.collect().map(_.getString(0)).toSeq)
+  }
+
   test("topk_agg rejects k < 1 at analysis time and NaN cannot block the buffer") {
     import spark.implicits._
     functions.GraftFunctions.register(spark)

@@ -91,6 +91,8 @@ object SparkEntry {
     "t09_pii_redact"        -> (TextOps.piiRedact _),
     "t13_repetition"        -> (TextOps.repetition _),
     "t14_unicode_normalize" -> (TextOps.unicodeNormalize _),
+    "t15_tfidf"             -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "p22_state_history"     -> (PipelineOps.stateHistory _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -515,6 +517,31 @@ object SparkEntry {
     // p20 executes the same search through an inverted-postings plan; the
     // semantic contract (and so the oracle) is identical to p18
     "p20_indexed_search" -> TextSearchOracle,
+    // t15: linear-idf (N/df) keeps the score a single integer multiply +
+    // IEEE division, bit-exact across engines where ln() would not be
+    "t15_tfidf" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |              FROM documents),
+        |t AS (SELECT * FROM toks WHERE term <> ''),
+        |tf AS (SELECT source, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |sc AS (SELECT source, term, tf, df,
+        |              CAST(tf * n_docs AS DOUBLE) / df AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |                                   ORDER BY score DESC, term) AS rank FROM sc)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, term,
+        |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "p22_state_history" ->
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     // p21 reads a jsonl fixture with a truncated line planted for every
     // doc_id % 13 == 5; the oracle derives the same parsed/corrupt split
     // (and the parsed-id checksum) straight from documents

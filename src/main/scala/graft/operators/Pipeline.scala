@@ -235,6 +235,26 @@ object PipelineOps {
       .orderBy($"source")
   }
 
+  /** SCD2-style versioned state history — the reference's StateManager
+    * tracks only the LATEST version per page (state_manager.py:55-102); a
+    * warehouse-grade pipeline keeps the full change history as validity
+    * intervals. Each qualifying event opens a version valid from its own
+    * timestamp until the user's next event (null = still current). One
+    * window pass over one shuffle on user_id; interval construction is
+    * pure lead(), so the shape scales as a single sort-based window at any
+    * volume.
+    */
+  def stateHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .filter($"event_type".isin("purchase", "signup"))
+      .select($"user_id", $"event_id", $"value", $"ts".as("valid_from"),
+              lead($"ts", 1).over(w).as("valid_to"))
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   /** Failure-tolerant ingestion — the one reference behavior with no query
     * analogue until now: the pipeline records per-page failures and CONTINUES
     * the run (/root/reference/master_script.py:222-609 catches per-page

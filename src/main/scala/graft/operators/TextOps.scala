@@ -165,6 +165,37 @@ object TextOps {
       .orderBy($"source", $"rank")
   }
 
+  /** Per-source distinctive terms by TF-IDF: tf = term frequency within the
+    * source's corpus, idf = N_docs / df (LINEAR inverse document frequency —
+    * one integer multiply and one IEEE division, so Spark and DuckDB agree
+    * bit-exactly where log-idf would be at the mercy of each engine's libm
+    * ulp; production scoring swaps in ln(N/df) without changing the plan).
+    * Plan shape: one explode feeding two partial-aggregated shuffles (tf by
+    * (source, term), df by term over doc-distinct pairs), a broadcast
+    * vocab-sized join, and a WindowGroupLimit top-k — the corpus itself
+    * crosses one exchange per aggregate and never joins row-to-row.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select($"doc_id", $"source", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+    val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
+    val df = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc, $"term".asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", ($"tf" * $"n_docs").cast("double") / $"df")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"source", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"source", $"rank")
+  }
+
   /** PII redaction: inject deterministic synthetic contact strings (so both
     * engines see identical inputs), then mask emails and phone-shaped tokens
     * and count what was masked. Pure per-row regex -> embarrassingly

@@ -54,6 +54,8 @@ object SparkEntry {
     "q31_topk_agg"        -> (Relational.topkAggQuery _),
     "q32_outer_join"      -> (Relational.outerJoinSuite _),
     "q33_nested_topk"     -> (Relational.nestedTopK _),
+    "q34_window_dist"     -> (Relational.windowSuite2 _),
+    "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
     "p02_updated_last_n_days"   -> (PipelineOps.updatedLastNDays _),
@@ -517,6 +519,23 @@ object SparkEntry {
     // p20 executes the same search through an inverted-postings plan; the
     // semantic contract (and so the oracle) is identical to p18
     "p20_indexed_search" -> TextSearchOracle,
+    // q34: total ordering via the o_orderkey tiebreaker makes the rank
+    // fractions exact IEEE divisions on both engines
+    "q34_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |       PERCENT_RANK() OVER w AS pct_rank,
+        |       CUME_DIST() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "p23_cdc_merge" ->
+      """SELECT user_id, event_type AS last_op, value, ts AS updated_at FROM (
+        |  SELECT user_id, event_type, value, ts,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('signup', 'purchase', 'error'))
+        |WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     // t15: linear-idf (N/df) keeps the score a single integer multiply +
     // IEEE division, bit-exact across engines where ln() would not be
     "t15_tfidf" ->

@@ -235,6 +235,25 @@ object PipelineOps {
       .orderBy($"source")
   }
 
+  /** CDC change-feed application with DELETE semantics — the state op
+    * p06's max-version upsert lacks: signup/purchase act as upserts, error
+    * acts as a tombstone, and the surviving state is each user's net
+    * position after replaying the feed in (ts, event_id) order. Batch
+    * replay reduces to one window pass (last op wins, tombstones drop), so
+    * applying a 100-TB feed is a single user_id shuffle; the streaming
+    * twin is s07's foreachBatch upsert sink.
+    */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .filter($"event_type".isin("signup", "purchase", "error"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"event_type".as("last_op"), $"value", $"ts".as("updated_at"))
+      .orderBy($"user_id")
+  }
+
   /** SCD2-style versioned state history — the reference's StateManager
     * tracks only the LATEST version per page (state_manager.py:55-102); a
     * warehouse-grade pipeline keeps the full change history as validity

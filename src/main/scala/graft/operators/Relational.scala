@@ -267,6 +267,23 @@ object Relational {
       .orderBy($"event_type", $"rank")
   }
 
+  /** Distribution window suite: ntile quartiles, percent_rank and cume_dist
+    * per order priority — the rank-distribution layer (q18 covers
+    * offset/frame functions). The o_orderkey tiebreaker makes the ordering
+    * total, so rank == row_number and the emitted fractions are exact IEEE
+    * divisions both engines compute identically. One window shuffle.
+    */
+  def windowSuite2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Nested-result shape through the correctness gate: per-space top-5
     * bigrams rolled up into an array<struct<rank, bigram, n>> column — real
     * pipelines return structs/arrays, not just flat rows, and this proves

@@ -94,7 +94,9 @@ object SparkEntry {
     "t13_repetition"        -> (TextOps.repetition _),
     "t14_unicode_normalize" -> (TextOps.unicodeNormalize _),
     "t15_tfidf"             -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "t16_token_spectrum"    -> (TextOps.tokenSpectrum _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
+    "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -519,6 +521,23 @@ object SparkEntry {
     // p20 executes the same search through an inverted-postings plan; the
     // semantic contract (and so the oracle) is identical to p18
     "p20_indexed_search" -> TextSearchOracle,
+    // t16: exact bit-length binning (no floating log at bin boundaries)
+    "t16_token_spectrum" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |              FROM documents),
+        |f AS (SELECT term, COUNT(*) AS f FROM toks WHERE term <> '' GROUP BY 1)
+        |SELECT CAST(LENGTH(FORMAT('{:b}', f)) AS BIGINT) AS bucket_bits,
+        |       COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS total_occurrences
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // p24: forward as-of — DuckDB ASOF with the inequality flipped
+    "p24_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |e AS (SELECT user_id, ts AS e_ts, event_id AS e_id
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.e_id, e.user_id, e.e_ts, p.p_id, p.p_ts
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts <= p.p_ts
+        |ORDER BY e_id""".stripMargin,
     // q34: total ordering via the o_orderkey tiebreaker makes the rank
     // fractions exact IEEE divisions on both engines
     "q34_window_dist" ->

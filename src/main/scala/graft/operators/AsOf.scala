@@ -42,6 +42,37 @@ object AsOf {
       .orderBy($"e_id")
   }
 
+  /** FORWARD as-of: for every 'error' event, the EARLIEST following (or
+    * simultaneous) 'purchase' by the same user — the attribution direction
+    * ("what happened next") that backward as-of (p13/p15) can't express.
+    * Same union+window composition with the ordering reversed: one shuffle
+    * on the key, the descending (ts, tag) order makes the running `last`
+    * carry the nearest following purchase, and purchases sort before
+    * errors at equal ts so ">=" includes simultaneous matches. Oracle =
+    * DuckDB ASOF LEFT JOIN with the inequality flipped.
+    */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("p_id"))
+      .select($"user_id", $"ts", $"p_id", lit(0).as("tag"),
+              lit(null).cast("long").as("e_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", lit(null).cast("long").as("p_id"), lit(1).as("tag"),
+              $"event_id".as("e_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.union(errors)
+      .withColumn("next_p",
+        last(when($"tag" === 0, struct($"ts".as("p_ts"), $"p_id")), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"e_id", $"user_id", $"ts".as("e_ts"),
+              $"next_p.p_id".as("p_id"), $"next_p.p_ts".as("p_ts"))
+      .orderBy($"e_id")
+  }
+
   /** For every 'error' event, the latest preceding (or simultaneous)
     * 'purchase' by the same user.
     */

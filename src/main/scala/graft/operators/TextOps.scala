@@ -196,6 +196,24 @@ object TextOps {
       .orderBy($"source", $"rank")
   }
 
+  /** Token-frequency spectrum — the Zipf-curve summary corpus audits use to
+    * sanity-check composition drift: term frequencies binned by bit length
+    * (floor(log2 f)+1, computed EXACTLY as the binary-string length so no
+    * floating log wobbles at bin boundaries), with term count and occurrence
+    * mass per bin. After the first aggregate everything is vocab-sized; the
+    * corpus crosses one partial-aggregated shuffle.
+    */
+  def tokenSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("f"))
+      .groupBy(length(bin($"f")).cast("long").as("bucket_bits"))
+      .agg(count(lit(1)).as("n_terms"), sum($"f").as("total_occurrences"))
+      .orderBy($"bucket_bits")
+  }
+
   /** PII redaction: inject deterministic synthetic contact strings (so both
     * engines see identical inputs), then mask emails and phone-shaped tokens
     * and count what was masked. Pure per-row regex -> embarrassingly

@@ -43,4 +43,19 @@ class BucketingSpec extends SparkSpec {
     val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
     assert(df.count() == errors)
   }
+
+  test("p24 forward as-of: every matched purchase follows (or equals) its error") {
+    val df = SparkEntry.queries("p24_asof_forward")(spark, sfDir)
+    assert(df.filter(col("p_ts") < col("e_ts")).isEmpty)
+    val errors = Tables.events(spark, sfDir).filter(col("event_type") === "error").count()
+    assert(df.count() == errors)
+    // and it matches the NEAREST following purchase, not just any: no other
+    // purchase by the same user may sit strictly between e_ts and p_ts
+    val p = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ts").as("pts"))
+    val between = df.filter(col("p_ts").isNotNull)
+      .join(p, col("user_id") === col("u") &&
+                 col("pts") >= col("e_ts") && col("pts") < col("p_ts"))
+    assert(between.isEmpty, "a closer following purchase exists")
+  }
 }

@@ -97,6 +97,7 @@ object SparkEntry {
     "t16_token_spectrum"    -> (TextOps.tokenSpectrum _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
+    "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -538,6 +539,18 @@ object SparkEntry {
         |SELECT e.e_id, e.user_id, e.e_ts, p.p_id, p.p_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts <= p.p_ts
         |ORDER BY e_id""".stripMargin,
+    // p25: the oracle walks ancestry recursively; the engine enumerates it
+    // arithmetically per row (tree_ancestors kernel) — same pairs
+    "p25_subtree_rollup" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id AS node, doc_id AS ancestor_id FROM documents
+        |  UNION ALL
+        |  SELECT node, (ancestor_id - 1) // 2 FROM anc WHERE ancestor_id >= 1
+        |)
+        |SELECT a.ancestor_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(d.n_chars) AS BIGINT) AS subtree_chars
+        |FROM anc a JOIN documents d ON a.node = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q34: total ordering via the o_orderkey tiebreaker makes the rank
     // fractions exact IEEE divisions on both engines
     "q34_window_dist" ->

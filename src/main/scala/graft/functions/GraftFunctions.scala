@@ -29,6 +29,7 @@ object GraftFunctions {
     "bloom_agg"       -> (es => BloomAggExpr(es(0), es(1), es(2))),
     "bloom_contains"  -> (es => BloomContainsExpr(es(0), es(1))),
     "nfc_norm"        -> (es => NfcNormalizeExpr(es(0))),
+    "tree_ancestors"  -> (es => TreeAncestorsExpr(es(0))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -54,6 +55,7 @@ object GraftFunctions {
   def bloomContains(bloom: Column, v: Column): Column =
     call_function("bloom_contains", bloom, v)
   def nfcNorm(v: Column): Column = call_function("nfc_norm", v)
+  def treeAncestors(id: Column): Column = call_function("tree_ancestors", id)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
@@ -86,6 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => BloomContainsExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("nfc_norm"), info("nfc_norm"),
       (es: Seq[Expression]) => NfcNormalizeExpr(es(0))))
+    ext.injectFunction((FunctionIdentifier("tree_ancestors"), info("tree_ancestors"),
+      (es: Seq[Expression]) => TreeAncestorsExpr(es(0))))
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -98,6 +98,24 @@ object kernels {
     new GenericArrayData(out)
   }
 
+  /** Ancestor path of a node in the derived balanced tree
+    * (parent(i) = (i-1) div 2, the hierarchy the documents data model
+    * defines — see graft.operators.PipelineOps): [self, parent, ..., root].
+    * Enumerated arithmetically per row, so subtree rollups need no
+    * iterative joins — one static call, one explode, one shuffle.
+    */
+  def treeAncestors(id: Long): ArrayData = {
+    var n = math.max(id, 0L)
+    var len = 1
+    var m = n
+    while (m > 0) { m = (m - 1) >> 1; len += 1 }
+    val out = new Array[Long](len)
+    var i = 0
+    while (i < len) { out(i) = n; if (n > 0) n = (n - 1) >> 1; i += 1 }
+    out(len - 1) = 0L
+    new GenericArrayData(out)
+  }
+
   /** Argmax-cosine centroid id over a packed codebook row. `cents` is
     * array<struct<centroid_id: long, ce: array<float>>> sorted by centroid_id
     * ascending, so a strict `>` makes ties resolve to the lowest id — the
@@ -474,6 +492,21 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "nearest_centroid"
+}
+
+/** tree_ancestors(long) -> array<long>: [self, parent, ..., root] for the
+  * derived balanced tree (parent(i) = (i-1) div 2), codegen'd.
+  */
+case class TreeAncestorsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(child), Seq(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(id: Any): Any =
+    kernels.treeAncestors(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.treeAncestors($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "tree_ancestors"
 }
 
 /** minhash_sig(array<long>, numHashes) -> array<long>. */

@@ -164,6 +164,27 @@ object PipelineOps {
       .agg(max(org.apache.spark.sql.functions.col(col))).head().getLong(0)
   }
 
+  /** Hierarchical subtree rollup: per-node document count and character
+    * mass over its ENTIRE subtree (the "space/section totals" view p04's
+    * descendant listing can't aggregate). Because ancestry in the derived
+    * tree is arithmetic (parent(i) = (i-1) div 2), each row ENUMERATES its
+    * own ancestor path via the codegen'd `tree_ancestors` kernel — no
+    * iterative self-joins, no closure materialization: one explode
+    * (log2(n) rows per doc) and ONE partial-aggregated shuffle, at any
+    * corpus size. Oracle: DuckDB WITH RECURSIVE ancestor walk.
+    */
+  def subtreeRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(explode(graft.functions.GraftFunctions.treeAncestors($"doc_id"))
+                .as("ancestor_id"),
+              $"n_chars")
+      .groupBy($"ancestor_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("subtree_chars"))
+      .orderBy($"ancestor_id")
+  }
+
   /** should_process_page: classify current vs state as new/updated/unchanged. */
   def incrementalDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -136,6 +136,20 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("tree ancestors: starts at self, halves to root, strictly decreasing") {
+    (0L to 2000L).foreach { id =>
+      val path = kernels.treeAncestors(id).toLongArray()
+      assert(path.head == id)
+      assert(path.last == 0L)
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(b == (a - 1) >> 1 && b < a || (a == 0 && path.length == 1))
+        case _ => ()
+      }
+      // length is exactly the node's depth + 1 in a balanced binary tree
+      assert(path.length == 64 - java.lang.Long.numberOfLeadingZeros(id + 1))
+    }
+  }
+
   test("cosine kernel: bounded, symmetric, self-similarity 1") {
     (1 to 100).foreach { _ =>
       val a = Array.fill(16)(rng.nextFloat() * 20f - 10f)

@@ -170,24 +170,27 @@ object TextOps {
     * one integer multiply and one IEEE division, so Spark and DuckDB agree
     * bit-exactly where log-idf would be at the mercy of each engine's libm
     * ulp; production scoring swaps in ln(N/df) without changing the plan).
-    * Plan shape: one explode feeding two partial-aggregated shuffles (tf by
-    * (source, term), df by term over doc-distinct pairs), a broadcast
-    * vocab-sized join, and a WindowGroupLimit top-k — the corpus itself
-    * crosses one exchange per aggregate and never joins row-to-row.
+    * Plan shape: ONE corpus lineage, no self-join. The explode partial-aggs
+    * into a per-(doc, source, term) shuffle (the only corpus-scale
+    * exchange); a second vocab-sized aggregate yields per-(source, term)
+    * occurrence and doc counts in one pass, and df attaches as a window
+    * sum over term — a doc has exactly one source, so summing per-source
+    * doc counts across sources IS the document frequency. Everything after
+    * the first exchange is vocabulary-bounded.
     */
   def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val toks = docs
+    val perDoc = docs
       .select($"doc_id", $"source", explode(split(lower(trim($"text")), "\\s+")).as("term"))
       .filter($"term" =!= "")
-    val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("tf"))
-    val df = toks.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .groupBy($"doc_id", $"source", $"term").agg(count(lit(1)).as("c"))
+    val st = perDoc.groupBy($"source", $"term")
+      .agg(sum($"c").as("tf"), count(lit(1)).as("sdf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"source").orderBy($"score".desc, $"term".asc)
-    tf.join(broadcast(df), Seq("term"))
+    st.withColumn("df", sum($"sdf").over(Window.partitionBy($"term")))
       .crossJoin(broadcast(n))
       .withColumn("score", ($"tf" * $"n_docs").cast("double") / $"df")
       .withColumn("rank", row_number().over(w).cast("long"))

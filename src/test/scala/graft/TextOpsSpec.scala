@@ -107,6 +107,21 @@ class TextOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t15 tf-idf reads the corpus once: single explode, df via window not self-join") {
+    val planned = physical(SparkEntry.queries("t15_tfidf")(spark, sfDir))
+    val scans = planned.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // corpus lineage + the n_docs scalar count — NOT separate tf/df passes
+    assert(scans.length == 2, s"expected 2 parquet scans, got ${scans.length}:\n$planned")
+    val generates = planned.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.length == 1, s"corpus must explode once, got ${generates.length}")
+    assert(!planned.toString.contains("SortMergeJoin"),
+      s"df must attach via window, not a term self-join:\n$planned")
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

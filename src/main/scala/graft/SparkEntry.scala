@@ -118,6 +118,7 @@ object SparkEntry {
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
+    "m04_attachment_dedup" -> (Multimodal.attachmentDedup _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -608,6 +609,12 @@ object SparkEntry {
         |       octet_length(encode('IMG0' || text)) AS byte_len,
         |       md5('IMG0' || text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m04_attachment_dedup" ->
+      """SELECT md5('IMG0' || text) AS content_md5,
+        |       COUNT(*) AS ref_count,
+        |       MIN(doc_id) AS keeper_id,
+        |       CAST(MAX(octet_length(encode('IMG0' || text))) AS BIGINT) AS byte_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "p11_html_render" ->
       ("""SELECT doc_id,
         | '<!DOCTYPE html>' || chr(10) || '<html>' || chr(10) || '<head>' || chr(10) ||

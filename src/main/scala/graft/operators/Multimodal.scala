@@ -106,6 +106,23 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Content-addressed dedup over the binary ingestion path — the
+    * attachment-store view: one row per distinct blob with its reference
+    * count, representative owner (min doc_id) and size. The hash-groupBy
+    * runs on the md5 column the scan already computes, so dedup of a
+    * 100-TB attachment store is one partial-aggregated shuffle of
+    * (hash, count) pairs — blob bytes never move.
+    */
+  def attachmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    binaryIngest(s, dir)
+      .groupBy($"content_md5")
+      .agg(count(lit(1)).as("ref_count"),
+           min($"doc_id").as("keeper_id"),
+           max($"byte_len").as("byte_len"))
+      .orderBy($"content_md5")
+  }
+
   /** Batched metadata extraction over the binary column. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -202,6 +202,43 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    val s = spark
+    import s.implicits._
+    // q17 handles PLANNED skew (known hot keys); this is the runtime safety
+    // net SURVEY §5 relies on for skew nobody predicted. Thresholds drop to
+    // spec scale — at 100 TB the defaults fire on genuinely fat partitions.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // half the fact lands on one hot key; the dim is join-complete
+      val fact = s.range(200000).select(
+        when($"id" % 2 === 0, 7L).otherwise($"id" % 1000).as("k"), $"id".as("v"))
+      val dim = s.range(1000).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = fact.join(dim, "k")
+      // collect() drives THIS dataset's own QueryExecution (count() or a
+      // write would build a fresh one), so the adaptive plan below is the
+      // final, skew-rewritten one
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n${finalPlan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("q25 deterministic sample is stable and ~10%") {
     val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq

@@ -55,6 +55,8 @@ object SparkEntry {
     "q32_outer_join"      -> (Relational.outerJoinSuite _),
     "q33_nested_topk"     -> (Relational.nestedTopK _),
     "q34_window_dist"     -> (Relational.windowSuite2 _),
+    "q35_multiset_ops"    -> (Relational.multisetOps _),
+    "d18_quota_sample"    -> (Dedup.quotaSample _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
@@ -540,6 +542,27 @@ object SparkEntry {
         |SELECT e.e_id, e.user_id, e.e_ts, p.p_id, p.p_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts <= p.p_ts
         |ORDER BY e_id""".stripMargin,
+    "q35_multiset_ops" ->
+      """WITH e AS (SELECT user_id, event_type, event_id % 2 = 0 AS even FROM events),
+        |a AS (SELECT user_id, event_type FROM e WHERE even),
+        |b AS (SELECT user_id, event_type FROM e WHERE NOT even),
+        |c AS (SELECT user_id, COUNT(*) AS n_common
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+        |o AS (SELECT user_id, COUNT(*) AS n_only_even
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT COALESCE(c.user_id, o.user_id) AS user_id,
+        |       COALESCE(n_common, 0) AS n_common,
+        |       COALESCE(n_only_even, 0) AS n_only_even
+        |FROM c FULL OUTER JOIN o ON c.user_id = o.user_id
+        |ORDER BY user_id""".stripMargin,
+    // d18: same Knuth-hash ordering convention as d14's rate sampler
+    "d18_quota_sample" ->
+      """SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (
+        |  SELECT source, doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS pick
+        |  FROM documents)
+        |WHERE pick <= 20 ORDER BY source, pick""".stripMargin,
     // p25: the oracle walks ancestry recursively; the engine enumerates it
     // arithmetically per row (tree_ancestors kernel) — same pairs
     "p25_subtree_rollup" ->

@@ -270,6 +270,26 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Fixed-budget quota sampling: EXACTLY k docs per source (d14's rate
+    * sampling keeps a proportion; curation budgets are absolute). Selection
+    * order is a deterministic Knuth-multiplicative hash of doc_id, so both
+    * engines (and any rerun) draw the identical sample; rank <= k compiles
+    * to WindowGroupLimit, so each map partition forwards at most k rows per
+    * source before the single shuffle — a per-source reservoir, exact and
+    * order-independent at any corpus size.
+    */
+  val QuotaPerSource = 20
+  def quotaSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)), $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter($"pick" <= QuotaPerSource)
+      .select($"source", $"pick", $"doc_id", $"lang")
+      .orderBy($"source", $"pick")
+  }
+
   /** Exact n-gram Jaccard on a deterministic linear pairing (doc i vs doc
     * i + n/2): the verify step that LSH candidates would feed at scale.
     * Grams are word-bigram STRINGS (not hashes) so the DuckDB oracle computes

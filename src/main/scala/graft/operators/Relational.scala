@@ -144,6 +144,27 @@ object Relational {
     custNations.union(suppNations).distinct().except(region0).orderBy($"nk")
   }
 
+  /** Multiset set-ops — INTERSECT ALL / EXCEPT ALL preserve duplicate
+    * cardinalities (q10 covers the distinct variants): per-user event-type
+    * bags compared between two halves of the stream. Spark plans these as
+    * aggregate+join with count columns, not row-by-row — one shuffle each.
+    */
+  def multisetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"event_id" % 2 === 0)
+      .toDF("user_id", "event_type", "even")
+    val a = ev.filter($"even").select($"user_id", $"event_type")
+    val b = ev.filter(!$"even").select($"user_id", $"event_type")
+    a.intersectAll(b).groupBy($"user_id").agg(count(lit(1)).as("n_common"))
+      .join(
+        a.exceptAll(b).groupBy($"user_id").agg(count(lit(1)).as("n_only_even")),
+        Seq("user_id"), "full_outer")
+      .select($"user_id",
+              coalesce($"n_common", lit(0L)).as("n_common"),
+              coalesce($"n_only_even", lit(0L)).as("n_only_even"))
+      .orderBy($"user_id")
+  }
+
   /** ROLLUP with null-group sentinels (so ordering/hashing is engine-neutral). */
   def rollupAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -148,6 +148,10 @@ object Relational {
     * cardinalities (q10 covers the distinct variants): per-user event-type
     * bags compared between two halves of the stream. Spark plans these as
     * aggregate+join with count columns, not row-by-row — one shuffle each.
+    * The key exercises the NATIVE operators (each side branch re-scans the
+    * source); at 100 TB fuse to the single-scan conditional-count form —
+    * sum(least(ca, cb)) / sum(greatest(ca-cb, 0)) over one groupBy — which
+    * RelationalSpec proves equivalent.
     */
   def multisetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -239,6 +239,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q35: fused single-scan count form matches the native multiset operators") {
+    import spark.implicits._
+    // the 100 TB shape: one scan, per-(user, type) conditional counts, then
+    // min/max-difference sums == INTERSECT ALL / EXCEPT ALL cardinalities
+    val fused = Tables.events(spark, sfDir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(when($"event_id" % 2 === 0, 1)).as("ca"),
+           count(when($"event_id" % 2 =!= 0, 1)).as("cb"))
+      .groupBy($"user_id")
+      .agg(sum(least($"ca", $"cb")).as("n_common"),
+           sum(greatest($"ca" - $"cb", lit(0L))).as("n_only_even"))
+      .filter($"n_common" > 0 || $"n_only_even" > 0)
+      .orderBy($"user_id")
+    val native = SparkEntry.queries("q35_multiset_ops")(spark, sfDir)
+    assert(fused.collect().map(_.toSeq).toSeq === native.collect().map(_.toSeq).toSeq)
+  }
+
+  test("d18 quota sample: rank filter compiles to a partial WindowGroupLimit") {
+    val p = physical(SparkEntry.queries("d18_quota_sample")(spark, sfDir)).toString
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source reservoir must cap map output below the window:\n$p")
+  }
+
   test("q25 deterministic sample is stable and ~10%") {
     val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq

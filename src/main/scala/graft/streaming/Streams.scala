@@ -232,6 +232,42 @@ object Streams {
       .start()
   }
 
+  /** CDC sink with tombstones — p23's streaming twin, extending s07's
+    * upsert with DELETE semantics: each micro-batch merges into the parquet
+    * state and the latest (ts, version) op per key wins. Tombstones
+    * ('error') are RETAINED in state rather than physically dropped, so a
+    * late-arriving older update cannot resurrect a deleted key; the live
+    * view ([[cdcLiveState]]) filters them out. Same
+    * localCheckpoint-then-overwrite publish as s07 (a transactional table
+    * format with retention-windowed tombstone compaction replaces it at
+    * scale).
+    */
+  def cdcSink(updates: DataFrame,
+              statePath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val incoming = batch.select(col("user_id").as("key"),
+          col("event_type").as("op"), col("value").as("version"), col("ts"))
+        val merged = (if (new java.io.File(statePath).exists())
+                        s.read.parquet(statePath).unionByName(incoming)
+                      else incoming)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("key"))
+              .orderBy(col("ts").desc, col("version").desc)))
+          .filter(col("rn") === 1)
+          .drop("rn")
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
+  }
+
+  /** Live (tombstone-filtered) view of a [[cdcSink]] state table. */
+  def cdcLiveState(s: SparkSession, statePath: String): DataFrame =
+    s.read.parquet(statePath).filter(col("op") =!= "error")
+
   /** Batch dedup query (driver contract key s03_stream_dedup): deterministic
     * first-row-per-event_id via the same shape as the streaming state store.
     */

@@ -167,6 +167,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s10 CDC sink: tombstones delete keys and block late resurrections") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/st"
+    val input = MemoryStream[Event]
+    val q = Streams.cdcSink(input.toDF(), statePath)
+    try {
+      // batch 1: insert users 1 and 2
+      input.addData(Event(1, ts(0), 1, "signup", 1.0), Event(2, ts(0), 2, "signup", 1.0))
+      q.processAllAvailable()
+      // batch 2: delete user 1 (tombstone), insert user 3
+      input.addData(Event(3, ts(10), 1, "error", 0.0), Event(4, ts(10), 3, "signup", 1.0))
+      q.processAllAvailable()
+      def live = Streams.cdcLiveState(s, statePath)
+        .select("key").collect().map(_.getLong(0)).toSet
+      assert(live == Set(2L, 3L), s"tombstone must hide user 1, got $live")
+      // batch 3: a LATE update for user 1 OLDER than its tombstone must NOT
+      // resurrect it; a genuinely newer re-insert must
+      input.addData(Event(5, ts(5), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      assert(live == Set(2L, 3L), s"stale pre-delete update resurrected user 1: $live")
+      input.addData(Event(6, ts(20), 1, "signup", 2.0))
+      q.processAllAvailable()
+      assert(live == Set(1L, 2L, 3L), s"newer re-insert must revive user 1, got $live")
+    } finally q.stop()
+  }
+
   test("s08 custom topk_agg merges through the streaming state store") {
     val s = spark
     import s.implicits._

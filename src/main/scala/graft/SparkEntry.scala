@@ -124,6 +124,7 @@ object SparkEntry {
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
+    "s11_session_native" -> (graft.streaming.Streams.sessionizeNative _),
     "s03_stream_dedup" -> (graft.streaming.Streams.dedupBatch _),
     "s06_stream_distinct" -> (graft.streaming.Streams.distinctUsersBatch _),
     "s09_stream_topk"     -> (graft.streaming.Streams.topkBatch _),
@@ -133,6 +134,24 @@ object SparkEntry {
   /** Shared by p18 (scan plan) and p20 (inverted-postings plan): one
     * semantic contract, two physical strategies, both hash-checked.
     */
+  private val SessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM e)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |       COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   private val TextSearchOracle: String =
     """WITH t AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
       |c AS (SELECT doc_id, source,
@@ -982,23 +1001,10 @@ object SparkEntry {
         |       TRUE AS approx_within_bound
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
-    "s02_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN LAG(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                                   ROWS UNBOUNDED PRECEDING) AS session_seq
-        |  FROM e)
-        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-        |       MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM s GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin,
+    "s02_sessionize" -> SessionizeOracle,
+    // s11 runs the same contract through the native session_window operator
+    // (gap widened 1 microsecond to match the <= semantics) — shared oracle
+    "s11_session_native" -> SessionizeOracle,
     "s03_stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type FROM (
         |  SELECT event_id, ts, user_id, event_type,

@@ -68,6 +68,32 @@ object Streams {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** Sessionization through Spark's NATIVE session_window operator — the
+    * second physical strategy for s02's contract (the p13/p15 pattern: one
+    * semantic, two executions). session_window merges events whose gap is
+    * STRICTLY below the window length, while the composed form (and the
+    * oracle) keeps `diff <= 30min` in one session — so the native gap is
+    * widened by exactly one microsecond (the timestamp granularity),
+    * making the two definitions coincide. The session assignment happens
+    * inside the aggregate itself (no lag/cumsum window chain), which is
+    * also the form that runs under a streaming watermark.
+    */
+  def sessionizeNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grouped = Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "1800000001 microseconds").as("sw"))
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+           count(lit(1)).as("n_events"),
+           sum($"value".cast("decimal(18,6)")).cast("double").as("total_value"))
+    val w = Window.partitionBy($"user_id").orderBy($"session_start")
+    grouped
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select($"user_id", $"session_seq", $"session_start", $"session_end",
+              $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_seq")
+  }
+
   /** Streaming sessionization: per-user state machine via
     * flatMapGroupsWithState. Emits a Session whenever an in-stream gap closes
     * one; EventTimeTimeout (watermark-driven, so fully deterministic — no

@@ -97,6 +97,7 @@ object SparkEntry {
     "t14_unicode_normalize" -> (TextOps.unicodeNormalize _),
     "t15_tfidf"             -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "t16_token_spectrum"    -> (TextOps.tokenSpectrum _),
+    "t17_edit_distance"     -> (TextOps.editDistancePairs _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -552,6 +553,14 @@ object SparkEntry {
         |SELECT CAST(LENGTH(FORMAT('{:b}', f)) AS BIGINT) AS bucket_bits,
         |       COUNT(*) AS n_terms, CAST(SUM(f) AS BIGINT) AS total_occurrences
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t17_edit_distance" ->
+      """WITH h AS (SELECT doc_id, source, substr(text, 1, 40) AS head FROM documents),
+        |p AS (SELECT source, doc_id, head,
+        |             LEAD(doc_id) OVER w AS next_id, LEAD(head) OVER w AS next_head
+        |      FROM h WINDOW w AS (PARTITION BY source ORDER BY doc_id))
+        |SELECT source, doc_id, next_id,
+        |       CAST(levenshtein(head, next_head) AS BIGINT) AS edit_dist
+        |FROM p WHERE next_id IS NOT NULL ORDER BY source, doc_id""".stripMargin,
     // p24: forward as-of — DuckDB ASOF with the inequality flipped
     "p24_asof_forward" ->
       """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id

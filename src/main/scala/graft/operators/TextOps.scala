@@ -199,6 +199,28 @@ object TextOps {
       .orderBy($"source", $"rank")
   }
 
+  /** Edit-distance scan between neighboring documents — the fuzzy
+    * title/heading matcher (catching near-identical prefixes exact hashing
+    * misses, with typo tolerance LSH shingles only approximate). Pairs each
+    * doc with its successor inside the source via one window pass and
+    * computes Levenshtein over 40-char prefixes — standard unit-cost DP
+    * both engines implement identically, so the distances hash-compare
+    * exactly. Per-pair cost is O(40^2) row-local work after one shuffle.
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", substring($"text", 1, 40).as("head"))
+      .withColumn("next_id", lead($"doc_id", 1).over(w))
+      .withColumn("next_head", lead($"head", 1).over(w))
+      .filter($"next_id".isNotNull)
+      .select($"source", $"doc_id", $"next_id",
+              levenshtein($"head", $"next_head").cast("long").as("edit_dist"))
+      .orderBy($"source", $"doc_id")
+  }
+
   /** Token-frequency spectrum — the Zipf-curve summary corpus audits use to
     * sanity-check composition drift: term frequencies binned by bit length
     * (floor(log2 f)+1, computed EXACTLY as the binary-string length so no

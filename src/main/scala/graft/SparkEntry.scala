@@ -56,6 +56,7 @@ object SparkEntry {
     "q33_nested_topk"     -> (Relational.nestedTopK _),
     "q34_window_dist"     -> (Relational.windowSuite2 _),
     "q35_multiset_ops"    -> (Relational.multisetOps _),
+    "q36_map_result"      -> (Relational.mapResult _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
     // B. Reference-pipeline semantics
@@ -583,6 +584,12 @@ object SparkEntry {
         |       COALESCE(n_only_even, 0) AS n_only_even
         |FROM c FULL OUTER JOIN o ON c.user_id = o.user_id
         |ORDER BY user_id""".stripMargin,
+    // q36: MAP-typed result; entry order pinned on both sides (sorted by key)
+    "q36_map_result" ->
+      """SELECT source,
+        |       map_from_entries(list(struct_pack(k := lang, v := n) ORDER BY lang)) AS lang_counts
+        |FROM (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       """SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

@@ -326,6 +326,23 @@ object Relational {
       .orderBy($"source")
   }
 
+  /** MAP-typed result through the correctness gate (completes the nested
+    * story next to q33's array-of-struct): per-source language histogram as
+    * a map<lang, count>. Entry order is pinned by sorting the entry array
+    * before map construction, mirrored by the oracle's ORDER BY inside
+    * list() — map value semantics hash-compare only when both engines
+    * agree on entry order.
+    */
+  def mapResult(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(map_from_entries(array_sort(collect_list(struct($"lang", $"n"))))
+             .as("lang_counts"))
+      .orderBy($"source")
+  }
+
   /** Full-outer join with both-sided null production: the per-user event
     * rollup joined against the customer dimension — users without a
     * customer row and customers without events both survive with typed

@@ -144,16 +144,31 @@ object Relational {
     custNations.union(suppNations).distinct().except(region0).orderBy($"nk")
   }
 
-  /** Multiset set-ops — INTERSECT ALL / EXCEPT ALL preserve duplicate
-    * cardinalities (q10 covers the distinct variants): per-user event-type
-    * bags compared between two halves of the stream. Spark plans these as
-    * aggregate+join with count columns, not row-by-row — one shuffle each.
-    * The key exercises the NATIVE operators (each side branch re-scans the
-    * source); at 100 TB fuse to the single-scan conditional-count form —
-    * sum(least(ca, cb)) / sum(greatest(ca-cb, 0)) over one groupBy — which
-    * RelationalSpec proves equivalent.
+  /** Multiset set-op cardinalities — INTERSECT ALL / EXCEPT ALL semantics
+    * (q10 covers the distinct variants): per-user event-type bags compared
+    * between two halves of the stream. The KEY runs the scale-correct
+    * fused form — ONE corpus scan into per-(user, type) conditional
+    * counts, then sum(least) / sum(clamped difference), which IS the
+    * multiset intersection/difference cardinality. The native
+    * intersectAll/exceptAll operators (whose side branches each re-scan
+    * the source) are exercised in [[multisetOpsNative]] and proven
+    * equivalent in RelationalSpec.
     */
   def multisetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(when($"event_id" % 2 === 0, 1)).as("ca"),
+           count(when($"event_id" % 2 =!= 0, 1)).as("cb"))
+      .groupBy($"user_id")
+      .agg(sum(least($"ca", $"cb")).as("n_common"),
+           sum(greatest($"ca" - $"cb", lit(0L))).as("n_only_even"))
+      .filter($"n_common" > 0 || $"n_only_even" > 0)
+      .orderBy($"user_id")
+  }
+
+  /** The same contract through Spark's NATIVE multiset operators. */
+  def multisetOpsNative(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"event_id" % 2 === 0)
       .toDF("user_id", "event_type", "even")

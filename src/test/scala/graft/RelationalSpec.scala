@@ -239,21 +239,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("q35: fused single-scan count form matches the native multiset operators") {
-    import spark.implicits._
-    // the 100 TB shape: one scan, per-(user, type) conditional counts, then
-    // min/max-difference sums == INTERSECT ALL / EXCEPT ALL cardinalities
-    val fused = Tables.events(spark, sfDir)
-      .groupBy($"user_id", $"event_type")
-      .agg(count(when($"event_id" % 2 === 0, 1)).as("ca"),
-           count(when($"event_id" % 2 =!= 0, 1)).as("cb"))
-      .groupBy($"user_id")
-      .agg(sum(least($"ca", $"cb")).as("n_common"),
-           sum(greatest($"ca" - $"cb", lit(0L))).as("n_only_even"))
-      .filter($"n_common" > 0 || $"n_only_even" > 0)
-      .orderBy($"user_id")
-    val native = SparkEntry.queries("q35_multiset_ops")(spark, sfDir)
-    assert(fused.collect().map(_.toSeq).toSeq === native.collect().map(_.toSeq).toSeq)
+  test("q35: native INTERSECT ALL / EXCEPT ALL operators match the fused key") {
+    // the key runs the single-scan fused form; the native operators (which
+    // re-scan per side branch) must agree on every cardinality
+    // plan first, on a fresh un-executed frame (post-collect the adaptive
+    // plan hides scans inside QueryStageExec): events is read exactly once
+    val scans = physical(SparkEntry.queries("q35_multiset_ops")(spark, sfDir)).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"fused form must scan events once, got ${scans.length}")
+    val native = operators.Relational.multisetOpsNative(spark, sfDir)
+    val fused = SparkEntry.queries("q35_multiset_ops")(spark, sfDir)
+    assert(native.collect().map(_.toSeq).toSeq === fused.collect().map(_.toSeq).toSeq)
   }
 
   test("d18 quota sample: rank filter compiles to a partial WindowGroupLimit") {

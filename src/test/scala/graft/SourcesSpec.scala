@@ -30,6 +30,32 @@ class SourcesSpec extends SparkSpec {
       .collect().toSeq == docs.select("doc_id", "text", "source").collect().toSeq)
   }
 
+  test("custom DSv2 paged source: partition-per-page, pushdown prunes pages") {
+    import spark.implicits._
+    val read = spark.read.format("graft.sources.PagedSource")
+      .option("pages", "8").option("pagesize", "100")
+    // full scan: every page, every row, deterministic content
+    val all = read.load()
+    assert(all.count() == 800)
+    assert(all.filter($"id" === 123).select($"body").head().getString(0) == "body-123")
+
+    // predicate pushdown prunes whole pages at planning time (the CQL
+    // filter analogue): ids 650..800 live in pages 6 and 7 only
+    val filtered = read.load().filter($"id" >= 650)
+    assert(filtered.count() == 150)
+    val plan = physical(filtered).toString
+    assert(plan.contains("pages=2/8"), s"expected 2 surviving pages in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(id,650)"), s"filter must reach the scan:\n$plan")
+
+    // column pruning reaches the reader: the scan outputs only `id`
+    val pruned = read.load().select($"id").filter($"id" < 100)
+    val scanOut = physical(pruned).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.output.map(_.name)
+    }.flatten
+    assert(scanOut == Seq("id"), s"scan must emit only the pruned column, got $scanOut")
+    assert(pruned.count() == 100)
+  }
+
   test("p21 tolerant ingestion routes planted corrupt lines instead of failing") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()

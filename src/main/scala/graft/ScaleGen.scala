@@ -44,6 +44,14 @@ object ScaleGen {
     def replicate(name: String, keys: Seq[String],
                   tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
       val base = Tables.table(spark, src, name)
+      // disjointness of the shifted replicas requires every source key to
+      // sit below KeyOffset — fail fast instead of silently colliding
+      // (e.g. when pointed at ScaleGen's own output to compound the factor)
+      keys.foreach { k =>
+        val mx = base.agg(max(col(k))).head().getLong(0)
+        require(mx < KeyOffset,
+          s"$name.$k reaches $mx >= KeyOffset=$KeyOffset: shifted replicas would collide")
+      }
       val parts = (0 until factor).map { i =>
         val off = i.toLong * KeyOffset
         val shifted = keys.foldLeft(base)((d, c) => d.withColumn(c, col(c) + off))

@@ -133,8 +133,9 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
-  /** Shared by p18 (scan plan) and p20 (inverted-postings plan): one
-    * semantic contract, two physical strategies, both hash-checked.
+
+  /** Shared by s02 (lag+cumsum composition) and s11 (native session_window):
+    * one semantic contract, two physical strategies, both hash-checked.
     */
   private val SessionizeOracle: String =
     """WITH e AS (
@@ -154,6 +155,9 @@ object SparkEntry {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Shared by p18 (scan plan) and p20 (inverted-postings plan): one
+    * semantic contract, two physical strategies, both hash-checked.
+    */
   private val TextSearchOracle: String =
     """WITH t AS (SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
       |c AS (SELECT doc_id, source,
@@ -969,8 +973,11 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM c) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the vec_id bound mirrors Similarity.NearDupBaselineCap (5 * 1024) so
+    // the oracle encodes the key's constant-cap contract at every SF
     "d07_embed_neardup" ->
-      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0)
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings
+        |           WHERE vec_id % 5 = 0 AND vec_id < 5120)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM s a JOIN s b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.29995

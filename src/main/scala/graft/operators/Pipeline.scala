@@ -344,12 +344,17 @@ object PipelineOps {
       val tmp = java.nio.file.Files
         .createTempDirectory(store.getParentFile.toPath, store.getName + ".build.")
         .toFile
-      val w = new java.io.PrintWriter(new java.io.File(tmp, "docs.jsonl"), "UTF-8")
+      // Files.newBufferedWriter THROWS on I/O errors (PrintWriter swallows
+      // them behind an unchecked error flag — a truncated fixture would be
+      // published and mtime-cached forever)
+      val w = java.nio.file.Files.newBufferedWriter(
+        new java.io.File(tmp, "docs.jsonl").toPath, java.nio.charset.StandardCharsets.UTF_8)
       try Tables.documents(s, dir)
         .select($"doc_id", to_json(struct($"doc_id", $"source", $"text")).as("line"))
         .as[(Long, String)]
         .toLocalIterator().forEachRemaining { case (id, line) =>
-          w.println(if (id % 13 == 5) line.substring(0, line.length - 5) else line)
+          w.write(if (id % 13 == 5) line.substring(0, line.length - 5) else line)
+          w.newLine()
         }
       finally w.close()
       if (!tmp.renameTo(store)) {

@@ -85,10 +85,16 @@ class PagedScan(pages: Int, pageSize: Int, required: StructType, pushed: Array[F
   private val (lo, hi): (Long, Long) = {
     var l = Long.MinValue
     var h = Long.MaxValue
+    // strict bounds at the Long extremes are unsatisfiable; v+1 / v-1
+    // would wrap and silently widen the range back to a full scan. The
+    // empty marker is sticky: l only ever grows and h only ever shrinks.
+    def markEmpty(): Unit = { l = Long.MaxValue; h = Long.MinValue }
     pushed.foreach {
-      case GreaterThan("id", v: java.lang.Long)        => l = math.max(l, v + 1)
+      case GreaterThan("id", v: java.lang.Long) =>
+        if (v == Long.MaxValue) markEmpty() else l = math.max(l, v + 1)
       case GreaterThanOrEqual("id", v: java.lang.Long) => l = math.max(l, v)
-      case LessThan("id", v: java.lang.Long)           => h = math.min(h, v - 1)
+      case LessThan("id", v: java.lang.Long) =>
+        if (v == Long.MinValue) markEmpty() else h = math.min(h, v - 1)
       case LessThanOrEqual("id", v: java.lang.Long)    => h = math.min(h, v)
       case EqualTo("id", v: java.lang.Long)            => l = math.max(l, v); h = math.min(h, v)
       case _ => ()

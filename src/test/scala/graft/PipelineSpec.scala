@@ -1,5 +1,6 @@
 package graft
 
+
 import org.apache.spark.sql.functions._
 import graft.operators.PipelineOps
 
@@ -10,6 +11,28 @@ class PipelineSpec extends SparkSpec {
     // every oracle key must have a matching query implementation
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("run counters ride the main pass via observe() — no second scan") {
+    import spark.implicits._
+    // the reference tallies processed/skipped/failed counters alongside the
+    // run (master_script.py run summary); Spark-first those are a side
+    // OBSERVATION on the pipeline's own pass — zero extra jobs or scans,
+    // exact at any corpus size (unlike accumulators, observe metrics are
+    // action-consistent)
+    val obs = org.apache.spark.sql.Observation("run_counters")
+    val docs = Tables.documents(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("processed"),
+        count(when($"n_chars" < 100, 1)).as("skipped_short"),
+        count(when($"lang".isNull, 1)).as("failed_no_lang"))
+      .filter($"n_chars" >= 100)
+    val kept = docs.count()
+    val m = obs.get
+    assert(m("processed") == Tables.documents(spark, sfDir).count())
+    assert(m("skipped_short").asInstanceOf[Long] ==
+           m("processed").asInstanceOf[Long] - kept)
+    assert(m("failed_no_lang") == 0L)
   }
 
   test("p19 training mix: accounting is unbiased and gates precede the shuffle") {

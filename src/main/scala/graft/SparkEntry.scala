@@ -57,6 +57,7 @@ object SparkEntry {
     "q34_window_dist"     -> (Relational.windowSuite2 _),
     "q35_multiset_ops"    -> (Relational.multisetOps _),
     "q36_map_result"      -> (Relational.mapResult _),
+    "q37_null_semantics"  -> (Relational.nullSemantics _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
     // B. Reference-pipeline semantics
@@ -594,6 +595,14 @@ object SparkEntry {
         |       map_from_entries(list(struct_pack(k := lang, v := n) ORDER BY lang)) AS lang_counts
         |FROM (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2)
         |GROUP BY source ORDER BY source""".stripMargin,
+    // q37: IS NOT DISTINCT FROM is DuckDB's null-safe `<=>`
+    "q37_null_semantics" ->
+      """WITH a AS (SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS k
+        |           FROM events),
+        |g AS (SELECT k, COUNT(*) AS n FROM a GROUP BY k)
+        |SELECT g.k, g.n, g2.n AS n2
+        |FROM g JOIN g g2 ON g.k IS NOT DISTINCT FROM g2.k
+        |ORDER BY g.k NULLS FIRST""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       """SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

@@ -358,6 +358,24 @@ object Relational {
       .orderBy($"source")
   }
 
+  /** NULL-semantics suite: NULL forms its own GROUP BY bucket, and the
+    * null-safe equality join (`<=>` / IS NOT DISTINCT FROM) matches it to
+    * itself where plain `=` would drop it — the semantics dedup on
+    * nullable keys silently depends on. Deterministic null injection
+    * (user_id % 7) so both engines derive identical data; every row must
+    * come back with n == n2, including the NULL-key row.
+    */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.events(s, dir)
+      .select(when($"user_id" % 7 === 0, lit(null)).otherwise($"user_id")
+                .cast("long").as("k"))
+    val g = a.groupBy($"k").agg(count(lit(1)).as("n"))
+    g.join(g.select($"k".as("k2"), $"n".as("n2")), $"k" <=> $"k2")
+      .select($"k", $"n", $"n2")
+      .orderBy($"k".asc_nulls_first)
+  }
+
   /** Full-outer join with both-sided null production: the per-user event
     * rollup joined against the customer dimension — users without a
     * customer row and customers without events both survive with typed

@@ -20,9 +20,16 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 with open(f"{out_dir}/oracle_sql.json") as fh:
     oracles = json.load(fh)
 
+class Unhashable(Exception):
+    """The driver's pandas comparator factorizes column values, which dies on
+    list/dict/array cells (CORRECTNESS_r03 q33/q36) — mirror that here so a
+    nested-typed gate column fails locally too, not just on the driver."""
+
 def canon(v):
     if v is None:
         return "NULL"
+    if isinstance(v, (list, dict, set, tuple)) or type(v).__name__ == "ndarray":
+        raise Unhashable(f"nested/array value of type {type(v).__name__}: {v!r:.80}")
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
@@ -60,7 +67,12 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
         fails += 1
         continue
-    hs, hd = table_hash(s_rows, s_cols), table_hash(d_rows, d_cols)
+    try:
+        hs, hd = table_hash(s_rows, s_cols), table_hash(d_rows, d_cols)
+    except Unhashable as e:
+        print(f"FAIL {name}: driver-unhashable cell ({e})")
+        fails += 1
+        continue
     if hs != hd:
         print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
         order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])

@@ -53,10 +53,10 @@ object SparkEntry {
     "q30_approx_quantiles" -> (Relational.approxQuantiles _),
     "q31_topk_agg"        -> (Relational.topkAggQuery _),
     "q32_outer_join"      -> (Relational.outerJoinSuite _),
-    "q33_nested_topk"     -> (Relational.nestedTopK _),
+    "q33_nested_topk"     -> (Relational.nestedTopKJson _),
     "q34_window_dist"     -> (Relational.windowSuite2 _),
     "q35_multiset_ops"    -> (Relational.multisetOps _),
-    "q36_map_result"      -> (Relational.mapResult _),
+    "q36_map_result"      -> (Relational.mapResultJson _),
     "q37_null_semantics"  -> (Relational.nullSemantics _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -589,11 +589,14 @@ object SparkEntry {
         |       COALESCE(n_only_even, 0) AS n_only_even
         |FROM c FULL OUTER JOIN o ON c.user_id = o.user_id
         |ORDER BY user_id""".stripMargin,
-    // q36: MAP-typed result; entry order pinned on both sides (sorted by key)
+    // q36: MAP-typed result serialized to canonical JSON at the gate (entry
+    // order pinned by ORDER BY lang on both sides; the driver's comparator
+    // hashes flat values only, so both engines emit the identical compact
+    // to_json string)
     "q36_map_result" ->
       """SELECT source,
-        |       map_from_entries(list(struct_pack(k := lang, v := n) ORDER BY lang)) AS lang_counts
-        |FROM (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2)
+        |       to_json(map_from_entries(list(struct_pack(k := lang, v := n) ORDER BY lang))) AS lang_counts
+        |FROM (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2)
         |GROUP BY source ORDER BY source""".stripMargin,
     // q37: IS NOT DISTINCT FROM is DuckDB's null-safe `<=>`
     "q37_null_semantics" ->
@@ -843,21 +846,23 @@ object SparkEntry {
         |      FROM c)
         |SELECT source, CAST(rank AS BIGINT) AS rank, bigram, n
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
-    // q33: t08's ranked counts rolled into an array-of-struct column —
-    // struct_pack field names/order must match Spark's struct(rank, bigram,
-    // n) exactly, since the nested value participates in the hash compare
+    // q33: t08's ranked counts rolled into an array-of-struct column,
+    // serialized to canonical JSON at the gate — struct_pack field
+    // names/order must match Spark's struct(rank, bigram, n) exactly, and
+    // to_json's compact form is byte-identical across engines, so the
+    // driver's flat-value hash can compare the nested result
     "q33_nested_topk" ->
       """WITH w AS (SELECT source, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks
         |           FROM documents),
         |b AS (SELECT source, toks[g] || ' ' || toks[g+1] AS bigram
         |      FROM w, UNNEST(range(1, LEN(toks))) AS t(g)),
-        |c AS (SELECT source, bigram, COUNT(*) AS n FROM b GROUP BY source, bigram),
+        |c AS (SELECT source, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source, bigram),
         |r AS (SELECT source, bigram, n,
         |             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS rank
         |      FROM c)
         |SELECT source,
-        |       list(struct_pack(rank := CAST(rank AS BIGINT), bigram := bigram, n := n)
-        |            ORDER BY rank) AS top_bigrams
+        |       to_json(list(struct_pack(rank := CAST(rank AS BIGINT), bigram := bigram, n := n)
+        |                    ORDER BY rank)) AS top_bigrams
         |FROM r WHERE rank <= 5 GROUP BY source ORDER BY source""".stripMargin,
     "t10_stopword_filter" ->
       """WITH w AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS toks

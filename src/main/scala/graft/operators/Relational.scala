@@ -341,6 +341,21 @@ object Relational {
       .orderBy($"source")
   }
 
+  /** Gate projection of [[nestedTopK]]: the typed array<struct> serialized to
+    * a canonical JSON string (`to_json`, compact Jackson form — identical
+    * byte-for-byte to DuckDB's `to_json(list(struct_pack ...))`), because the
+    * driver's comparator hashes flat values only. Element order is already
+    * pinned by array_sort on the rank-led struct, so the string is
+    * deterministic regardless of partitioning; NestedResultSpec asserts the
+    * typed result so the nested capability claim stays honest.
+    */
+  def nestedTopKJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nestedTopK(s, dir)
+      .select($"source", to_json($"top_bigrams").as("top_bigrams"))
+      .orderBy($"source")
+  }
+
   /** MAP-typed result through the correctness gate (completes the nested
     * story next to q33's array-of-struct): per-source language histogram as
     * a map<lang, count>. Entry order is pinned by sorting the entry array
@@ -355,6 +370,19 @@ object Relational {
       .groupBy($"source")
       .agg(map_from_entries(array_sort(collect_list(struct($"lang", $"n"))))
              .as("lang_counts"))
+      .orderBy($"source")
+  }
+
+  /** Gate projection of [[mapResult]]: the map serialized to canonical JSON
+    * (entry order = key-sorted, pinned by the array_sort before
+    * map_from_entries; DuckDB's `to_json(map_from_entries(... ORDER BY k))`
+    * emits the same compact form). Same rationale as [[nestedTopKJson]] — the
+    * driver's comparator cannot hash map values.
+    */
+  def mapResultJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mapResult(s, dir)
+      .select($"source", to_json($"lang_counts").as("lang_counts"))
       .orderBy($"source")
   }
 

@@ -266,4 +266,41 @@ class RelationalSpec extends SparkSpec {
     val total = Tables.documents(spark, sfDir).count().toDouble
     assert(a.length > 0 && math.abs(a.length / total - 0.10) < 0.05)
   }
+
+  test("q33 typed nested result: array<struct> ranks are 1..5 and JSON gate round-trips") {
+    import org.apache.spark.sql.Row
+    val typed = operators.Relational.nestedTopK(spark, sfDir)
+    val f = typed.schema("top_bigrams").dataType
+    assert(f.typeName == "array", s"gate capability claim needs a real nested type, got $f")
+    val rows = typed.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val arr = r.getSeq[Row](1)
+      assert(arr.map(_.getLong(0)) == (1L to arr.length), s"ranks not 1..k in $r")
+    }
+    // the JSON gate column is exactly to_json of the typed column
+    val viaGate = SparkEntry.queries("q33_nested_topk")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val direct = typed.select(col("source"), to_json(col("top_bigrams")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaGate == direct)
+    viaGate.values.foreach(j => assert(j.startsWith("[{\"rank\":1,"), j))
+  }
+
+  test("q36 typed map result: counts per source sum to table counts") {
+    val typed = operators.Relational.mapResult(spark, sfDir)
+    assert(typed.schema("lang_counts").dataType.typeName == "map")
+    val sums = typed.collect()
+      .map(r => r.getString(0) -> r.getMap[String, Long](1).values.sum).toMap
+    val expected = Tables.documents(spark, sfDir).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == expected)
+    // gate emits key-sorted canonical JSON of the same map
+    SparkEntry.queries("q36_map_result")(spark, sfDir).collect().foreach { r =>
+      val j = r.getString(1)
+      assert(j.startsWith("{") && j.endsWith("}"), j)
+      val keys = "\"([a-z]+)\":".r.findAllMatchIn(j).map(_.group(1)).toSeq
+      assert(keys == keys.sorted, s"map entries must be key-sorted: $j")
+    }
+  }
 }

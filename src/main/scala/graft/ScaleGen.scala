@@ -73,7 +73,10 @@ object ScaleGen {
     // converts at read time
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), (d, i) =>
-      if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" r$i"))))
+      if (i == 0) d
+      else d.withColumn("text", concat(col("text"), lit(s" r$i")))
+        // keep the n_chars == length(text) invariant that gates/fixtures rely on
+        .withColumn("n_chars", length(col("text")).cast("long")))
     replicate("embeddings", Seq("vec_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",

@@ -399,8 +399,8 @@ object SparkEntry {
         |       TRUE AS approx_within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q25_det_sample" ->
-      """SELECT doc_id, source, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 < 100
+      s"""SELECT doc_id, source, lang FROM documents
+        |WHERE ${SampleHash.sql("doc_id")} % 1000 < 100
         |ORDER BY doc_id""".stripMargin,
     "q27_exists_composition" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice
@@ -479,7 +479,7 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "p19_training_mix" ->
-      """WITH c AS (SELECT doc_id, source, TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS cleaned
+      raw"""WITH c AS (SELECT doc_id, source, TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')) AS cleaned
         |           FROM documents WHERE doc_id % 7 <> 3),
         |w AS (SELECT doc_id, source, cleaned, regexp_split_to_array(lower(cleaned), ' ') AS toks FROM c),
         |e AS (SELECT doc_id, source,
@@ -500,7 +500,7 @@ object SparkEntry {
         |SELECT source, COUNT(*) AS docs_kept,
         |       CAST(SUM(tokens) AS BIGINT) AS tokens_kept,
         |       SUM(tokens * (1000.0 / permille)) AS weighted_tokens
-        |FROM m WHERE (doc_id * 2654435761) % 1000 < permille
+        |FROM m WHERE ${SampleHash.sql("doc_id")} % 1000 < permille
         |GROUP BY source ORDER BY source""".stripMargin,
     "p16_render_manifest" ->
       ("""WITH m AS (
@@ -608,10 +608,10 @@ object SparkEntry {
         |ORDER BY g.k NULLS FIRST""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
-      """SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (
+      s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (
         |  SELECT source, doc_id, lang,
         |         ROW_NUMBER() OVER (PARTITION BY source
-        |                            ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS pick
+        |                            ORDER BY ${SampleHash.sql("doc_id")}, doc_id) AS pick
         |  FROM documents)
         |WHERE pick <= 20 ORDER BY source, pick""".stripMargin,
     // p25: the oracle walks ancestry recursively; the engine enumerates it
@@ -789,10 +789,10 @@ object SparkEntry {
         |                  / len(grams) * 10000 + 0.5) / 10000 END AS top_bigram_share
         |FROM g ORDER BY doc_id""".stripMargin,
     "d14_stratified_mix" ->
-      """SELECT doc_id, source, lang,
+      s"""SELECT doc_id, source, lang,
         |       1000.0 / (CASE WHEN source IN ('src0','src1') THEN 200 ELSE 50 END) AS weight
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ${SampleHash.sql("doc_id")} % 1000 <
         |      (CASE WHEN source IN ('src0','src1') THEN 200 ELSE 50 END)
         |ORDER BY doc_id""".stripMargin,
     // t14: combining marks injected decomposed (chr(769) = U+0301 acute,

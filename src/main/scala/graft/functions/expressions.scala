@@ -125,6 +125,10 @@ object kernels {
     */
   def nearestCentroid(emb: ArrayData, cents: ArrayData): Long = {
     val n = cents.numElements()
+    if (n == 0)
+      throw new IllegalArgumentException(
+        "nearest_centroid: empty codebook — cell assignment would silently " +
+          "produce a phantom cell id; check the centroid sampling predicate")
     var best = -1L
     var bestSim = Double.NegativeInfinity
     var j = 0

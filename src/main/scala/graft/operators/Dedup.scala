@@ -264,7 +264,7 @@ object Dedup {
     val permille = when($"source".isin("src0", "src1"), 200).otherwise(50)
     Tables.documents(s, dir)
       .withColumn("permille", permille)
-      .filter(pmod($"doc_id" * 2654435761L, lit(1000L)) < $"permille")
+      .filter(pmod(graft.SampleHash.column($"doc_id"), lit(1000L)) < $"permille")
       .select($"doc_id", $"source", $"lang",
               (lit(1000.0) / $"permille").as("weight"))
       .orderBy($"doc_id")
@@ -282,7 +282,7 @@ object Dedup {
   def quotaSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"source")
-      .orderBy(pmod($"doc_id" * 2654435761L, lit(1000000007L)), $"doc_id")
+      .orderBy(graft.SampleHash.column($"doc_id"), $"doc_id")
     Tables.documents(s, dir)
       .withColumn("pick", row_number().over(w).cast("long"))
       .filter($"pick" <= QuotaPerSource)

@@ -85,7 +85,7 @@ object EndToEnd {
     val permille = when($"source".isin("src0", "src1"), 200).otherwise(50)
     clean
       .withColumn("permille", permille)
-      .filter(pmod($"doc_id" * 2654435761L, lit(1000L)) < $"permille")
+      .filter(pmod(graft.SampleHash.column($"doc_id"), lit(1000L)) < $"permille")
       .withColumn("weight", lit(1000.0) / $"permille")
       .groupBy($"source")
       .agg(count(lit(1)).as("docs_kept"),

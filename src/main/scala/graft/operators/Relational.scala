@@ -645,7 +645,7 @@ object Relational {
   def deterministicSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .filter(($"doc_id" * lit(2654435761L)) % 1000 < 100)
+      .filter(pmod(graft.SampleHash.column($"doc_id"), lit(1000L)) < 100)
       .select($"doc_id", $"source", $"lang")
       .orderBy($"doc_id")
   }

@@ -150,6 +150,24 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("SampleHash stays in [0,P) and matches BigInt arithmetic at overflow-scale ids") {
+    // the raw id * 2654435761 form overflows Long at id >= ~3.47e9; the
+    // modular form must match exact (BigInt) arithmetic everywhere, incl.
+    // ids far beyond the overflow point
+    val P = BigInt(SampleHash.P); val K = BigInt(SampleHash.K)
+    val ids = Seq(0L, 1L, 3470000000L, Long.MaxValue, Long.MaxValue - 1) ++
+      List.fill(200)(math.abs(rng.nextLong()))
+    ids.foreach { id =>
+      val expected = ((BigInt(id) % P) * K % P).toLong
+      val got = Math.floorMod(Math.floorMod(id, SampleHash.P) * SampleHash.K, SampleHash.P)
+      assert(got == expected && got >= 0 && got < SampleHash.P, s"id=$id")
+    }
+    // and nearestCentroid fails loudly on an empty codebook (phantom cell -1 guard)
+    intercept[IllegalArgumentException] {
+      kernels.nearestCentroid(new GenericArrayData(Array[Any](1.0f)), new GenericArrayData(Array.empty[Any]))
+    }
+  }
+
   test("cosine kernel: bounded, symmetric, self-similarity 1") {
     (1 to 100).foreach { _ =>
       val a = Array.fill(16)(rng.nextFloat() * 20f - 10f)

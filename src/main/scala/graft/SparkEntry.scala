@@ -120,6 +120,7 @@ object SparkEntry {
     "d14_stratified_mix" -> (Dedup.stratifiedMix _),
     "d15_ann_ivf_trained" -> (Similarity.annIvfTrained _),
     "d16_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
+    "d17_cluster_quality" -> (Similarity.clusterQuality _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -977,6 +978,16 @@ object SparkEntry {
     "d09_decontaminate" -> DecontaminateOracle,
     // d16 is the same contract on the Bloom-prefilter plan (p18/p20 pattern)
     "d16_bloom_decontaminate" -> DecontaminateOracle,
+    // d17: cluster-quality cohesion margins are engine-specific (they depend
+    // on the trained codebook), but "clusters fit better than no clustering"
+    // is a checkable claim — the d13 pattern: DuckDB asserts cohesive TRUE
+    // per clustering, so a codebook/assignment regression fails the compare
+    "d17_cluster_quality" ->
+      s"""SELECT clustering, CAST(margin_floor AS DOUBLE) AS margin_floor, cohesive
+         |FROM (VALUES ${(Similarity.CohesionFloors :+ ("trained_vs_sampled", 0.0))
+               .map { case (c, f) => s"('$c', $f, TRUE)" }.mkString(", ")})
+         |  AS t(clustering, margin_floor, cohesive)
+         |ORDER BY clustering""".stripMargin,
     "d05_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT query_id, vec_id AS neighbor_id,

@@ -338,6 +338,71 @@ object Similarity {
     }.reduce(_.union(_)).orderBy($"method")
   }
 
+  /** Cohesion floors for the d17 cluster-quality gate: the mean margin
+    * between a member's similarity to its OWN cell centroid and to the
+    * single global centroid must stay positive — per-cell centroids must fit
+    * better than no clustering at all (the k-means-objective sanity bound,
+    * the quality analogue of d13's recall floors). `trained_vs_sampled`
+    * additionally asserts Lloyd refinement does not degrade cohesion vs the
+    * deterministic sampled codebook (slack 0.005 absorbs Float mean drift).
+    */
+  val CohesionFloors: Seq[(String, Double)] =
+    Seq("sampled" -> 0.0, "trained" -> 0.0)
+  val TrainedVsSampledSlack = 0.005
+
+  /** Per-codebook cohesion margin, one row per clustering: avg over the
+    * corpus of cosine(v, own-centroid) - cosine(v, global-centroid). The
+    * global centroid is an element-wise mean computed via posexplode +
+    * hash-agg (partial map-side: only dim x partitions rows shuffle), own
+    * assignment is the shuffle-free broadcast argmax of [[assignCells]], and
+    * the margin itself is a single scalar agg — at any corpus size this is
+    * two scans and no corpus-sized exchange.
+    */
+  private[graft] def cohesionMargins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val global = emb.select(posexplode($"embedding"))
+      .groupBy($"pos").agg(avg($"col").as("m"))
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+      .select(expr("CAST(transform(pm, x -> x.m) AS ARRAY<FLOAT>)").as("ge"))
+    def margin(cb: DataFrame, name: String): DataFrame = {
+      val cents = cb.select($"centroid_id", $"ce")
+      assignCells(emb, collapseCodebook(cents))
+        .join(broadcast(cents), Seq("centroid_id"))
+        .crossJoin(broadcast(global))
+        .select((cosineSim($"embedding", $"ce") -
+                 cosineSim($"embedding", $"ge")).as("gap"))
+        .agg(avg($"gap").as("margin"))
+        .select(lit(name).as("clustering"), $"margin")
+    }
+    margin(sampledCentroids(emb), "sampled")
+      .union(margin(kmeansCentroids(emb, iters = 2), "trained"))
+  }
+
+  /** Cluster-quality gate (driver key d17): converts the engine-specific
+    * cohesion margins into oracle-assertable claim rows, the d13 pattern —
+    * DuckDB asserts cohesive = TRUE per clustering, so a clustering
+    * regression (bad codebook, broken assignment) fails the hash compare.
+    */
+  def clusterQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val floorOf = CohesionFloors.toMap
+    // both margins folded into ONE row so the claims derive from a single
+    // lineage (no driver-side materialization)
+    val wide = cohesionMargins(s, dir).agg(
+      max(when($"clustering" === "sampled", $"margin")).as("ms"),
+      max(when($"clustering" === "trained", $"margin")).as("mt"))
+    wide.select(lit("sampled").as("clustering"),
+                lit(floorOf("sampled")).as("margin_floor"),
+                ($"ms" >= floorOf("sampled")).as("cohesive"))
+      .union(wide.select(lit("trained"), lit(floorOf("trained")),
+                         $"mt" >= floorOf("trained")))
+      .union(wide.select(lit("trained_vs_sampled"), lit(0.0),
+                         $"mt" >= $"ms" - TrainedVsSampledSlack))
+      .orderBy($"clustering")
+  }
+
   /** ANN via multi-table random-hyperplane LSH: a candidate is anything that
     * collides with the query in at least one of the tables; exact cosine
     * ranks candidates. OR-amplification keeps recall high while each table's

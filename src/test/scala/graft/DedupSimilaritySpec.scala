@@ -217,6 +217,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"exact check must be a broadcast anti-join:\n$s")
   }
 
+  test("d17 raw cohesion margins are positive and trained does not degrade") {
+    val m = operators.Similarity.cohesionMargins(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set("sampled", "trained"), m.toString)
+    assert(m("sampled") > 0.0, s"sampled margin ${m("sampled")} not positive")
+    assert(m("trained") > 0.0, s"trained margin ${m("trained")} not positive")
+    assert(m("trained") >= m("sampled") - operators.Similarity.TrainedVsSampledSlack,
+      s"training degraded cohesion: $m")
+    // and the gate key reduces those margins to all-TRUE claim rows
+    val rows = SparkEntry.queries("d17_cluster_quality")(spark, sfDir).collect()
+    assert(rows.length == 3 && rows.forall(_.getBoolean(2)), rows.mkString(", "))
+  }
+
   test("m01 decode seam moves no data: only the presentation sort repartitions") {
     // the typed mapPartitions batch seam (where a real codec drops in) must
     // stay a per-partition pass — no hash exchange anywhere; the single

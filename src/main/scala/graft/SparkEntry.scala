@@ -100,6 +100,7 @@ object SparkEntry {
     "t15_tfidf"             -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "t16_token_spectrum"    -> (TextOps.tokenSpectrum _),
     "t17_edit_distance"     -> (TextOps.editDistancePairs _),
+    "t18_entropy_score"     -> (TextOps.entropyScore _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -491,7 +492,18 @@ object SparkEntry {
         |          (LEN(REGEXP_EXTRACT_ALL(LOWER(cleaned), '\b(the|a|and|of|to|in|is)\b')) /
         |           (CAST(len(toks) AS DOUBLE) + 1.0)) * 0.4 AS quality
         |      FROM w),
-        |g AS (SELECT * FROM e WHERE quality >= 0.3 AND rep_ratio <= 0.6),
+        |ut AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |       FROM documents),
+        |upd AS (SELECT doc_id, term, COUNT(*) AS uk FROM ut WHERE term <> '' GROUP BY 1, 2),
+        |uv AS (SELECT term, CAST(SUM(uk) AS BIGINT) AS uc FROM upd GROUP BY 1),
+        |un AS (SELECT CAST(SUM(uc) AS BIGINT) AS u_total FROM uv),
+        |ue AS (SELECT doc_id,
+        |              CAST(SUM(uk * LENGTH(FORMAT('{:b}', u_total // uc))) AS BIGINT)
+        |                / CAST(SUM(uk) AS BIGINT) AS bits_per_token
+        |       FROM upd JOIN uv USING (term), un GROUP BY doc_id),
+        |g AS (SELECT e.* FROM e JOIN ue USING (doc_id)
+        |      WHERE quality >= 0.3 AND rep_ratio <= 0.6
+        |        AND bits_per_token BETWEEN 1.0 AND 5.4),
         |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY content_md5) AS keeper_id FROM g),
         |ev AS (SELECT DISTINCT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS eval_md5
         |       FROM documents WHERE doc_id % 7 = 3),
@@ -568,6 +580,21 @@ object SparkEntry {
         |SELECT source, doc_id, next_id,
         |       CAST(levenshtein(head, next_head) AS BIGINT) AS edit_dist
         |FROM p WHERE next_id IS NOT NULL ORDER BY source, doc_id""".stripMargin,
+    // t18: quantized-log2 surprisal (binary-string bit length, the t16
+    // trick) keeps the cross-entropy score all-integer until one final IEEE
+    // long/long division — bit-exact on both engines where ln() would wobble
+    "t18_entropy_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |              FROM documents),
+        |pd AS (SELECT doc_id, term, COUNT(*) AS k FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |v AS (SELECT term, CAST(SUM(k) AS BIGINT) AS c FROM pd GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM v),
+        |d AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+        |             CAST(SUM(k * LENGTH(FORMAT('{:b}', n_total // c))) AS BIGINT) AS surprisal_bits
+        |      FROM pd JOIN v USING (term), n GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, surprisal_bits,
+        |       surprisal_bits / n_tokens AS bits_per_token
+        |FROM d ORDER BY doc_id""".stripMargin,
     // p24: forward as-of — DuckDB ASOF with the inequality flipped
     "p24_asof_forward" ->
       """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id

@@ -41,17 +41,27 @@ object EndToEnd {
       .orderBy($"doc_id")
   }
 
-  /** The LLM training-data flagship: clean -> quality + repetition gates ->
-    * exact dedup -> benchmark decontamination -> stratified domain mix ->
-    * per-source token accounting, as ONE declarative plan. Data moves twice:
-    * the dedup window's hash shuffle and the tiny final per-source agg
-    * (map-side partial). The eval fingerprint set rides a broadcast;
-    * every gate is per-row column math ahead of the first shuffle, so
-    * filters cut the corpus before anything moves — the shape that matters
-    * at 100 TB. Weighted token counts stay exact (weights are 5.0/20.0).
+  /** The LLM training-data flagship: clean -> quality + repetition +
+    * cross-entropy gates -> exact dedup -> benchmark decontamination ->
+    * stratified domain mix -> per-source token accounting, as ONE
+    * declarative plan. The surface gates are per-row column math ahead of
+    * the first shuffle, so they cut the corpus before anything moves; the
+    * entropy gate (t18's corpus-LM surprisal, exact quantized-log2
+    * arithmetic) adds the LM's vocab-keyed exchanges plus one doc-keyed
+    * join, then the dedup window's hash shuffle and the tiny final
+    * per-source agg (map-side partial) complete the plan. The eval
+    * fingerprint set rides a broadcast. Weighted token counts stay exact
+    * (weights are 5.0/20.0).
     */
   val QualityFloor = 0.3
   val RepCeiling = 0.6
+  /** Corpus-calibrated surprisal band: below the floor is degenerate
+    * repetition, above the ceiling is out-of-distribution gibberish (the
+    * ceiling sits just under the synthetic corpus's max, so the gate
+    * demonstrably bites while keeping ~99.6% of docs).
+    */
+  val EntropyFloorBits = 1.0
+  val EntropyCeilingBits = 5.4
   def trainingMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -65,12 +75,19 @@ object EndToEnd {
     val stop = regexp_count(lower($"cleaned"), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
     val quality = least(lit(1.0), length($"cleaned") / lit(500.0)) * lit(0.6) +
       (stop / (tokens.cast("double") + lit(1.0))) * lit(0.4)
+    // corpus-LM surprisal gate (t18): docs with no tokens carry no defined
+    // surprisal and drop with the inner join
+    val entropy = TextOps.entropyScoreRaw(s, dir)
+      .select($"doc_id", $"bits_per_token")
     val gated = docs.filter(!isEval)
       .select($"doc_id", $"source", cleaned.as("cleaned"))
       .select($"doc_id", $"source", tokens.as("tokens"),
               md5(lower($"cleaned")).as("content_md5"),
               rep.as("rep_ratio"), quality.as("quality"))
       .filter($"quality" >= QualityFloor && $"rep_ratio" <= RepCeiling)
+      .join(entropy, "doc_id")
+      .filter($"bits_per_token".between(EntropyFloorBits, EntropyCeilingBits))
+      .drop("bits_per_token")
     // dedup survivors (min doc_id per content hash) — the plan's one big shuffle
     val keeper = min($"doc_id").over(Window.partitionBy($"content_md5"))
     val deduped = gated.withColumn("keeper_id", keeper)

@@ -239,6 +239,45 @@ object TextOps {
       .orderBy($"bucket_bits")
   }
 
+  /** Unigram cross-entropy quality score (driver key t18) — the
+    * information-theoretic gate next to t06's surface heuristics: a doc's
+    * mean per-token surprisal against the corpus unigram LM. Low scores mean
+    * boilerplate/repetition (every token is corpus-frequent), high scores
+    * mean gibberish (tokens the corpus has never seen). Surprisal is
+    * QUANTIZED log2 so both engines agree bit-for-bit: per token,
+    * bits = bit_length(N div c_t) (binary-string length, the t16 trick) —
+    * all-integer arithmetic plus one final IEEE long/long division, so the
+    * score hash-compares exactly with DuckDB, where a floating ln() would
+    * wobble at ulp scale. Shape at 100 TB: one corpus scan to doc-term
+    * counts, a vocab-sized partial-aggregated shuffle, a vocab-keyed join,
+    * and a doc-keyed final aggregate — no corpus-sized exchange carries
+    * more than (doc, distinct-term) rows.
+    */
+  def entropyScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    entropyScoreRaw(s, dir).orderBy($"doc_id")
+  }
+
+  /** [[entropyScore]] without the presentation sort — the composable form
+    * p19 joins against (an interior orderBy would cost a pointless range
+    * exchange mid-plan).
+    */
+  private[graft] def entropyScoreRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("k"))
+    val vocab = perDoc.groupBy($"term").agg(sum($"k").as("c"))
+    val n = vocab.agg(sum($"c").as("n_total"))
+    perDoc.join(vocab, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("bits", $"k" * length(bin(expr("n_total div c"))).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_tokens"), sum($"bits").as("surprisal_bits"))
+      .withColumn("bits_per_token", $"surprisal_bits" / $"n_tokens")
+  }
+
   /** PII redaction: inject deterministic synthetic contact strings (so both
     * engines see identical inputs), then mask emails and phone-shaped tokens
     * and count what was masked. Pure per-row regex -> embarrassingly

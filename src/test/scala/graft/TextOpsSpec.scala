@@ -122,6 +122,25 @@ class TextOpsSpec extends SparkSpec {
       s"df must attach via window, not a term self-join:\n$planned")
   }
 
+  test("t18 entropy score: every token costs >= 1 bit, and a repeated-token doc scores the floor") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t18_entropy_score")(spark, sfDir).cache()
+    // quantized surprisal is bit_length(N div c) >= 1 per token
+    assert(df.filter($"surprisal_bits" < $"n_tokens").isEmpty)
+    assert(df.filter($"bits_per_token" < 1.0).isEmpty)
+    // covers every doc with at least one token
+    val withToks = Tables.documents(spark, sfDir)
+      .filter(size(split(lower(trim($"text")), "\\s+")) > 0 && trim($"text") =!= "").count()
+    assert(df.count() == withToks)
+    // the corpus's single most frequent token is the cheapest: a doc of only
+    // that token would score exactly bit_length(N div c_max) — sanity-check
+    // the scale of the scores against that floor
+    val floor = operators.TextOps.entropyScoreRaw(spark, sfDir)
+      .agg(min($"bits_per_token")).head().getDouble(0)
+    assert(floor >= 1.0 && floor <= df.agg(avg($"bits_per_token")).head().getDouble(0))
+    df.unpersist()
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_map_result"      -> (Relational.mapResultJson _),
     "q37_null_semantics"  -> (Relational.nullSemantics _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
+    "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
     // B. Reference-pipeline semantics
     "p01_pages_in_space"        -> (PipelineOps.pagesInSpace _),
@@ -642,6 +643,24 @@ object SparkEntry {
         |                            ORDER BY ${SampleHash.sql("doc_id")}, doc_id) AS pick
         |  FROM documents)
         |WHERE pick <= 20 ORDER BY source, pick""".stripMargin,
+    // d19: weighted quota mix — the config VALUES interpolate
+    // Dedup.MixQuotaConfig so the engine and oracle budgets can never drift
+    "d19_weighted_mix" ->
+      s"""WITH cfg(source, cfg_quota) AS (VALUES ${operators.Dedup.MixQuotaConfig
+            .map { case (src, q) => s"('$src', $q)" }.mkString(", ")}),
+        |c AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY 1),
+        |r AS (SELECT source, doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |                           ORDER BY ${SampleHash.sql("doc_id")}, doc_id) AS pick
+        |      FROM documents),
+        |q AS (SELECT r.source, r.doc_id, r.lang, r.pick,
+        |             CAST(COALESCE(cfg_quota, ${operators.Dedup.MixDefaultQuota}) AS BIGINT) AS quota
+        |      FROM r LEFT JOIN cfg ON r.source = cfg.source)
+        |SELECT q.source, CAST(pick AS BIGINT) AS pick, doc_id, lang,
+        |       n_source / LEAST(quota, n_source) AS weight
+        |FROM q JOIN c ON q.source = c.source
+        |WHERE pick <= quota
+        |ORDER BY q.source, pick""".stripMargin,
     // p25: the oracle walks ancestry recursively; the engine enumerates it
     // arithmetically per row (tree_ancestors kernel) — same pairs
     "p25_subtree_rollup" ->

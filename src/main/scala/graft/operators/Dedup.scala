@@ -290,6 +290,40 @@ object Dedup {
       .orderBy($"source", $"pick")
   }
 
+  /** Weighted quota mix (driver key d19) — the actual curation interface:
+    * per-source ABSOLUTE budgets from a broadcast config row (d18's exact
+    * quotas) plus d14's inverse-inclusion weights for unbiased downstream
+    * token accounting, in ONE window pass. The constant [[MixMaxQuota]]
+    * filter sits directly on the row_number so it compiles to a partial
+    * WindowGroupLimit — each map partition forwards at most max-quota rows
+    * per source into the single corpus exchange — and the exact per-source
+    * budget is the residual filter after the broadcast config join. Weights
+    * are n_source / selected (longs, one IEEE division), so a weighted sum
+    * over the sample estimates the source total exactly in expectation.
+    * Unconfigured sources fall back to [[MixDefaultQuota]].
+    */
+  val MixQuotaConfig: Seq[(String, Int)] = Seq("src0" -> 18, "src1" -> 12)
+  val MixDefaultQuota = 6
+  val MixMaxQuota = 18
+  def weightedQuotaMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = MixQuotaConfig.toDF("source", "cfg_quota")
+    val docs = Tables.documents(s, dir)
+    // per-source totals: partial-aggregated, only |sources| rows shuffle
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+    val w = Window.partitionBy($"source")
+      .orderBy(graft.SampleHash.column($"doc_id"), $"doc_id")
+    docs.withColumn("pick", row_number().over(w).cast("long"))
+      .filter($"pick" <= MixMaxQuota) // literal bound -> WindowGroupLimit
+      .join(broadcast(cfg), Seq("source"), "left")
+      .withColumn("quota", coalesce($"cfg_quota", lit(MixDefaultQuota)).cast("long"))
+      .filter($"pick" <= $"quota")
+      .join(broadcast(counts), Seq("source"))
+      .select($"source", $"pick", $"doc_id", $"lang",
+              ($"n_source" / least($"quota", $"n_source")).as("weight"))
+      .orderBy($"source", $"pick")
+  }
+
   /** Exact n-gram Jaccard on a deterministic linear pairing (doc i vs doc
     * i + n/2): the verify step that LSH candidates would feed at scale.
     * Grams are word-bigram STRINGS (not hashes) so the DuckDB oracle computes

@@ -253,6 +253,29 @@ class RelationalSpec extends SparkSpec {
     assert(native.collect().map(_.toSeq).toSeq === fused.collect().map(_.toSeq).toSeq)
   }
 
+  test("d19 weighted mix: one WindowGroupLimit pass, config and counts ride broadcasts") {
+    val planned = physical(SparkEntry.queries("d19_weighted_mix")(spark, sfDir))
+    val p = planned.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"constant cap must bound map output below the window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"config/counts joins must broadcast, never shuffle the sample:\n$p")
+    // exact budgets: every configured source hits its quota (n_source >= quota
+    // here), unconfigured sources get the default, weights invert inclusion
+    val rows = SparkEntry.queries("d19_weighted_mix")(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("picked"), max(col("weight")).as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val cfg = operators.Dedup.MixQuotaConfig.toMap
+    val perSource = Tables.documents(spark, sfDir).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (src, (picked, w)) =>
+      val quota = math.min(cfg.getOrElse(src, operators.Dedup.MixDefaultQuota).toLong, perSource(src))
+      assert(picked == quota, s"$src picked $picked, quota $quota")
+      assert(math.abs(w - perSource(src).toDouble / quota) < 1e-12, s"$src weight $w")
+    }
+  }
+
   test("d18 quota sample: rank filter compiles to a partial WindowGroupLimit") {
     val p = physical(SparkEntry.queries("d18_quota_sample")(spark, sfDir)).toString
     assert(p.contains("WindowGroupLimit"),

@@ -134,6 +134,7 @@ object SparkEntry {
     "s03_stream_dedup" -> (graft.streaming.Streams.dedupBatch _),
     "s06_stream_distinct" -> (graft.streaming.Streams.distinctUsersBatch _),
     "s09_stream_topk"     -> (graft.streaming.Streams.topkBatch _),
+    "s12_session_topk"    -> (graft.streaming.Streams.sessionTopkBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -1086,6 +1087,28 @@ object SparkEntry {
         |                            ORDER BY value DESC) AS rank
         |  FROM events)
         |WHERE rank <= 3 ORDER BY window_start, event_type, rank""".stripMargin,
+    // s12: s02's gap-session assignment + per-session top-3 by value — the
+    // session_window x topk_agg composition, ranked flat for the hash
+    "s12_session_topk" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, session_seq, value,
+        |         MIN(ts) OVER (PARTITION BY user_id, session_seq) AS session_start,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+        |                            ORDER BY value DESC) AS rank
+        |  FROM s)
+        |SELECT user_id, session_start, CAST(rank AS BIGINT) AS rank, value
+        |FROM r WHERE rank <= 3
+        |ORDER BY user_id, session_start, rank""".stripMargin,
     // s06: per-window HLL sketch next to the exact distinct; the sketch is
     // engine-specific, so the oracle checks the exact count and asserts the
     // error-bound claim TRUE (q24 pattern)

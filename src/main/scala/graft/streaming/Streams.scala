@@ -229,6 +229,38 @@ object Streams {
       .orderBy($"window_start", $"event_type", $"rank")
   }
 
+  /** Sessionized top-k (driver key s12's transform): the native
+    * session_window (s11's gap semantics) composed with the custom topk_agg
+    * aggregate in ONE aggregation — per (user, session) state is k doubles
+    * in the streaming state store, and session merge + heap merge both
+    * happen inside the same aggregate, so an unbounded stream costs
+    * constant state per open session. The micro-second gap widening
+    * matches the composed/oracle `diff <= 30min` definition (see
+    * [[sessionizeNative]]).
+    */
+  def sessionTopkWindowed(events: DataFrame, k: Int = 3): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    events
+      .groupBy($"user_id", session_window($"ts", "1800000001 microseconds").as("sw"))
+      .agg(graft.functions.GraftFunctions.topkAgg($"value", lit(k)).as("topv"))
+      .select($"user_id", $"sw.start".as("session_start"), $"topv")
+  }
+
+  /** Batch form (driver contract key s12_session_topk): ranked flat rows so
+    * the oracle hash-compares (the s09 explode pattern over s02's session
+    * assignment).
+    */
+  def sessionTopkBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionTopkWindowed(Tables.events(s, dir))
+      .select($"user_id", $"session_start", posexplode($"topv"))
+      .select($"user_id", $"session_start",
+              ($"pos" + 1).cast("long").as("rank"), $"col".as("value"))
+      .orderBy($"user_id", $"session_start", $"rank")
+  }
+
   /** Streaming state upsert through foreachBatch — the reference's
     * StateManager persistence (utilities/state_manager.py:84
     * update_page_state) as a continuously-maintained table: each micro-batch

@@ -218,6 +218,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s12 sessionized top-k: session merge and heap merge share one streaming aggregate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    functions.GraftFunctions.register(s)
+    val input = MemoryStream[Event]
+    // the SAME transform as the s12 driver key, driven as a stream; session
+    // windows stream in APPEND mode only — a session emits once the
+    // watermark proves its gap has passed
+    val q = Streams.sessionTopkWindowed(input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("s12_out").outputMode("append").start()
+    try {
+      // session A: two batches 10 min apart (same session, heap must merge);
+      // session B: 40 min after A's last event (new session)
+      input.addData(Event(1, ts(0), 1, "v", 5.0), Event(2, ts(10), 1, "v", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(20), 1, "v", 7.0), Event(4, ts(25), 1, "v", 8.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(65), 1, "v", 2.0))
+      q.processAllAvailable()
+      // watermark-advancing sentinels on another user flush A (closes at
+      // ts(55)) and B (closes at ts(95)); two batches because the watermark
+      // computed at batch N applies from batch N+1
+      input.addData(Event(98, ts(120), 2, "v", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(99, ts(121), 2, "v", 0.0))
+      q.processAllAvailable()
+      val out = s.table("s12_out").filter($"user_id" === 1)
+        .orderBy($"session_start")
+        .collect().map(r => r.getTimestamp(1) -> r.getSeq[Double](2))
+      assert(out.length == 2, out.mkString(", "))
+      assert(out(0)._1 == ts(0) && out(0)._2 == Seq(9.0, 8.0, 7.0),
+        s"merged session A wrong: ${out.toSeq}")
+      assert(out(1)._1 == ts(65) && out(1)._2 == Seq(2.0), s"session B wrong: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

@@ -21,19 +21,38 @@ import org.apache.spark.unsafe.types.UTF8String
   *                                 "fetch" happens
   *   - fields= projection       -> column pruning: the reader materializes
   *                                 only the requested columns
+  *   - persisted session auth   -> sensitive connector options: the
+  *                                 reference keeps encrypted session cookies
+  *                                 on disk (utilities/secure_cookie_manager
+  *                                 .py:1-290); the engine-relevant contract
+  *                                 is that a credential option ("token",
+  *                                 "cookie") flows intact to every reader
+  *                                 factory (across instantiations and
+  *                                 executor serialization) while NEVER
+  *                                 appearing in plan/explain text — scan
+  *                                 descriptions redact it
   *
   * The synthetic row set (id, page, body) is deterministic so specs can
   * assert exact results. Usage:
   *
   *   spark.read.format("graft.sources.PagedSource")
-  *     .option("pages", "8").option("pagesize", "100").load()
+  *     .option("pages", "8").option("pagesize", "100")
+  *     .option("token", "s3cret").load()
   */
 class PagedSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = PagedSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
+                        properties: java.util.Map[String, String]): Table = {
+    // the row set is synthetic and fixed: a renamed/retyped user schema
+    // would crash mid-scan — reject it at planning time instead
+    if (schema != null && !PagedSource.sameShape(schema, PagedSource.Schema))
+      throw new UnsupportedOperationException(
+        s"graft.sources.PagedSource does not support user-specified schemas; " +
+          s"got ${schema.simpleString}, table schema is ${PagedSource.Schema.simpleString}")
     new PagedTable(properties.getOrDefault("pages", "4").toInt,
-                   properties.getOrDefault("pagesize", "100").toInt)
+                   properties.getOrDefault("pagesize", "100").toInt,
+                   PagedSource.credentialOf(properties))
+  }
 }
 
 object PagedSource {
@@ -41,18 +60,31 @@ object PagedSource {
     StructField("id", LongType, nullable = false),
     StructField("page", IntegerType, nullable = false),
     StructField("body", StringType, nullable = false)))
+
+  /** Connector options treated as credentials: never shown in plans. */
+  val SensitiveOptions: Set[String] = Set("token", "cookie")
+  val Redacted = "***redacted***"
+
+  private[sources] def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.length == b.fields.length &&
+      a.fields.zip(b.fields).forall { case (x, y) => x.name == y.name && x.dataType == y.dataType }
+
+  private[sources] def credentialOf(properties: java.util.Map[String, String]): String =
+    SensitiveOptions.iterator.map(properties.get).find(_ != null).getOrElse("")
 }
 
-class PagedTable(pages: Int, pageSize: Int) extends Table with SupportsRead {
-  override def name(): String = s"graft_paged(${pages}x$pageSize)"
+class PagedTable(pages: Int, pageSize: Int, credential: String) extends Table with SupportsRead {
+  // name() surfaces in plan text: carries auth PRESENCE, never the value
+  override def name(): String =
+    s"graft_paged(${pages}x$pageSize, auth=${if (credential.isEmpty) "none" else PagedSource.Redacted})"
   override def schema(): StructType = PagedSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(pages, pageSize)
+    new PagedScanBuilder(pages, pageSize, credential)
 }
 
-class PagedScanBuilder(pages: Int, pageSize: Int) extends ScanBuilder
+class PagedScanBuilder(pages: Int, pageSize: Int, credential: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedSource.Schema
   private var accepted: Array[Filter] = Array.empty
@@ -72,12 +104,13 @@ class PagedScanBuilder(pages: Int, pageSize: Int) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new PagedScan(pages, pageSize, required, accepted)
+  override def build(): Scan = new PagedScan(pages, pageSize, required, accepted, credential)
 }
 
 case class PagedPartition(page: Int, pageSize: Int) extends InputPartition
 
-class PagedScan(pages: Int, pageSize: Int, required: StructType, pushed: Array[Filter])
+class PagedScan(pages: Int, pageSize: Int, required: StructType, pushed: Array[Filter],
+                credential: String)
     extends Scan with Batch {
 
   // page p covers ids [p*pageSize, (p+1)*pageSize); intersect with the
@@ -111,14 +144,21 @@ class PagedScan(pages: Int, pageSize: Int, required: StructType, pushed: Array[F
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftPagedScan pages=${surviving.length}/$pages pushed=[${pushed.mkString(", ")}]"
+    s"GraftPagedScan pages=${surviving.length}/$pages pushed=[${pushed.mkString(", ")}] " +
+      s"auth=${if (credential.isEmpty) "none" else PagedSource.Redacted}"
   override def planInputPartitions(): Array[InputPartition] =
     surviving.map(p => PagedPartition(p, pageSize): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(required)
+    new PagedReaderFactory(required, credential)
 }
 
-class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
+class PagedReaderFactory(required: StructType, credential: String)
+    extends PartitionReaderFactory {
+  /** The live credential each "fetch" would present — intact here (it rides
+    * executor serialization with the factory) even though no plan text ever
+    * contains it. Spec-asserted.
+    */
+  private[graft] def liveCredential: String = credential
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PagedReader(p.asInstanceOf[PagedPartition], required)
 }
@@ -134,6 +174,8 @@ class PagedReader(p: PagedPartition, required: StructType)
       case "id"   => id
       case "page" => p.page
       case "body" => UTF8String.fromString(s"body-$id")
+      case other  => throw new IllegalArgumentException(
+        s"graft.sources.PagedSource has no column '$other' (columns: id, page, body)")
     })
   }
   override def close(): Unit = ()

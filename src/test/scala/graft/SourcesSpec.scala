@@ -56,6 +56,49 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == 100)
   }
 
+  test("paged source secured connection: credential reaches readers but never plan text") {
+    import spark.implicits._
+    val secret = "tok-5up3r-53cr3t"
+    val read = spark.read.format("graft.sources.PagedSource")
+      .option("pages", "4").option("pagesize", "50").option("token", secret).load()
+    // the credential must not leak into ANY rendering of the plan
+    val df = read.filter($"id" < 120)
+    assert(df.count() == 120)
+    val renderings = Seq(
+      df.queryExecution.explainString(org.apache.spark.sql.execution.ExtendedMode),
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode),
+      physical(df).toString)
+    renderings.foreach { r =>
+      assert(!r.contains(secret), s"credential leaked into plan:\n${r.take(800)}")
+    }
+    assert(renderings.exists(_.contains(graft.sources.PagedSource.Redacted)),
+      "scan description must mark redacted auth")
+    // ...while every reader factory still carries it live (the encrypted
+    // cookie-jar contract: persisted session auth survives re-instantiation)
+    (1 to 2).foreach { _ =>
+      val scan = new graft.sources.PagedScanBuilder(4, 50, secret).build()
+      val factory = scan.toBatch.createReaderFactory()
+      assert(factory.asInstanceOf[graft.sources.PagedReaderFactory].liveCredential == secret)
+    }
+    // unauthenticated reads say so (presence is visible, value never is)
+    val noauth = spark.read.format("graft.sources.PagedSource")
+      .option("pages", "2").load()
+    assert(physical(noauth).toString.contains("auth=none"))
+  }
+
+  test("paged source rejects a user-supplied schema at planning time") {
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType)))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.PagedSource").schema(bad).load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null &&
+        (m.contains("user-specified schema") || m.contains("user specified schema"))),
+      s"expected a planning-time schema rejection, got: $e")
+  }
+
   test("p21 tolerant ingestion routes planted corrupt lines instead of failing") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()

@@ -102,6 +102,7 @@ object SparkEntry {
     "t16_token_spectrum"    -> (TextOps.tokenSpectrum _),
     "t17_edit_distance"     -> (TextOps.editDistancePairs _),
     "t18_entropy_score"     -> (TextOps.entropyScore _),
+    "t19_chunk_overlap"     -> (TextOps.chunkOverlap _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -597,6 +598,22 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, surprisal_bits,
         |       surprisal_bits / n_tokens AS bits_per_token
         |FROM d ORDER BY doc_id""".stripMargin,
+    // t19: chunking — chunk 64 / overlap 16 / stride 48; chunk count
+    // 1 + (max(n-17,0) // 48) mirrors the Spark sequence() bound exactly
+    "t19_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id,
+        |                  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                              t -> t <> '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             unnest(range(0, greatest(len(toks) - 16 - 1, 0) // 48 + 1)) AS chunk_id
+        |      FROM w)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |       CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT)
+        |         AS n_chunk_tokens,
+        |       array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')
+        |         AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // p24: forward as-of — DuckDB ASOF with the inequality flipped
     "p24_asof_forward" ->
       """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id

@@ -413,4 +413,38 @@ object TextOps {
         md5(regexp_replace(lower($"text"), "\\s+", " ")).as("content_md5"))
       .orderBy($"doc_id")
   }
+
+  /** t19: fixed token-budget chunking with overlap — the RAG / context-window
+    * prep step: each doc's token stream is cut into windows of ChunkTokens
+    * with OverlapTokens shared between neighbors (stride = chunk − overlap).
+    * Chunk count is 1 + floor(max(n − overlap − 1, 0) / stride), which
+    * guarantees (a) full coverage (last start + chunk ≥ n) and (b) every
+    * chunk after the first contributes at least one NEW token — no
+    * degenerate all-overlap tail chunks. Shape at 100 TB: a pure per-row
+    * transform (tokenize → sequence → explode → slice), zero exchanges
+    * before the presentation sort; chunking 100 TB is exactly as parallel
+    * as reading it.
+    */
+  private val ChunkTokens = 64
+  private val OverlapTokens = 16
+  private val ChunkStride = ChunkTokens - OverlapTokens // 48
+
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')").as("toks"))
+      .select($"doc_id", $"toks",
+        explode(expr(
+          s"sequence(0L, greatest(size(toks) - $OverlapTokens - 1, 0) div $ChunkStride)"))
+          .as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        ($"chunk_id" * ChunkStride).as("start_tok"),
+        size(slice($"toks", ($"chunk_id" * ChunkStride + 1).cast("int"), lit(ChunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(
+          slice($"toks", ($"chunk_id" * ChunkStride + 1).cast("int"), lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
 }

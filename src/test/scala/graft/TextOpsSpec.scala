@@ -141,6 +141,42 @@ class TextOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t19 chunking: full coverage, exact overlap, and lossless reassembly") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t19_chunk_overlap")(spark, sfDir).cache()
+    // every chunk fits the budget; only the final chunk of a doc may be short
+    assert(df.filter($"n_chunk_tokens" > 64).isEmpty)
+    val lastPerDoc = df.groupBy($"doc_id").agg(max($"chunk_id").as("last_id"))
+    assert(df.join(lastPerDoc, "doc_id")
+      .filter($"chunk_id" < $"last_id" && $"n_chunk_tokens" =!= 64).isEmpty,
+      "a non-final chunk is not exactly chunk-budget sized")
+    // stride: consecutive chunk starts differ by exactly 48 (= 64 - 16)
+    assert(df.filter($"start_tok" =!= $"chunk_id" * 48).isEmpty)
+    // reassembly: chunk 0's tokens ++ (tokens after the 16-token overlap of
+    // each later chunk) must equal the doc's full filtered token stream
+    val reassembled = df
+      .withColumn("contrib",
+        when($"chunk_id" === 0, split($"chunk_text", " "))
+          .otherwise(expr("slice(split(chunk_text, ' '), 17, 64)")))
+      .groupBy($"doc_id")
+      .agg(array_join(flatten(sort_array(collect_list(struct($"chunk_id", $"contrib")))
+        .getField("contrib")), " ").as("rebuilt"))
+    val original = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        array_join(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"), " ")
+          .as("orig"))
+    assert(reassembled.join(original, "doc_id").filter($"rebuilt" =!= $"orig").isEmpty,
+      "dropping each chunk's leading overlap must reconstruct the doc exactly")
+    // no exchange before the presentation sort: chunking is a narrow map
+    val planned = physical(SparkEntry.queries("t19_chunk_overlap")(spark, sfDir))
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.toString.contains("rangepartitioning")),
+      s"chunking must not shuffle (only the final sort may exchange):\n$planned")
+    df.unpersist()
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

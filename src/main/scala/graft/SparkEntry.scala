@@ -106,6 +106,7 @@ object SparkEntry {
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
+    "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -691,6 +692,29 @@ object SparkEntry {
         |       CAST(SUM(d.n_chars) AS BIGINT) AS subtree_chars
         |FROM anc a JOIN documents d ON a.node = d.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // p26: concat-and-chunk packing manifest — budget 128 tokens, 2 shards;
+    // a doc explodes into every sequence its [start, start+n) span overlaps
+    "p26_sequence_packing" ->
+      """WITH w AS (SELECT doc_id, source, doc_id % 2 AS shard,
+        |                  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                                  t -> t <> '')) AS n_toks
+        |           FROM documents),
+        |o AS (SELECT *, CAST(SUM(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                                       ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT)
+        |                  AS start_off
+        |      FROM w WHERE n_toks > 0),
+        |e AS (SELECT source, shard, doc_id, n_toks, start_off,
+        |             unnest(range(start_off // 128, (start_off + n_toks - 1) // 128 + 1)) AS seq_id
+        |      FROM o)
+        |SELECT source, shard, seq_id,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(LEAST((seq_id+1)*128, start_off + n_toks)
+        |              - GREATEST(seq_id*128, start_off)) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN start_off >= seq_id*128 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_starting,
+        |       CAST(SUM(CASE WHEN start_off + n_toks > (seq_id+1)*128 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_straddling
+        |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // q34: total ordering via the o_orderkey tiebreaker makes the rank
     // fractions exact IEEE divisions on both engines
     "q34_window_dist" ->

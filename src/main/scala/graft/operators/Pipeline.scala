@@ -295,6 +295,52 @@ object PipelineOps {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** p26: concat-and-chunk sequence packing — the training-batch prep step
+    * after curation: per (source, shard) the token streams of all docs are
+    * conceptually concatenated in doc_id order and cut into fixed
+    * SeqBudget-token training sequences; this reports the exact packing
+    * manifest per sequence (docs touching it, token fill, how many docs
+    * start in it / straddle into the next one). A doc's placement is its
+    * running start offset (window cumsum), and each doc explodes into
+    * exactly the sequences its [start, start+n) token span overlaps — so
+    * boundary-straddling accounting is exact, not approximated.
+    *
+    * Scale shape: packing is per-(source, shard), so the window sort is
+    * partition-parallel — shard count is the parallelism knob (2 here for
+    * test-SF structure; thousands at 100 TB) and NO global sort or
+    * single-reducer cumsum exists anywhere. One hash exchange for the
+    * window, one partial-aggregated exchange for the per-sequence rollup.
+    */
+  private val SeqBudget = 128L
+  private val PackShards = 2L
+
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val placed = Tables.documents(s, dir)
+      .select($"doc_id", $"source", ($"doc_id" % PackShards).as("shard"),
+        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .cast("long").as("n_toks"))
+      .filter($"n_toks" > 0)
+      .withColumn("start_off", sum($"n_toks").over(w) - $"n_toks")
+    placed
+      .select($"source", $"shard", $"doc_id", $"n_toks", $"start_off",
+        explode(expr(
+          s"sequence(start_off div $SeqBudget, (start_off + n_toks - 1) div $SeqBudget)"))
+          .as("seq_id"))
+      .groupBy($"source", $"shard", $"seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(($"seq_id" + 1) * SeqBudget, $"start_off" + $"n_toks") -
+            greatest($"seq_id" * SeqBudget, $"start_off")).as("n_tokens"),
+        sum(when($"start_off" >= $"seq_id" * SeqBudget, 1L).otherwise(0L))
+          .as("n_starting"),
+        sum(when($"start_off" + $"n_toks" > ($"seq_id" + 1) * SeqBudget, 1L).otherwise(0L))
+          .as("n_straddling"))
+      .orderBy($"source", $"shard", $"seq_id")
+  }
+
   /** Failure-tolerant ingestion — the one reference behavior with no query
     * analogue until now: the pipeline records per-page failures and CONTINUES
     * the run (/root/reference/master_script.py:222-609 catches per-page

@@ -107,6 +107,48 @@ class PipelineSpec extends SparkSpec {
     assert(missing.filter(col("doc_id") % 5 =!= 4).isEmpty)
   }
 
+  test("p26 sequence packing: every interior sequence is exactly full and carry-over balances") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p26_sequence_packing")(spark, sfDir).cache()
+    // token conservation: per (source, shard) the packed token mass equals
+    // the token mass of the docs that entered the pack
+    val packed = df.groupBy($"source", $"shard").agg(
+      sum($"n_tokens").as("packed_toks"), max($"seq_id").as("last_seq"),
+      count(lit(1)).as("n_seqs"))
+    val entered = Tables.documents(spark, sfDir)
+      .select($"source", ($"doc_id" % 2).as("shard"),
+        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .cast("long").as("n_toks"))
+      .filter($"n_toks" > 0)
+      .groupBy($"source", $"shard").agg(sum($"n_toks").as("entered_toks"))
+    assert(packed.join(entered, Seq("source", "shard"))
+      .filter($"packed_toks" =!= $"entered_toks").isEmpty, "token mass not conserved")
+    // sequences are contiguous 0..last with no gaps
+    assert(packed.filter($"n_seqs" =!= $"last_seq" + 1).isEmpty, "gap in sequence ids")
+    // the concatenated stream fills every sequence to the exact budget
+    // except the final partial one
+    assert(df.join(packed, Seq("source", "shard"))
+      .filter($"seq_id" < $"last_seq" && $"n_tokens" =!= 128L).isEmpty,
+      "an interior sequence is not exactly budget-full")
+    assert(df.filter($"n_tokens" > 128L).isEmpty, "a sequence exceeds the budget")
+    // carry-over balance: docs in a sequence = docs starting there + docs
+    // straddling in from the previous sequence
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"shard").orderBy($"seq_id")
+    assert(df.withColumn("carry_in", coalesce(lag($"n_straddling", 1).over(w), lit(0L)))
+      .filter($"n_docs" =!= $"n_starting" + $"carry_in").isEmpty,
+      "doc carry-over does not balance across a boundary")
+    // plan: one hash exchange for the placement window, one (partial-
+    // aggregated) for the rollup, and only the presentation sort ranges
+    val planned = physical(SparkEntry.queries("p26_sequence_packing")(spark, sfDir))
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.count(!_.toString.contains("rangepartitioning")) <= 2,
+      s"packing must cost at most two hash exchanges:\n$planned")
+    df.unpersist()
+  }
+
   test("p10 partitioned sink writes one directory per space") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sfDir).write.mode("overwrite")

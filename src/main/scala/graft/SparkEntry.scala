@@ -58,6 +58,7 @@ object SparkEntry {
     "q35_multiset_ops"    -> (Relational.multisetOps _),
     "q36_map_result"      -> (Relational.mapResultJson _),
     "q37_null_semantics"  -> (Relational.nullSemantics _),
+    "q38_interval_sweep"  -> (Relational.intervalSweep _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -654,6 +655,23 @@ object SparkEntry {
         |SELECT g.k, g.n, g2.n AS n2
         |FROM g JOIN g g2 ON g.k IS NOT DISTINCT FROM g2.k
         |ORDER BY g.k NULLS FIRST""".stripMargin,
+    // q38: the oracle is the NAIVE one-window-per-type sweep — same result
+    // as the engine's two-level bucketed formulation, different plan
+    "q38_interval_sweep" ->
+      """WITH iv AS (SELECT event_id, event_type, ts AS t0,
+        |                   ts + to_seconds(60 + event_id % 240) AS t1
+        |            FROM events),
+        |pts AS (SELECT event_type, t0 AS t, 1 AS delta, event_id FROM iv
+        |        UNION ALL
+        |        SELECT event_type, t1, -1, event_id FROM iv),
+        |run AS (SELECT event_type, t, delta, event_id,
+        |               CAST(SUM(delta) OVER (PARTITION BY event_type
+        |                                     ORDER BY t, delta, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |        FROM pts)
+        |SELECT event_type, date_trunc('hour', t) AS bucket,
+        |       COUNT(*) AS n_points, MAX(conc) AS peak_concurrency
+        |FROM run GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

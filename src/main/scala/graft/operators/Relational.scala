@@ -686,6 +686,50 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** q38: peak-concurrency interval sweep — how many sessions overlap at
+    * once, per event type and hour. Each event opens a deterministic
+    * [ts, ts + 60 + event_id % 240 s) interval; intervals become +1/−1
+    * endpoint rows and a running sum over the endpoint order is the exact
+    * concurrency (half-open semantics: at equal instants the −1 sorts
+    * first via delta asc, so touching intervals never double-count).
+    *
+    * Scale shape — the naive sweep is ONE window per event_type: five
+    * partitions total at any data size, a single-reducer wall at 100 TB.
+    * This is the two-level formulation instead: (1) endpoints prefix-sum
+    * WITHIN each (type, hour bucket) — embarrassingly parallel, and the
+    * groupBy that follows reuses the same hash partitioning so it costs no
+    * second corpus exchange; (2) bucket summaries (one row per type-hour)
+    * prefix-sum per type to set each bucket's entering baseline — a window
+    * over rows ~ |buckets|, vanishingly small next to the corpus. Peak in
+    * a bucket = baseline + local relative peak. Intervals spanning many
+    * buckets are exact: their +1/−1 land in different buckets and the
+    * baseline chain carries them across.
+    */
+  def intervalSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.events(s, dir).select($"event_id", $"event_type", $"ts".as("t0"),
+      expr("timestampadd(SECOND, CAST(60 + event_id % 240 AS INT), ts)").as("t1"))
+    val pts = iv.select($"event_type", $"t0".as("t"), lit(1L).as("delta"), $"event_id")
+      .union(iv.select($"event_type", $"t1".as("t"), lit(-1L).as("delta"), $"event_id"))
+      .withColumn("bucket", date_trunc("hour", $"t"))
+    val wLocal = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"t", $"delta", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = pts
+      .withColumn("rel_run", sum($"delta").over(wLocal))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_points"),
+           max($"rel_run").as("rel_peak"),
+           sum($"delta").as("bucket_delta"))
+    val wBaseline = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("baseline", sum($"bucket_delta").over(wBaseline) - $"bucket_delta")
+      .select($"event_type", $"bucket", $"n_points",
+              ($"baseline" + $"rel_peak").as("peak_concurrency"))
+      .orderBy($"event_type", $"bucket")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

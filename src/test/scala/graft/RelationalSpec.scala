@@ -326,4 +326,38 @@ class RelationalSpec extends SparkSpec {
       assert(keys == keys.sorted, s"map entries must be key-sorted: $j")
     }
   }
+
+  test("q38 two-level interval sweep equals the naive single-window sweep") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = SparkEntry.queries("q38_interval_sweep")(spark, sfDir).cache()
+    // concurrency after any endpoint is >= 0 (a bucket holding only the
+    // last closing −1 of its type legitimately peaks at 0, never below)
+    assert(df.filter($"peak_concurrency" < 0).isEmpty)
+    // the naive formulation: ONE window per event_type over all endpoints —
+    // correct but unshardable; the engine's bucketed two-level plan must
+    // reproduce it exactly
+    val iv = Tables.events(spark, sfDir).select($"event_id", $"event_type", $"ts".as("t0"),
+      expr("timestampadd(SECOND, CAST(60 + event_id % 240 AS INT), ts)").as("t1"))
+    val pts = iv.select($"event_type", $"t0".as("t"), lit(1L).as("delta"), $"event_id")
+      .union(iv.select($"event_type", $"t1".as("t"), lit(-1L).as("delta"), $"event_id"))
+    val w = Window.partitionBy($"event_type").orderBy($"t", $"delta", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = pts.withColumn("conc", sum($"delta").over(w))
+      .groupBy($"event_type", date_trunc("hour", $"t").as("bucket"))
+      .agg(count(lit(1)).as("n_points"), max($"conc").as("peak_concurrency"))
+    assert(df.select("event_type", "bucket", "n_points", "peak_concurrency")
+      .except(naive).isEmpty &&
+      naive.except(df.select("event_type", "bucket", "n_points", "peak_concurrency")).isEmpty,
+      "two-level sweep diverges from the naive sweep")
+    // plan: local window + rollup share one corpus exchange; the baseline
+    // window only moves bucket-summary rows
+    val planned = physical(SparkEntry.queries("q38_interval_sweep")(spark, sfDir))
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.count(!_.toString.contains("rangepartitioning")) <= 2,
+      s"sweep must cost at most two hash exchanges (one corpus, one summary):\n$planned")
+    df.unpersist()
+  }
 }

@@ -126,6 +126,7 @@ object SparkEntry {
     "d15_ann_ivf_trained" -> (Similarity.annIvfTrained _),
     "d16_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
     "d17_cluster_quality" -> (Similarity.clusterQuality _),
+    "d20_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1024,6 +1025,24 @@ object SparkEntry {
          |FROM cand
          |WHERE ${CrossHashSql.estJaccard("sig_a", "sig_b")} >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d20: incremental dedup — the index side (doc_id % 3 != 0) is the
+    // persisted banded-signature state; only the new batch joins into it
+    "d20_incremental_dedup" ->
+      s"""WITH
+         |${CrossHashSql.minhashCtes(3)},
+         |st AS (SELECT band_id, band_key, doc_id AS state_id, sig AS state_sig
+         |       FROM band WHERE doc_id % 3 <> 0),
+         |bt AS (SELECT band_id, band_key, doc_id, sig
+         |       FROM band WHERE doc_id % 3 = 0),
+         |m AS (SELECT bt.doc_id, COUNT(DISTINCT state_id) AS n_matches,
+         |             MIN(state_id) AS matched_id
+         |      FROM bt JOIN st USING (band_id, band_key)
+         |      WHERE ${CrossHashSql.estJaccard("bt.sig", "st.state_sig")} >= 0.5
+         |      GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches,
+         |       COALESCE(n_matches, 0) > 0 AS is_dup, matched_id
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 3 = 0 ORDER BY d.doc_id""".stripMargin,
     "d11_fuzzy_decontaminate" ->
       s"""WITH
          |${CrossHashSql.minhashCtes(3)},

@@ -107,6 +107,40 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d20: incremental dedup against a persisted signature index — the
+    * ingest-time shape at 100 TB: the already-indexed corpus (simulated
+    * here as doc_id % 3 != 0) has its banded minhash signatures persisted
+    * and bucketed by (band_id, band_key); a NEW batch (doc_id % 3 == 0)
+    * is banded and joined against the index buckets only. Cost is
+    * O(|batch| + collisions) — the corpus is never re-signed, never
+    * self-joined, and in production the index side is a bucketed table so
+    * the join co-locates on the bucket key with zero index-side shuffle.
+    * Each new doc gets a verdict row: how many indexed docs it collides
+    * with at >= threshold signature agreement, and the smallest matching
+    * index id (the canonical survivor it would dedup against).
+    */
+  def incrementalDedup(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val banded = bandSignatures(signatures(s, dir))
+    val isNew = $"doc_id" % 3 === 0
+    val index = banded.filter(!isNew)
+      .select($"band_id", $"band_key", $"doc_id".as("state_id"), $"sig".as("state_sig"))
+    val batch = banded.filter(isNew)
+    val matches = batch.join(index, Seq("band_id", "band_key"))
+      .filter(estJaccard("sig", "state_sig") >= threshold)
+      .groupBy($"doc_id")
+      .agg(countDistinct($"state_id").as("n_matches"), min($"state_id").as("matched_id"))
+    Tables.documents(s, dir)
+      .filter(isNew)
+      .select($"doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        (coalesce($"n_matches", lit(0L)) > 0).as("is_dup"),
+        $"matched_id")
+      .orderBy($"doc_id")
+  }
+
   /** SimHash near-dup: 60-bit cross-engine fingerprints, 15-bit hamming
     * bands, exact hamming verify. At the default maxHamming = 3 the result
     * is EXACT, not approximate: 4 bands of 15 bits mean any pair within

@@ -134,6 +134,36 @@ class DedupSimilaritySpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("d20 incremental dedup flags exactly the batch docs colliding with the index") {
+    import spark.implicits._
+    val verdicts = SparkEntry.queries("d20_incremental_dedup")(spark, sfDir).cache()
+    // one verdict per new-batch doc, nothing else
+    val batchIds = Tables.documents(spark, sfDir).filter($"doc_id" % 3 === 0).select("doc_id")
+    assert(verdicts.count() == batchIds.count())
+    assert(verdicts.join(batchIds, Seq("doc_id"), "left_anti").isEmpty)
+    // verdict internal consistency
+    assert(verdicts.filter($"is_dup" =!= ($"n_matches" > 0)).isEmpty)
+    assert(verdicts.filter($"is_dup" && $"matched_id".isNull).isEmpty)
+    assert(verdicts.filter(!$"is_dup" && $"matched_id".isNotNull).isEmpty)
+    // matched_id always points into the index partition, never the batch
+    assert(verdicts.filter($"matched_id" % 3 === 0).isEmpty)
+    // agreement with the full-corpus pass: every d02 pair at >= 0.5 that
+    // crosses batch/index must surface as a dup verdict here
+    val crossPairs = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir)
+      .filter($"est_jaccard" >= 0.5)
+      .filter(($"doc_a" % 3 === 0) =!= ($"doc_b" % 3 === 0))
+      .select(when($"doc_a" % 3 === 0, $"doc_a").otherwise($"doc_b").as("doc_id"))
+      .distinct()
+    assert(crossPairs.join(verdicts.filter($"is_dup"), Seq("doc_id"), "left_anti").isEmpty,
+      "a batch/index near-dup pair known to the full-corpus pass was missed")
+    // no all-pairs fallback anywhere in the plan
+    val planned = physical(SparkEntry.queries("d20_incremental_dedup")(spark, sfDir))
+    val txt = planned.toString
+    assert(!txt.contains("CartesianProduct") && !txt.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must stay bucket-local:\n$txt")
+    verdicts.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

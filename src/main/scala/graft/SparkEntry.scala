@@ -139,6 +139,7 @@ object SparkEntry {
     "s06_stream_distinct" -> (graft.streaming.Streams.distinctUsersBatch _),
     "s09_stream_topk"     -> (graft.streaming.Streams.topkBatch _),
     "s12_session_topk"    -> (graft.streaming.Streams.sessionTopkBatch _),
+    "s13_stream_decontaminate" -> (graft.streaming.Streams.streamDeconBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -1101,6 +1102,18 @@ object SparkEntry {
         |       doc_id = MIN(doc_id) OVER (PARTITION BY MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS is_survivor
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d09_decontaminate" -> DecontaminateOracle,
+    // s13: the ingest-gate admission summary over the same d09 blocklist
+    "s13_stream_decontaminate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS fp
+        |           FROM documents),
+        |e AS (SELECT DISTINCT fp FROM d WHERE doc_id % 7 = 3)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM e) THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_admitted,
+        |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM e) THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_blocked
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // d16 is the same contract on the Bloom-prefilter plan (p18/p20 pattern)
     "d16_bloom_decontaminate" -> DecontaminateOracle,
     // d17: cluster-quality cohesion margins are engine-specific (they depend

@@ -338,4 +338,39 @@ object Streams {
       .select($"event_id", $"ts", $"user_id", $"event_type")
       .orderBy($"event_id")
   }
+
+  /** d09's content fingerprint, shared by the s13 batch twin and stream. */
+  private[graft] def contentFp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(c), "\\s+", " "))
+
+  /** s13 stream transform: decontaminate documents AT INGEST — fingerprint
+    * each incoming doc and anti-join against the static eval-fingerprint
+    * blocklist. This is a STATELESS stream-static join (append mode, no
+    * watermark, no state store): every micro-batch filters independently
+    * and the blocklist rides along as a broadcast, so stream throughput is
+    * the scan rate — the streaming face of d09/d16, where contaminated
+    * docs are refused entry to the corpus instead of being swept later.
+    */
+  def decontaminateStream(docs: DataFrame, blockFps: DataFrame): DataFrame =
+    docs.withColumn("fp", contentFp(col("text")))
+      .join(broadcast(blockFps), Seq("fp"), "left_anti")
+
+  /** Batch twin (driver key s13_stream_decontaminate): per-source admission
+    * summary — how many incoming docs the gate admits vs blocks. Blocked =
+    * the doc's fingerprint appears in the eval set (doc_id % 7 == 3, the
+    * d09 convention; eval rows block themselves by construction).
+    */
+  def streamDeconBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", contentFp($"text").as("fp"))
+    val block = docs.filter($"doc_id" % 7 === 3).select($"fp").distinct()
+    docs
+      .join(broadcast(block.withColumn("blocked", lit(true))), Seq("fp"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"blocked", 0L).otherwise(1L)).as("n_admitted"),
+           sum(when($"blocked", 1L).otherwise(0L)).as("n_blocked"))
+      .orderBy($"source")
+  }
 }

@@ -255,6 +255,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s13 stream-static decontamination gate refuses blocklisted docs statelessly") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // blocklist = fingerprints of two known texts
+    val blockTexts = Seq("leaked eval question one", "another held out prompt")
+    val blockFps = blockTexts.toDF("text")
+      .select(Streams.contentFp(col("text")).as("fp"))
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(
+      (1L, "srcA", "a perfectly clean document"),
+      (2L, "srcA", "Leaked  EVAL question one"), // normalizes onto blocklist entry
+      (3L, "srcB", "another held out prompt"),
+      (4L, "srcB", "more clean text here"))
+    val q = Streams.decontaminateStream(
+        input.toDF().toDF("doc_id", "source", "text"), blockFps)
+      .writeStream.format("memory").queryName("s13_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch: the gate must keep filtering with no state carried
+      input.addData(
+        (5L, "srcC", "ANOTHER held  out prompt"), // still blocked
+        (6L, "srcC", "fresh clean content"))
+      q.processAllAvailable()
+      val admitted = s.table("s13_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(1L, 4L, 6L),
+        s"gate admitted $admitted, expected clean docs only")
+      // stateless: no state store rows accumulate across batches
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static anti-join must hold no streaming state")
+    } finally q.stop()
+    // batch twin invariants: admissions + blocks partition each source's docs
+    val twin = SparkEntry.queries("s13_stream_decontaminate")(spark, sfDir)
+    assert(twin.filter(col("n_admitted") + col("n_blocked") =!= col("n_docs")).isEmpty)
+    // eval-convention rows guarantee at least one block overall
+    assert(twin.agg(sum("n_blocked")).head().getLong(0) >= 1)
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

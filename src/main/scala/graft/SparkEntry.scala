@@ -104,6 +104,7 @@ object SparkEntry {
     "t17_edit_distance"     -> (TextOps.editDistancePairs _),
     "t18_entropy_score"     -> (TextOps.entropyScore _),
     "t19_chunk_overlap"     -> (TextOps.chunkOverlap _),
+    "t20_cms_heavy_hitters" -> (TextOps.cmsHeavyHitters _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -618,6 +619,27 @@ object SparkEntry {
         |       array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ')
         |         AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // t20: the oracle rebuilds the 4x1024 CMS counter-by-counter with the
+    // shared poly31/affine constants — sketch estimates hash-compare exactly
+    "t20_cms_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                                        t -> t <> '')) AS term
+         |              FROM documents),
+         |tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_n FROM toks GROUP BY 1),
+         |th AS (SELECT term, true_n, ${CrossHashSql.poly31("term", 0)} AS h FROM tc),
+         |buck AS (SELECT term, true_n, i,
+         |                (((${CrossHashSql.AList})[i+1] * h + (${CrossHashSql.BList})[i+1])
+         |                 % ${graft.functions.CrossHash.P}) % 1024 AS bucket
+         |         FROM th, UNNEST(range(0, 4)) r(i)),
+         |cnt AS (SELECT i, bucket, SUM(true_n) AS c FROM buck GROUP BY 1, 2),
+         |top AS (SELECT term, true_n FROM tc ORDER BY true_n DESC, term LIMIT 20),
+         |est AS (SELECT b.term, CAST(MIN(c.c) AS BIGINT) AS cms_n
+         |        FROM buck b JOIN cnt c ON b.i = c.i AND b.bucket = c.bucket
+         |        WHERE b.term IN (SELECT term FROM top)
+         |        GROUP BY 1)
+         |SELECT t.term, t.true_n, e.cms_n, e.cms_n >= t.true_n AS is_overestimate
+         |FROM top t JOIN est e USING (term)
+         |ORDER BY t.true_n DESC, t.term""".stripMargin,
     // p24: forward as-of — DuckDB ASOF with the inequality flipped
     "p24_asof_forward" ->
       """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id

@@ -30,6 +30,8 @@ object GraftFunctions {
     "bloom_contains"  -> (es => BloomContainsExpr(es(0), es(1))),
     "nfc_norm"        -> (es => NfcNormalizeExpr(es(0))),
     "tree_ancestors"  -> (es => TreeAncestorsExpr(es(0))),
+    "cms_agg"         -> (es => CmsAggExpr(es(0), es(1), es(2), es(3))),
+    "cms_query"       -> (es => CmsQueryExpr(es(0), es(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -56,6 +58,9 @@ object GraftFunctions {
     call_function("bloom_contains", bloom, v)
   def nfcNorm(v: Column): Column = call_function("nfc_norm", v)
   def treeAncestors(id: Column): Column = call_function("tree_ancestors", id)
+  def cmsAgg(term: Column, weight: Column, depth: Column, width: Column): Column =
+    call_function("cms_agg", term, weight, depth, width)
+  def cmsQuery(sketch: Column, term: Column): Column = call_function("cms_query", sketch, term)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
@@ -90,6 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => NfcNormalizeExpr(es(0))))
     ext.injectFunction((FunctionIdentifier("tree_ancestors"), info("tree_ancestors"),
       (es: Seq[Expression]) => TreeAncestorsExpr(es(0))))
+    ext.injectFunction((FunctionIdentifier("cms_agg"), info("cms_agg"),
+      (es: Seq[Expression]) => CmsAggExpr(es(0), es(1), es(2), es(3))))
+    ext.injectFunction((FunctionIdentifier("cms_query"), info("cms_query"),
+      (es: Seq[Expression]) => CmsQueryExpr(es(0), es(1))))
     // whole-operator extension: plans graft.plans.AsOfJoin into its
     // sort-merge exec for sessions configured with spark.sql.extensions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

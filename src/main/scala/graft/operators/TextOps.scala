@@ -425,6 +425,32 @@ object TextOps {
     * before the presentation sort; chunking 100 TB is exactly as parallel
     * as reading it.
     */
+  /** t20: Count-Min-Sketch heavy hitters — the bounded-memory frequency
+    * path next to t08's exact top-k: one corpus pass builds term counts,
+    * from which BOTH the exact top-20 (the evaluation yardstick) and the
+    * 4×1024 CMS (the 100-TB artifact: 32 KB of mergeable state per
+    * partition regardless of vocabulary size) derive in a single lineage.
+    * The sketch is deterministic — same poly31/affine family as the
+    * minhash kernels — so the DuckDB oracle recomputes every counter and
+    * the estimates hash-compare exactly; `is_overestimate` must be true on
+    * every row (the CMS one-sided-error guarantee, spec-asserted too).
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.{cmsAgg, cmsQuery}
+    graft.functions.GraftFunctions.register(s)
+    val counts = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+        .as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("true_n"))
+    val top = counts.orderBy($"true_n".desc, $"term").limit(20)
+    val sketch = counts.agg(cmsAgg($"term", $"true_n", lit(4), lit(1024)).as("cms"))
+    top.crossJoin(broadcast(sketch))
+      .select($"term", $"true_n", cmsQuery($"cms", $"term").as("cms_n"))
+      .withColumn("is_overestimate", $"cms_n" >= $"true_n")
+      .orderBy($"true_n".desc, $"term")
+  }
+
   private val ChunkTokens = 64
   private val OverlapTokens = 16
   private val ChunkStride = ChunkTokens - OverlapTokens // 48

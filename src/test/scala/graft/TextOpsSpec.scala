@@ -177,6 +177,30 @@ class TextOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t20 CMS heavy hitters: one-sided error and partition-count-independent merge") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.cmsAgg
+    val df = SparkEntry.queries("t20_cms_heavy_hitters")(spark, sfDir).cache()
+    assert(df.count() == 20)
+    // the CMS guarantee: estimates NEVER undercount
+    assert(df.filter($"cms_n" < $"true_n").isEmpty, "CMS undercounted a term")
+    assert(df.filter(!$"is_overestimate").isEmpty)
+    // exact side agrees with a direct recount
+    val recount = Tables.documents(spark, sfDir)
+      .select(explode(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+    assert(df.join(recount, "term").filter($"true_n" =!= $"n").isEmpty)
+    // merge correctness: the sketch is identical no matter how the input
+    // partitions (elementwise-add merge is associative + commutative)
+    graft.functions.GraftFunctions.register(spark)
+    val terms = recount.select($"term", $"n")
+    def sketchOf(parts: Int) =
+      terms.repartition(parts).agg(cmsAgg($"term", $"n", lit(4), lit(64)).as("cms"))
+        .head().getSeq[Long](0)
+    assert(sketchOf(1) == sketchOf(7), "CMS merge is partition-count-dependent")
+    df.unpersist()
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

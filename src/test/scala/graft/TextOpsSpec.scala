@@ -198,6 +198,12 @@ class TextOpsSpec extends SparkSpec {
       terms.repartition(parts).agg(cmsAgg($"term", $"n", lit(4), lit(64)).as("cms"))
         .head().getSeq[Long](0)
     assert(sketchOf(1) == sketchOf(7), "CMS merge is partition-count-dependent")
+    // the top-k branch and the sketch branch share the term-counts exchange:
+    // AQE must reuse it so the corpus is scanned once, not per branch
+    val executed = SparkEntry.queries("t20_cms_heavy_hitters")(spark, sfDir)
+    executed.collect()
+    assert(executed.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "term-counts exchange must be reused across the top-k and sketch branches")
     df.unpersist()
   }
 

@@ -128,6 +128,7 @@ object SparkEntry {
     "d16_bloom_decontaminate" -> (Dedup.bloomDecontaminate _),
     "d17_cluster_quality" -> (Similarity.clusterQuality _),
     "d20_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "d21_adaptive_quality_gate" -> (Dedup.adaptiveQualityGate _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -182,6 +183,14 @@ object SparkEntry {
       |ORDER BY score DESC, doc_id""".stripMargin
 
   /** Shared by d09 (broadcast anti-join) and d16 (Bloom-prefilter plan). */
+  /** The t06 quality formula (see TextOps.qualityCol) — shared so t06 and
+    * d21 can never drift apart.
+    */
+  private val QualitySql: String =
+    """FLOOR((0.5 * LEAST(1.0, LENGTH(text) / 500.0)
+      |     + 0.25 * (1.0 - (LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) / (LENGTH(text) + 1.0)))
+      |     + 0.25 * (LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|and|of|to|in|is)\b')) / (LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) + 1.0))) * 10000.0 + 0.5) / 10000.0""".stripMargin
+
   private val DecontaminateOracle: String =
     """WITH d AS (SELECT doc_id, source,
       |             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
@@ -957,12 +966,17 @@ object SparkEntry {
         |SELECT doc_id, lang AS labeled_lang, pred.code AS predicted_lang, pred.score AS marker_hits
         |FROM g ORDER BY doc_id""".stripMargin,
     "t06_quality_score" ->
-      """SELECT doc_id,
-        | FLOOR((0.5 * LEAST(1.0, LENGTH(text) / 500.0)
-        |     + 0.25 * (1.0 - (LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) / (LENGTH(text) + 1.0)))
-        |     + 0.25 * (LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|and|of|to|in|is)\b')) / (LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) + 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality,
-        | n_chars
+      s"""SELECT doc_id, $QualitySql AS quality, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // d21: the t06 score with per-source ntile calibration (shared formula)
+    "d21_adaptive_quality_gate" ->
+      s"""WITH q AS (SELECT doc_id, source, $QualitySql AS quality FROM documents),
+        |t AS (SELECT doc_id, source, quality,
+        |             CAST(NTILE(4) OVER (PARTITION BY source
+        |                                 ORDER BY quality, doc_id) AS BIGINT) AS tile
+        |      FROM q)
+        |SELECT doc_id, source, quality, tile FROM t
+        |WHERE tile > 1 ORDER BY doc_id""".stripMargin,
     "t07_fingerprint" ->
       """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

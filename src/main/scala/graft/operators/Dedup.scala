@@ -141,6 +141,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d21: adaptive per-source quality gate — a single global quality
+    * threshold misjudges heterogeneous sources (a code-heavy source's
+    * median would fail a prose threshold, prose would sail past a code
+    * one). This calibrates the cutoff PER SOURCE: rank each doc's t06
+    * quality score within its source (deterministic ntile over
+    * (quality, doc_id)) and drop the bottom quartile of every source.
+    * One window shuffle on source; survivors keep their tile so the
+    * downstream mix can stratify by quality band. At 100 TB the exact
+    * per-source sort is the cost ceiling — the sketch-calibrated variant
+    * (per-source percentile_approx cutoffs broadcast back, q30's path)
+    * trades exactness for a sort-free two-pass plan; this key is the
+    * exact form the sketch variant is judged against.
+    */
+  def adaptiveQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextOps.qualityCol.as("quality"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .filter($"tile" > 1)
+      .orderBy($"doc_id")
+  }
+
   /** SimHash near-dup: 60-bit cross-engine fingerprints, 15-bit hamming
     * bands, exact hamming verify. At the default maxHamming = 3 the result
     * is EXACT, not approximate: 4 bands of 15 bits mean any pair within

@@ -114,27 +114,31 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** Quality scoring from length / punctuation / stopword ratios.
-    * Fixed-shape double arithmetic (identical IEEE evaluation order in both
-    * engines) then round(4) keeps the oracle hash stable.
+  /** The t06 quality score (length / punctuation / stopword ratios) as a
+    * reusable column — d21 calibrates per-source cutoffs over the same
+    * formula. Fixed-shape double arithmetic (identical IEEE evaluation
+    * order in both engines), then floor(x*1e4 + 0.5)/1e4 instead of
+    * round(x, 4): pure IEEE ops evaluate bit-identically in Spark and
+    * DuckDB, while their ROUNDs break .00005 ties differently
+    * (decimal-expansion HALF_UP vs scaled-nearbyint).
     */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val chars = length($"text").cast("double")
-    val punct = regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("double")
-    val words = size(split(trim($"text"), "\\s+")).cast("double")
-    val stop  = regexp_count(lower($"text"), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
+  private[graft] def qualityCol: Column = {
+    val text  = col("text")
+    val chars = length(text).cast("double")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val words = size(split(trim(text), "\\s+")).cast("double")
+    val stop  = regexp_count(lower(text), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
     val lenScore  = least(lit(1.0), chars / lit(500.0))
     val punctPen  = punct / (chars + lit(1.0))
     val stopRatio = stop / (words + lit(1.0))
     val raw = lit(0.5) * lenScore + lit(0.25) * (lit(1.0) - punctPen) + lit(0.25) * stopRatio
-    // floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): pure IEEE ops evaluate
-    // bit-identically in Spark and DuckDB, while their ROUNDs break .00005
-    // ties differently (decimal-expansion HALF_UP vs scaled-nearbyint).
+    floor(raw * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  }
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id",
-        (floor(raw * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("quality"),
-        $"n_chars")
+      .select($"doc_id", qualityCol.as("quality"), $"n_chars")
       .orderBy($"doc_id")
   }
 

@@ -164,6 +164,30 @@ class DedupSimilaritySpec extends SparkSpec {
     verdicts.unpersist()
   }
 
+  test("d21 adaptive gate drops exactly each source's bottom quality quartile") {
+    import spark.implicits._
+    val kept = SparkEntry.queries("d21_adaptive_quality_gate")(spark, sfDir).cache()
+    assert(kept.select("tile").distinct().collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L))
+    val perSource = Tables.documents(spark, sfDir).groupBy($"source")
+      .agg(count(lit(1)).as("n"))
+    // ntile(4) gives the remainder to the first tiles, so tile 1 holds
+    // ceil(n/4) docs and survivors number n - ceil(n/4)
+    val survived = kept.groupBy($"source").agg(count(lit(1)).as("n_kept"))
+    assert(perSource.join(survived, "source")
+      .filter($"n_kept" =!= $"n" - ceil($"n" / 4.0).cast("long")).isEmpty,
+      "per-source survivor count does not match the quartile rule")
+    // calibration is per source: no survivor scores below a dropped doc of
+    // the SAME source (ties at the boundary are allowed)
+    val scored = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", operators.TextOps.qualityCol.as("q"))
+    val dropped = scored.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.groupBy($"source").agg(max($"q").as("max_dropped"))
+    val minKept = kept.groupBy($"source").agg(min($"quality").as("min_kept"))
+    assert(maxDropped.join(minKept, "source").filter($"max_dropped" > $"min_kept").isEmpty,
+      "a dropped doc outscored a survivor within its source")
+    kept.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

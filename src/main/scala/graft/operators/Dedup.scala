@@ -36,21 +36,27 @@ object Dedup {
     * pass through the cross-engine kernel — the DuckDB oracle recomputes the
     * identical signature, see CrossHash / the d02 oracle SQL).
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesOf(Tables.documents(s, dir))
+
+  /** Signature form over any (doc_id, text) frame — the streaming index
+    * sink (s14) signs micro-batches through the same kernel.
+    */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
-      .select($"doc_id",
-        minhashSig31(
-          shingleStrings(split(lower(trim($"text")), "\\s+"), lit(ShingleK)),
-          lit(NumHashes)).as("sig"))
+    docs.select($"doc_id",
+      minhashSig31(
+        shingleStrings(split(lower(trim($"text")), "\\s+"), lit(ShingleK)),
+        lit(NumHashes)).as("sig"))
   }
 
   /** LSH banding of minhash signatures: Bands buckets per doc, keyed by the
     * band's signature slice rendered as a string (engine-neutral join key —
     * the oracle builds the identical key with array_to_string).
     */
-  private def bandSignatures(sigs: DataFrame): DataFrame = {
+  private[graft] def bandSignatures(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
     sigs.select($"doc_id", $"sig",
         explode(expr(
@@ -139,6 +145,37 @@ object Dedup {
         (coalesce($"n_matches", lit(0L)) > 0).as("is_dup"),
         $"matched_id")
       .orderBy($"doc_id")
+  }
+
+  /** s14 micro-batch body: sign + band the incoming docs, refuse any doc
+    * that collides with the persisted signature index at >= threshold
+    * agreement (the d20 verdict, applied at ingest), and append the
+    * survivors' bands to the index — so the index d20 queries never goes
+    * stale. Intra-batch near-dups are the upstream d01/d02 stages' job;
+    * this sink guards the batch↔index boundary. Same
+    * localCheckpoint-then-overwrite publish as the s07/s10 sinks (a
+    * transactional table format with bucket-preserving appends replaces it
+    * at scale — the state is already keyed by (band_id, band_key)).
+    */
+  private[graft] def mergeIntoSignatureIndex(batch: DataFrame, statePath: String,
+                                             threshold: Double = 0.5): Unit = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val banded = bandSignatures(signaturesOf(batch))
+    val existing =
+      if (new java.io.File(statePath).exists()) Some(s.read.parquet(statePath)) else None
+    val fresh = existing match {
+      case None => banded
+      case Some(st) =>
+        val dupIds = banded
+          .join(st.select($"band_id", $"band_key", $"sig".as("state_sig")),
+                Seq("band_id", "band_key"))
+          .filter(estJaccard("sig", "state_sig") >= threshold)
+          .select($"doc_id").distinct()
+        banded.join(dupIds, Seq("doc_id"), "left_anti")
+    }
+    val merged = existing.map(_.unionByName(fresh)).getOrElse(fresh).localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(statePath)
   }
 
   /** d21: adaptive per-source quality gate — a single global quality

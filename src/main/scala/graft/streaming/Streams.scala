@@ -339,6 +339,23 @@ object Streams {
       .orderBy($"event_id")
   }
 
+  /** s14: streaming signature-index maintenance — d20's missing half. d20
+    * dedups a batch AGAINST the index; this sink is what keeps that index
+    * alive: each micro-batch is signed, checked against the persisted
+    * banded-signature state, and only non-colliding docs extend it. The
+    * pair (s14 maintains, d20 queries) is the full incremental-ingest
+    * story: the corpus is never re-signed, and state grows only by what
+    * is genuinely new.
+    */
+  def signatureIndexSink(docs: DataFrame,
+                         statePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.mergeIntoSignatureIndex(batch, statePath)
+        ()
+      }
+      .start()
+
   /** d09's content fingerprint, shared by the s13 batch twin and stream. */
   private[graft] def contentFp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     md5(regexp_replace(lower(c), "\\s+", " "))

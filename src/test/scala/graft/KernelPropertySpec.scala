@@ -136,6 +136,39 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("cms buffer: one-sided error, add-merge equivalence, serde round-trip") {
+    import graft.functions.{cms, CmsBuffer}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def sketchArray(b: CmsBuffer): ArrayData = {
+      val out = new Array[Long](1 + b.counts.length)
+      out(0) = b.depth.toLong
+      System.arraycopy(b.counts, 0, out, 1, b.counts.length)
+      ArrayData.toArrayData(out)
+    }
+    (1 to 20).foreach { _ =>
+      val items = (1 to rng.nextInt(300) + 1).map(_ => rng.nextInt(50).toString)
+      val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // split-build with weighted adds vs single pass with unit adds
+      val (l, r) = items.splitAt(rng.nextInt(items.length))
+      val whole = new CmsBuffer(4, 128)
+      items.foreach(i => whole.add(UTF8String.fromString(i), 1L))
+      val left = new CmsBuffer(4, 128)
+      l.groupBy(identity).foreach { case (i, g) =>
+        left.add(UTF8String.fromString(i), g.size.toLong) }
+      val right = new CmsBuffer(4, 128)
+      r.foreach(i => right.add(UTF8String.fromString(i), 1L))
+      left.addFrom(right)
+      assert(left.counts.toSeq == whole.counts.toSeq,
+        "weighted partial builds merged must equal the unit-add single pass")
+      // one-sided error: estimates never undercount, for members AND misses
+      val sk = sketchArray(whole)
+      trueCounts.foreach { case (i, n) =>
+        assert(cms.query(sk, UTF8String.fromString(i)) >= n, s"undercounted $i")
+      }
+      assert(cms.query(sk, UTF8String.fromString("never-added")) >= 0)
+    }
+  }
+
   test("tree ancestors: starts at self, halves to root, strictly decreasing") {
     (0L to 2000L).foreach { id =>
       val path = kernels.treeAncestors(id).toLongArray()

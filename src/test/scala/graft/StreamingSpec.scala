@@ -295,6 +295,37 @@ class StreamingSpec extends SparkSpec {
     assert(twin.agg(sum("n_blocked")).head().getLong(0) >= 1)
   }
 
+  test("s14 signature-index sink indexes new docs and refuses cross-batch near-dups") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_sigidx").toString + "/state"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.signatureIndexSink(
+      input.toDF().toDF("doc_id", "text"), statePath)
+    try {
+      input.addData(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "totally different text content goes here"))
+      q.processAllAvailable()
+      val afterOne = s.read.parquet(statePath)
+      assert(afterOne.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L))
+      // batch 2: doc 3 duplicates doc 1 (case/spacing noise only — the
+      // kernel normalizes), doc 4 is genuinely new
+      input.addData(
+        (3L, "ALPHA beta  gamma Delta epsilon zeta"),
+        (4L, "yet another unrelated document entirely new"))
+      q.processAllAvailable()
+      val afterTwo = s.read.parquet(statePath)
+      assert(afterTwo.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+        == Set(1L, 2L, 4L),
+        "the index must grow by exactly the non-duplicate doc")
+      // 8 bands per indexed doc, none lost in the merge
+      assert(afterTwo.count() == 3 * 8)
+    } finally q.stop()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

@@ -109,6 +109,7 @@ object SparkEntry {
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
+    "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -750,6 +751,42 @@ object SparkEntry {
         |                  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |                                  t -> t <> '')) AS n_toks
         |           FROM documents),
+        |o AS (SELECT *, CAST(SUM(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |                                       ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT)
+        |                  AS start_off
+        |      FROM w WHERE n_toks > 0),
+        |e AS (SELECT source, shard, doc_id, n_toks, start_off,
+        |             unnest(range(start_off // 128, (start_off + n_toks - 1) // 128 + 1)) AS seq_id
+        |      FROM o)
+        |SELECT source, shard, seq_id,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(LEAST((seq_id+1)*128, start_off + n_toks)
+        |              - GREATEST(seq_id*128, start_off)) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN start_off >= seq_id*128 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_starting,
+        |       CAST(SUM(CASE WHEN start_off + n_toks > (seq_id+1)*128 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_straddling
+        |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // p27: d21 gate -> d09 decontaminate -> d01 dedup -> p26 packing, with
+    // the stages replayed in the same order (WHERE before QUALIFY = the
+    // anti-join before the dedup window)
+    "p27_curated_packing" ->
+      s"""WITH qx AS (SELECT doc_id, source, text, $QualitySql AS quality FROM documents),
+        |tl AS (SELECT doc_id, source, text,
+        |              NTILE(4) OVER (PARTITION BY source ORDER BY quality, doc_id) AS tile
+        |       FROM qx),
+        |ev AS (SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp
+        |       FROM documents WHERE doc_id % 7 = 3),
+        |fx AS (SELECT doc_id, source, text,
+        |              MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp
+        |       FROM tl WHERE tile > 1),
+        |dd AS (SELECT doc_id, source, text FROM fx
+        |       WHERE fp NOT IN (SELECT fp FROM ev)
+        |       QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        |w AS (SELECT doc_id, source, doc_id % 2 AS shard,
+        |             len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |                             t -> t <> '')) AS n_toks
+        |      FROM dd),
         |o AS (SELECT *, CAST(SUM(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
         |                                       ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT)
         |                  AS start_off

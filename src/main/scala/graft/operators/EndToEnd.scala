@@ -110,4 +110,40 @@ object EndToEnd {
            sum($"tokens" * $"weight").as("weighted_tokens"))
       .orderBy($"source")
   }
+
+  /** p27: curation → training sequences, end to end — the second fusion
+    * flagship. Where p19 ends at the mix's token accounting, p27 carries
+    * the curated corpus all the way to the packed-sequence manifest a
+    * trainer consumes: d21's per-source quality calibration (drop each
+    * source's bottom quartile) → d09's broadcast decontamination → d01's
+    * min-id exact dedup → p26's concat-and-chunk packing. One declarative
+    * plan, three hash exchanges for the corpus (quality window on source,
+    * dedup window on content_md5, packing window on (source, shard) whose
+    * partitioning the rollup reuses) plus the broadcast blocklist — every
+    * stage's shuffle key is the stage's natural key, nothing moves twice
+    * on the same key.
+    */
+  def curatedPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // 1. adaptive per-source quality gate (d21)
+    val wTile = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
+    val gated = docs
+      .select($"doc_id", $"source", $"text", TextOps.qualityCol.as("quality"))
+      .withColumn("tile", ntile(4).over(wTile))
+      .filter($"tile" > 1)
+    // 2. decontaminate against the broadcast eval blocklist (d09), then
+    //    exact-dedup survivors on the same fingerprint (d01)
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val evalFps = docs.filter($"doc_id" % 7 === 3).select(fp.as("eval_md5")).distinct()
+    val wFp = Window.partitionBy($"content_md5").orderBy($"doc_id")
+    val curated = gated
+      .withColumn("content_md5", fp)
+      .join(broadcast(evalFps), $"content_md5" === $"eval_md5", "left_anti")
+      .withColumn("rn", row_number().over(wFp))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"source", $"text")
+    // 3. pack what survived (p26's manifest, same budget/shards)
+    PipelineOps.packingManifest(curated)
+  }
 }

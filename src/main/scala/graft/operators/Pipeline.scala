@@ -314,11 +314,18 @@ object PipelineOps {
   private val SeqBudget = 128L
   private val PackShards = 2L
 
-  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+  def sequencePacking(s: SparkSession, dir: String): DataFrame =
+    packingManifest(Tables.documents(s, dir))
+
+  /** Packing manifest over any (doc_id, source, text) frame — p27 packs the
+    * CURATED corpus through the same mechanism.
+    */
+  private[graft] def packingManifest(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val placed = Tables.documents(s, dir)
+    val placed = docs
       .select($"doc_id", $"source", ($"doc_id" % PackShards).as("shard"),
         size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
           .cast("long").as("n_toks"))

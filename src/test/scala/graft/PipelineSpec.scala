@@ -149,6 +149,34 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p27 curated packing: p26 invariants hold and curation strictly shrinks the pack") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p27_curated_packing")(spark, sfDir).cache()
+    val per = df.groupBy($"source", $"shard").agg(
+      sum($"n_tokens").as("toks"), max($"seq_id").as("last_seq"), count(lit(1)).as("n_seqs"))
+    // p26's structural invariants survive the composition
+    assert(per.filter($"n_seqs" =!= $"last_seq" + 1).isEmpty, "gap in sequence ids")
+    assert(df.join(per, Seq("source", "shard"))
+      .filter($"seq_id" < $"last_seq" && $"n_tokens" =!= 128L).isEmpty,
+      "an interior sequence is not exactly budget-full")
+    // curation only removes docs: every shard packs no more than the
+    // uncurated p26 pack, and strictly fewer docs overall
+    val full = SparkEntry.queries("p26_sequence_packing")(spark, sfDir)
+      .groupBy($"source", $"shard").agg(sum($"n_tokens").as("full_toks"),
+        sum($"n_starting").as("full_docs"))
+    assert(per.join(full, Seq("source", "shard"))
+      .filter($"toks" > $"full_toks").isEmpty,
+      "curated pack exceeds the uncurated pack somewhere")
+    val curatedDocs = df.agg(sum($"n_starting")).head().getLong(0)
+    val fullDocs = SparkEntry.queries("p26_sequence_packing")(spark, sfDir)
+      .agg(sum($"n_starting")).head().getLong(0)
+    assert(curatedDocs < fullDocs,
+      s"curation must drop docs: packed $curatedDocs of $fullDocs")
+    // the quartile gate alone caps survivors at 3/4 + ntile remainder slack
+    assert(curatedDocs <= math.ceil(fullDocs * 0.75).toLong + 20)
+    df.unpersist()
+  }
+
   test("p10 partitioned sink writes one directory per space") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sfDir).write.mode("overwrite")

@@ -134,6 +134,7 @@ object SparkEntry {
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
     "m04_attachment_dedup" -> (Multimodal.attachmentDedup _),
+    "m05_blob_chunks"      -> (Multimodal.blobChunks _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -1225,6 +1226,20 @@ object SparkEntry {
         |       CAST(64 + (doc_id * 53) % 1016 AS BIGINT) AS height,
         |       CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m05: the blob is 'IMG0' || text and the payload is pure ASCII
+    // (byte-verified: octet_length(encode(text)) == length(text) at every
+    // SF), so VARCHAR slices hash identically to Spark's BINARY slices
+    "m05_blob_chunks" ->
+      """WITH b AS (SELECT doc_id, 'IMG0' || text AS payload,
+        |                  CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len
+        |           FROM documents),
+        |e AS (SELECT doc_id, payload, byte_len,
+        |             unnest(range(0, (byte_len - 1) // 256 + 1)) AS chunk_idx
+        |      FROM b)
+        |SELECT doc_id, chunk_idx, chunk_idx * 256 AS byte_off,
+        |       LEAST(256, byte_len - chunk_idx * 256) AS chunk_len,
+        |       md5(substring(payload, CAST(chunk_idx*256 + 1 AS BIGINT), 256)) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "m02_frame_sample" ->
       """WITH v AS (SELECT doc_id,
         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

@@ -51,6 +51,29 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** m05: blob chunk manifest — byte-range chunking of binary payloads into
+    * fixed 256-byte units with a content hash per chunk: the transfer /
+    * dedup / parallel-decode granularity for large media (multipart upload
+    * parts, CDC-style blob sync, per-chunk decode workers all consume
+    * exactly this manifest). Pure per-row fan-out (sequence explode +
+    * binary substring + md5), no shuffle before the presentation sort —
+    * chunking N terabytes of blobs is as parallel as scanning them. The
+    * Spark side slices the real BINARY column; the oracle recomputes the
+    * same md5s over equivalent VARCHAR slices (the fixture payload is
+    * ASCII, byte-verified at all SFs, so char offsets are byte offsets).
+    */
+  def blobChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withBlob(s, dir)
+      .select($"doc_id", $"blob", length($"blob").cast("long").as("byte_len"))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, (byte_len - 1) div 256)")))
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * 256).as("byte_off"),
+        least(lit(256L), $"byte_len" - $"chunk_idx" * 256).as("chunk_len"),
+        md5(expr("substring(blob, CAST(chunk_idx*256 + 1 AS INT), 256)")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   /** Binary-file ingestion — the download_attachment analogue (reference:
     * api_client/confluence_client.py:601): a directory of real files read
     * through Spark's `binaryFile` source into the blob schema. The fixture

@@ -244,6 +244,34 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"ann-pq recall@10 = $recall")
   }
 
+  test("m05 blob chunks tile every byte exactly once and hash the real binary") {
+    import spark.implicits._
+    val df = SparkEntry.queries("m05_blob_chunks")(spark, sfDir).cache()
+    // chunk lengths tile the blob: sum == byte_len, all interior chunks full
+    val blobs = operators.Multimodal.withBlob(spark, sfDir)
+      .select($"doc_id", length($"blob").cast("long").as("byte_len"))
+    val tiled = df.groupBy($"doc_id").agg(
+      sum($"chunk_len").as("covered"), count(lit(1)).as("n_chunks"), max($"chunk_idx").as("last"))
+    assert(tiled.join(blobs, "doc_id").filter($"covered" =!= $"byte_len").isEmpty,
+      "chunks do not cover the blob exactly")
+    assert(tiled.filter($"n_chunks" =!= $"last" + 1).isEmpty, "chunk ids have gaps")
+    assert(df.join(tiled, "doc_id")
+      .filter($"chunk_idx" < $"last" && $"chunk_len" =!= 256L).isEmpty,
+      "a non-final chunk is not exactly 256 bytes")
+    // offsets are contiguous
+    assert(df.filter($"byte_off" =!= $"chunk_idx" * 256).isEmpty)
+    // the hash really covers the chunk bytes: reassembling md5s of the
+    // binary slices recomputed independently must match
+    val recomputed = operators.Multimodal.withBlob(spark, sfDir)
+      .select($"doc_id", $"blob", length($"blob").cast("long").as("byte_len"))
+      .withColumn("chunk_idx", explode(expr("sequence(0L, (byte_len - 1) div 256)")))
+      .select($"doc_id", $"chunk_idx",
+        md5(expr("substring(blob, CAST(chunk_idx*256 + 1 AS INT), 256)")).as("re_md5"))
+    assert(df.join(recomputed, Seq("doc_id", "chunk_idx"))
+      .filter($"chunk_md5" =!= $"re_md5").isEmpty)
+    df.unpersist()
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

@@ -202,4 +202,41 @@ class PlansSpec extends SparkSpec {
            !outCols.exists(_.startsWith("l_")),
       s"explode must emit dim columns only, got $outCols")
   }
+
+  test("dynamic partition pruning: a runtime dim filter prunes the partitioned scan") {
+    import spark.implicits._
+    // fact: documents laid out partition-per-source (the p10 sink layout);
+    // dim: a sidecar table whose FLAG — not the join key — selects two
+    // sources, so static pushdown cannot prune the fact and only a runtime
+    // (DPP) subquery can skip partitions at scan time
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.documents(spark, sfDir).write.mode("overwrite")
+      .partitionBy("source").parquet(s"$base/fact")
+    Tables.documents(spark, sfDir).select($"source").distinct()
+      .withColumn("flag", when($"source".isin("src3", "src7"), 1).otherwise(0))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim").filter($"flag" === 1)
+    val joined = fact.join(dim, "source").groupBy($"source").count()
+    val planTxt = joined.queryExecution.executedPlan.toString
+    assert(planTxt.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the partitioned scan:\n$planTxt")
+    val rows = joined.collect()
+    assert(rows.map(_.getString(0)).toSet == Set("src3", "src7"))
+    // the scan must actually have skipped the other sources' files
+    // (descend into AQE query stages — their children lists are empty)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      }.flatten
+    val factScan = scans(physical(joined))
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("fact"))).get
+    val totalSources = Tables.documents(spark, sfDir)
+      .select($"source").distinct().count()
+    val numFiles = factScan.metrics("numFiles").value
+    assert(numFiles > 0 && numFiles < totalSources,
+      s"DPP did not prune: scanned $numFiles files across $totalSources partitions")
+  }
 }

@@ -59,6 +59,7 @@ object SparkEntry {
     "q36_map_result"      -> (Relational.mapResultJson _),
     "q37_null_semantics"  -> (Relational.nullSemantics _),
     "q38_interval_sweep"  -> (Relational.intervalSweep _),
+    "q39_funnel"          -> (Relational.funnel _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -707,6 +708,24 @@ object SparkEntry {
         |SELECT event_type, date_trunc('hour', t) AS bucket,
         |       COUNT(*) AS n_points, MAX(conc) AS peak_concurrency
         |FROM run GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q39: exact integer permille + second sums — no floating averages
+    "q39_funnel" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |cv AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |       FROM events e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+        |       GROUP BY 1)
+        |SELECT CAST(date_trunc('week', signup_ts) AS TIMESTAMP) AS cohort_week,
+        |       COUNT(*) AS n_signups,
+        |       CAST(COUNT(purchase_ts) AS BIGINT) AS n_converted,
+        |       CAST(SUM(CASE WHEN purchase_ts IS NOT NULL
+        |                     THEN CAST(FLOOR(epoch(purchase_ts)) AS BIGINT)
+        |                        - CAST(FLOOR(epoch(signup_ts)) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS total_latency_s,
+        |       COUNT(purchase_ts) * 1000 // COUNT(*) AS conv_permille
+        |FROM su LEFT JOIN cv USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

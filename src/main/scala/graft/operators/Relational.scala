@@ -730,6 +730,37 @@ object Relational {
       .orderBy($"event_type", $"bucket")
   }
 
+  /** q39: conversion funnel over event sequences — signup → first
+    * qualifying purchase, reported per weekly signup cohort. Two passes:
+    * (1) per-user first signup (one partial-aggregated shuffle on
+    * user_id), (2) purchases join that anchor and keep the earliest at or
+    * after it (the same user_id partitioning — co-partitioned join +
+    * agg, no extra corpus exchange beyond the join itself). Conversion
+    * rate is exact integer permille and latency an exact second sum, so
+    * the row hashes cross-engine with no floating averages.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+    val conversions = ev.filter($"event_type" === "purchase")
+      .join(signups, "user_id")
+      .filter($"ts" >= $"signup_ts")
+      .groupBy($"user_id").agg(min($"ts").as("purchase_ts"))
+    signups
+      .join(conversions, Seq("user_id"), "left")
+      .groupBy(date_trunc("week", $"signup_ts").as("cohort_week"))
+      .agg(
+        count(lit(1)).as("n_signups"),
+        count($"purchase_ts").as("n_converted"),
+        sum(when($"purchase_ts".isNotNull,
+          unix_timestamp($"purchase_ts") - unix_timestamp($"signup_ts")).otherwise(0L))
+          .as("total_latency_s"))
+      .withColumn("conv_permille", expr("n_converted * 1000 div n_signups"))
+      .orderBy($"cohort_week")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

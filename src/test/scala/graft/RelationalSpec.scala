@@ -327,6 +327,28 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q39 funnel: conversions bounded by signups, latency only from converters") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q39_funnel")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    assert(df.filter($"n_converted" > $"n_signups").isEmpty)
+    assert(df.filter($"conv_permille" < 0 || $"conv_permille" > 1000).isEmpty)
+    // a cohort with zero conversions must report zero latency
+    assert(df.filter($"n_converted" === 0 && $"total_latency_s" =!= 0).isEmpty)
+    // converters are exactly the signed-up users with a purchase at or
+    // after their first signup
+    val ev = Tables.events(spark, sfDir)
+    val su = ev.filter($"event_type" === "signup").groupBy($"user_id")
+      .agg(min($"ts").as("signup_ts"))
+    val expectConverted = ev.filter($"event_type" === "purchase")
+      .join(su, "user_id").filter($"ts" >= $"signup_ts")
+      .select($"user_id").distinct().count()
+    assert(df.agg(sum($"n_converted")).head().getLong(0) == expectConverted)
+    // cohort signups partition all signed-up users
+    assert(df.agg(sum($"n_signups")).head().getLong(0) == su.count())
+    df.unpersist()
+  }
+
   test("q38 two-level interval sweep equals the naive single-window sweep") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

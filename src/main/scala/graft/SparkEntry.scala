@@ -145,6 +145,7 @@ object SparkEntry {
     "s09_stream_topk"     -> (graft.streaming.Streams.topkBatch _),
     "s12_session_topk"    -> (graft.streaming.Streams.sessionTopkBatch _),
     "s13_stream_decontaminate" -> (graft.streaming.Streams.streamDeconBatch _),
+    "s15_window_heavy_hitters" -> (graft.streaming.Streams.windowHeavyHittersBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -1276,6 +1277,35 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+    // s15: per-window CMS heavy hitters — every counter rebuilt in SQL
+    // (t20's verification story, windowed); rank ties break on numeric id
+    "s15_window_heavy_hitters" ->
+      s"""WITH c AS (SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+         |                  CAST(user_id AS VARCHAR) AS term, COUNT(*) AS true_n
+         |           FROM events GROUP BY 1, 2),
+         |th AS (SELECT window_start, term, true_n, ${CrossHashSql.poly31("term", 0)} AS h FROM c),
+         |buck AS (SELECT window_start, term, true_n, i,
+         |                (((${CrossHashSql.AList})[i+1] * h + (${CrossHashSql.BList})[i+1])
+         |                 % ${graft.functions.CrossHash.P}) % 512 AS bucket
+         |         FROM th, UNNEST(range(0, 4)) r(i)),
+         |cnt AS (SELECT window_start, i, bucket, SUM(true_n) AS cn
+         |        FROM buck GROUP BY 1, 2, 3),
+         |top AS (SELECT window_start, term, true_n,
+         |               ROW_NUMBER() OVER (PARTITION BY window_start
+         |                                  ORDER BY true_n DESC, CAST(term AS BIGINT)) AS rnk
+         |        FROM c QUALIFY rnk <= 5),
+         |est AS (SELECT b.window_start, b.term, CAST(MIN(c2.cn) AS BIGINT) AS cms_n
+         |        FROM buck b
+         |        JOIN cnt c2 ON b.window_start = c2.window_start
+         |                   AND b.i = c2.i AND b.bucket = c2.bucket
+         |        JOIN top t ON t.window_start = b.window_start AND t.term = b.term
+         |        GROUP BY 1, 2)
+         |SELECT t.window_start, CAST(t.rnk AS BIGINT) AS rank,
+         |       CAST(t.term AS BIGINT) AS user_id,
+         |       CAST(t.true_n AS BIGINT) AS true_n, e.cms_n,
+         |       e.cms_n >= t.true_n AS is_overestimate
+         |FROM top t JOIN est e ON t.window_start = e.window_start AND t.term = e.term
+         |ORDER BY t.window_start, t.rnk""".stripMargin,
     // s09: the streaming top-k transform's batch form — flat ranked rows
     // (q31's multiset-over-values pattern, here per 6-hour window)
     "s09_stream_topk" ->

@@ -229,6 +229,47 @@ object Streams {
       .orderBy($"window_start", $"event_type", $"rank")
   }
 
+  /** s15: windowed Count-Min sketch over the stream — heavy-hitter
+    * estimates with CONSTANT state where exact per-key counts would grow
+    * with distinct keys: per 6-hour window the state store holds one
+    * 4×512-long CMS buffer that partial-merges map-side and across
+    * micro-batches by elementwise add (the t20 aggregate riding the s08
+    * state-store path).
+    */
+  def cmsWindowed(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    events
+      .groupBy(window($"ts", "6 hours").as("w"))
+      .agg(graft.functions.GraftFunctions.cmsAgg(
+        $"user_id".cast("string"), lit(1L), lit(4), lit(512)).as("cms"))
+      .select($"w.start".as("window_start"), $"cms")
+  }
+
+  /** Batch twin (driver key s15_window_heavy_hitters): each window's exact
+    * top-5 users next to their sketch estimates — deterministic hashing
+    * means the oracle rebuilds every counter per window, so the estimates
+    * hash-compare (t20's verification story, windowed).
+    */
+  def windowHeavyHittersBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val counts = ev
+      .groupBy(window($"ts", "6 hours").as("w"), $"user_id")
+      .agg(count(lit(1)).as("true_n"))
+      .select($"w.start".as("window_start"), $"user_id", $"true_n")
+    val wRank = Window.partitionBy($"window_start").orderBy($"true_n".desc, $"user_id")
+    val top = counts
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter($"rank" <= 5)
+    top.join(cmsWindowed(ev), "window_start")
+      .select($"window_start", $"rank", $"user_id", $"true_n",
+        graft.functions.GraftFunctions.cmsQuery($"cms", $"user_id".cast("string")).as("cms_n"))
+      .withColumn("is_overestimate", $"cms_n" >= $"true_n")
+      .orderBy($"window_start", $"rank")
+  }
+
   /** Sessionized top-k (driver key s12's transform): the native
     * session_window (s11's gap semantics) composed with the custom topk_agg
     * aggregate in ONE aggregation — per (user, session) state is k doubles

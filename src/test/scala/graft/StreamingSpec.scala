@@ -295,6 +295,38 @@ class StreamingSpec extends SparkSpec {
     assert(twin.agg(sum("n_blocked")).head().getLong(0) >= 1)
   }
 
+  test("s15 windowed CMS merges sketch state across batches and never undercounts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    functions.GraftFunctions.register(s)
+    val input = MemoryStream[Event]
+    val q = graft.streaming.Streams.cmsWindowed(input.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("s15_out").outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "v", 1.0), Event(2, ts(1), 7, "v", 1.0),
+                    Event(3, ts(2), 9, "v", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(3), 7, "v", 1.0), Event(5, ts(4), 9, "v", 1.0))
+      q.processAllAvailable()
+      // latest emission for the window: user 7 seen 3x across batches, user
+      // 9 seen 2x — estimates must be >= true counts (state-store merge)
+      val est = s.table("s15_out")
+        .groupBy($"window_start")
+        .agg(max_by($"cms", size($"cms")).as("cms"))
+        .select(
+          functions.GraftFunctions.cmsQuery($"cms", lit("7")).as("u7"),
+          functions.GraftFunctions.cmsQuery($"cms", lit("9")).as("u9"))
+        .head()
+      assert(est.getLong(0) >= 3L, s"user 7 undercounted: ${est.getLong(0)}")
+      assert(est.getLong(1) >= 2L, s"user 9 undercounted: ${est.getLong(1)}")
+    } finally q.stop()
+    // batch twin: the one-sided guarantee holds on the full dataset
+    val twin = SparkEntry.queries("s15_window_heavy_hitters")(spark, sfDir)
+    assert(twin.filter(col("cms_n") < col("true_n")).isEmpty)
+    assert(twin.filter(!col("is_overestimate")).isEmpty)
+  }
+
   test("s14 signature-index sink indexes new docs and refuses cross-batch near-dups") {
     val s = spark
     import s.implicits._

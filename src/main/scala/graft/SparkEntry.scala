@@ -106,6 +106,7 @@ object SparkEntry {
     "t18_entropy_score"     -> (TextOps.entropyScore _),
     "t19_chunk_overlap"     -> (TextOps.chunkOverlap _),
     "t20_cms_heavy_hitters" -> (TextOps.cmsHeavyHitters _),
+    "t21_contamination_score" -> (TextOps.contaminationScore _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -616,6 +617,24 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, surprisal_bits,
         |       surprisal_bits / n_tokens AS bits_per_token
         |FROM d ORDER BY doc_id""".stripMargin,
+    // t21: distinct 8-gram overlap vs the eval set; short docs excluded
+    "t21_contamination_score" -> {
+      val gram8 = (0 until 8).map(j => s"toks[gi+$j]").mkString(" || ' ' || ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |           FROM documents),
+         |g AS (SELECT doc_id,
+         |             unnest(list_distinct(CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+         |               ELSE list_transform(range(1, len(toks) - 6), gi -> $gram8) END)) AS g
+         |      FROM w),
+         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 3),
+         |ne AS (SELECT doc_id, g.g,
+         |              CASE WHEN g.g IN (SELECT g FROM ev) THEN 1 ELSE 0 END AS hit
+         |       FROM g WHERE doc_id % 7 <> 3)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+         |       SUM(hit) * 1000 // COUNT(*) AS contam_permille
+         |FROM ne GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // t19: chunking — chunk 64 / overlap 16 / stride 48; chunk count
     // 1 + (max(n-17,0) // 48) mirrors the Spark sequence() bound exactly
     "t19_chunk_overlap" ->

@@ -455,6 +455,35 @@ object TextOps {
       .orderBy($"true_n".desc, $"term")
   }
 
+  /** t21: contamination scoring — the continuous metric next to d09/d11's
+    * binary verdicts: what FRACTION of a doc's distinct 8-word grams
+    * appears anywhere in the eval set. Exact-copy docs score 1000‰,
+    * partial quote-borrowing scores in proportion, clean docs 0 — the
+    * standard n-gram-overlap decontamination report. Docs shorter than the
+    * gram width carry no signal and are excluded (mirrored by the oracle).
+    * Shape at 100 TB: gram explode → distinct-per-doc → one shuffle on the
+    * gram string joining corpus grams to eval grams (co-partitioned), then
+    * a doc-keyed rollup; eval grams are |eval|-sized, never corpus-sized.
+    */
+  def contaminationScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(graft.functions.GraftFunctions.shingleStrings(
+          split(lower(trim($"text")), "\\s+"), lit(8)))).as("g"))
+    val isEval = $"doc_id" % 7 === 3
+    val evalGrams = grams.filter(isEval).select($"g").distinct()
+      .withColumn("hit", lit(1L))
+    grams.filter(!isEval)
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .withColumn("contam_permille", expr("n_hits * 1000 div n_grams"))
+      .orderBy($"doc_id")
+  }
+
   private val ChunkTokens = 64
   private val OverlapTokens = 16
   private val ChunkStride = ChunkTokens - OverlapTokens // 48

@@ -207,6 +207,25 @@ class TextOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t21 contamination score is a valid permille and agrees with the fuzzy screen") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t21_contamination_score")(spark, sfDir).cache()
+    // eval rows are never scored; scores are valid permilles
+    assert(df.filter($"doc_id" % 7 === 3).isEmpty)
+    assert(df.filter($"n_hits" > $"n_grams").isEmpty)
+    assert(df.filter($"contam_permille" < 0 || $"contam_permille" > 1000).isEmpty)
+    assert(df.filter($"contam_permille" =!= expr("n_hits * 1000 div n_grams")).isEmpty)
+    // docs the fuzzy screen flags as eval near-copies must show overlap here:
+    // d11 keeps the CLEAN docs, so every scored doc d11 dropped is a flagged
+    // near-copy and should carry a nonzero contamination score
+    val kept = SparkEntry.queries("d11_fuzzy_decontaminate")(spark, sfDir)
+      .select("doc_id")
+    val flagged = df.join(kept, Seq("doc_id"), "left_anti")
+    assert(flagged.count() == 0 || flagged.filter($"contam_permille" === 0).count() == 0,
+      "a doc flagged as a near-copy by d11 shows zero 8-gram overlap")
+    df.unpersist()
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

@@ -13,9 +13,13 @@ import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+import os
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = f.split("/")[-1].removesuffix(".parquet")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # driver testdata is one file per table; Spark-written dirs (ScaleGen's
+    # 10x dataset) hold part files — glob inside in that case
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 with open(f"{out_dir}/oracle_sql.json") as fh:
     oracles = json.load(fh)

@@ -112,6 +112,7 @@ object SparkEntry {
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
+    "p28_freshness_report"  -> (PipelineOps.freshnessReport _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -728,6 +729,20 @@ object SparkEntry {
         |SELECT event_type, date_trunc('hour', t) AS bucket,
         |       COUNT(*) AS n_points, MAX(conc) AS peak_concurrency
         |FROM run GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // p28: staleness in whole hours vs the freshest feed; 7d window is
+    // anchored to the global max so the report is reproducible
+    "p28_freshness_report" ->
+      """WITH pt AS (SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n_events
+        |            FROM events GROUP BY 1),
+        |g AS (SELECT MAX(last_seen) AS global_max FROM pt),
+        |r AS (SELECT event_type, COUNT(*) AS n_last_7d
+        |      FROM events, g WHERE ts >= global_max - INTERVAL 7 DAY GROUP BY 1)
+        |SELECT pt.event_type, pt.last_seen, pt.n_events,
+        |       CAST(COALESCE(r.n_last_7d, 0) AS BIGINT) AS n_last_7d,
+        |       (CAST(FLOOR(epoch(g.global_max)) AS BIGINT)
+        |        - CAST(FLOOR(epoch(pt.last_seen)) AS BIGINT)) // 3600 AS staleness_hours
+        |FROM pt LEFT JOIN r USING (event_type), g
+        |ORDER BY pt.event_type""".stripMargin,
     // q39: exact integer permille + second sums — no floating averages
     "q39_funnel" ->
       """WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events

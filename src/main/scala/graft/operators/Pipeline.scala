@@ -295,6 +295,34 @@ object PipelineOps {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** p28: ingest freshness report — the ops dashboard behind the
+    * reference's "updated in last N days" scan (p02 answers the query;
+    * this audits the feed): per event type, last-seen timestamp, volume in
+    * the trailing 7 days, and staleness versus the freshest type in whole
+    * hours. A feed whose staleness grows is a dead upstream. One
+    * partial-aggregated pass + a broadcast one-row global max — integer
+    * hours, so the report hash-compares exactly.
+    */
+  def freshnessReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perType = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(max($"ts").as("last_seen"), count(lit(1)).as("n_events"))
+    val global = perType.agg(max($"last_seen").as("global_max"))
+    val recent = Tables.events(s, dir)
+      .crossJoin(broadcast(global))
+      .filter($"ts" >= $"global_max" - expr("INTERVAL 7 DAYS"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n_last_7d"))
+    perType
+      .join(recent, Seq("event_type"), "left")
+      .crossJoin(broadcast(global))
+      .select($"event_type", $"last_seen", $"n_events",
+        coalesce($"n_last_7d", lit(0L)).as("n_last_7d"),
+        expr("(unix_timestamp(global_max) - unix_timestamp(last_seen)) div 3600")
+          .as("staleness_hours"))
+      .orderBy($"event_type")
+  }
+
   /** p26: concat-and-chunk sequence packing — the training-batch prep step
     * after curation: per (source, shard) the token streams of all docs are
     * conceptually concatenated in doc_id order and cut into fixed

@@ -177,6 +177,20 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p28 freshness report: one row per feed, freshest feed at zero staleness") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p28_freshness_report")(spark, sfDir).cache()
+    val nTypes = Tables.events(spark, sfDir).select($"event_type").distinct().count()
+    assert(df.count() == nTypes)
+    // exactly the freshest feed(s) sit at zero staleness, none negative
+    assert(df.filter($"staleness_hours" < 0).isEmpty)
+    assert(df.filter($"staleness_hours" === 0).count() >= 1)
+    // the 7d window can never exceed the feed's total volume
+    assert(df.filter($"n_last_7d" > $"n_events").isEmpty)
+    assert(df.filter($"n_events" <= 0).isEmpty)
+    df.unpersist()
+  }
+
   test("p10 partitioned sink writes one directory per space") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sfDir).write.mode("overwrite")

@@ -36,6 +36,44 @@ class BucketingSpec extends SparkSpec {
     s.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("d20 production posture: a bucketed signature index joins with no index-side shuffle") {
+    import spark.implicits._
+    val s = spark
+    val banded = operators.Dedup.bandSignatures(
+      operators.Dedup.signaturesOf(Tables.documents(s, sfDir)))
+    s.sql("DROP TABLE IF EXISTS sig_index")
+    banded.filter($"doc_id" % 3 =!= 0)
+      .write.bucketBy(8, "band_id", "band_key").sortBy("band_id", "band_key")
+      .mode("overwrite").saveAsTable("sig_index")
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so the exchange structure is visible
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = banded.filter($"doc_id" % 3 === 0)
+      val joined = batch.join(
+        s.table("sig_index")
+          .select($"band_id", $"band_key", $"doc_id".as("state_id")),
+        Seq("band_id", "band_key"))
+      joined.collect()
+      // exactly one hash exchange: the BATCH side aligning to the index's
+      // bucketing; the persisted index itself must never move (walk into
+      // AQE query stages — their children lists are empty)
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+        p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => Seq(e)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => exchanges(q.plan)
+        }.flatten
+      val found = exchanges(physical(joined))
+      assert(found.length == 1,
+        s"expected only the batch-side exchange, got ${found.length}:\n${physical(joined)}")
+      assert(physical(joined).toString.contains("SortMergeJoin"))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS sig_index")
+    }
+  }
+
   test("p13 as-of join: every matched purchase precedes (or equals) its error") {
     val df = SparkEntry.queries("p13_asof_join")(spark, sfDir)
     assert(df.filter(col("p_ts") > col("e_ts")).isEmpty)

@@ -8,7 +8,8 @@ Registers each parquet table as a DuckDB view, runs every oracle SQL from
 <verifyOutDir>/<name>/ (row count, sorted column names, and a value hash that
 is insensitive to row order).
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, functools
+print = functools.partial(print, flush=True)  # progress visible when redirected
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]

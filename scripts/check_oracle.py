@@ -21,6 +21,14 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
     # 10x dataset) hold part files — glob inside in that case
     src = f"{f}/*.parquet" if os.path.isdir(f) else f
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
+    if name == "events":
+        # ScaleGen keeps ts as raw BIGINT nanos (the driver testdata has
+        # TIMESTAMP(NANOS)); mirror Tables.events' floor-to-micros read
+        (ts_type,) = [t for c, t, *_ in con.execute(f"DESCRIBE {name}").fetchall()
+                      if c == "ts"]
+        if ts_type == "BIGINT":
+            con.execute(f"""CREATE OR REPLACE VIEW {name} AS
+                SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{src}'""")
 
 with open(f"{out_dir}/oracle_sql.json") as fh:
     oracles = json.load(fh)

@@ -133,6 +133,7 @@ object SparkEntry {
     "d17_cluster_quality" -> (Similarity.clusterQuality _),
     "d20_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "d21_adaptive_quality_gate" -> (Dedup.adaptiveQualityGate _),
+    "d22_dedup_survivorship" -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1199,6 +1200,22 @@ object SparkEntry {
          |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea)
          |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
          |ORDER BY doc_id""".stripMargin,
+    // d22: cluster-size histogram over the same reachability closure
+    "d22_dedup_survivorship" ->
+      s"""WITH RECURSIVE
+         |${CrossHashSql.simhashCtes},
+         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM cand WHERE hamming <= 3
+         |      UNION ALL
+         |      SELECT doc_b AS ea, doc_a AS eb FROM cand WHERE hamming <= 3),
+         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |          UNION
+         |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea),
+         |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |       CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
+         |       COUNT(*) AS docs_kept
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

@@ -147,6 +147,26 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d22: dedup survivorship report — the corpus-curation summary built on
+    * d10's components: how many near-dup clusters exist at each size, and
+    * what dedup at min-id survivorship would remove vs keep. Size-1 rows
+    * are the untouched singleton mass; the tail of large clusters is what
+    * a curator inspects first (boilerplate storms, mirrored sources). One
+    * tiny two-level rollup on top of the clustering pass — cluster ids
+    * are already materialized, so the report costs two partial-aggregated
+    * exchanges over |clusters| rows, not a corpus scan.
+    */
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    neardupClusters(s, dir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+           sum($"cluster_size" - 1).as("docs_removed"))
+      .withColumn("docs_kept", $"n_clusters")
+      .orderBy($"cluster_size")
+  }
+
   /** s14 micro-batch body: sign + band the incoming docs, refuse any doc
     * that collides with the persisted signature index at >= threshold
     * agreement (the d20 verdict, applied at ingest), and append the

@@ -188,6 +188,26 @@ class DedupSimilaritySpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("d22 survivorship histogram conserves the corpus and matches d10's clusters") {
+    import spark.implicits._
+    val df = SparkEntry.queries("d22_dedup_survivorship")(spark, sfDir).cache()
+    val corpus = Tables.documents(spark, sfDir).count()
+    // every doc is accounted for exactly once: kept + removed == corpus
+    val mass = df.agg(sum($"cluster_size" * $"n_clusters")).head().getLong(0)
+    assert(mass == corpus, s"histogram mass $mass != corpus $corpus")
+    assert(df.agg(sum($"docs_kept" + $"docs_removed")).head().getLong(0) == corpus)
+    // per-row identity: removed = (size - 1) * clusters, kept = clusters
+    assert(df.filter($"docs_removed" =!= ($"cluster_size" - 1) * $"n_clusters").isEmpty)
+    assert(df.filter($"docs_kept" =!= $"n_clusters").isEmpty)
+    // agreement with d10: the histogram of its cluster ids is this report
+    val fromD10 = SparkEntry.queries("d10_neardup_clusters")(spark, sfDir)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+    assert(df.select("cluster_size", "n_clusters").except(fromD10).isEmpty &&
+           fromD10.except(df.select("cluster_size", "n_clusters")).isEmpty)
+    df.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

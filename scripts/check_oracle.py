@@ -26,6 +26,14 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
         # TIMESTAMP(NANOS)); mirror Tables.events' floor-to-micros read
         (ts_type,) = [t for c, t, *_ in con.execute(f"DESCRIBE {name}").fetchall()
                       if c == "ts"]
+        # NOTE on division semantics (round-4 ADVICE): DuckDB's `//` on
+        # BIGINT truncates toward zero (measured: SELECT -7 // 2 -> -3),
+        # matching Spark's `ts div 1000` exactly — including pre-1970
+        # (negative) timestamps. `//` floors only for FLOAT/DOUBLE operands.
+        # Separately: TIMESTAMP(NANOS) fixtures keep nanos in DuckDB while
+        # Spark floors to micros — driver testdata is micro-aligned (ts
+        # generated in ms), so no drift; non-micro-aligned fixtures would
+        # need the same floor applied to the DuckDB view.
         if ts_type == "BIGINT":
             con.execute(f"""CREATE OR REPLACE VIEW {name} AS
                 SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{src}'""")
@@ -48,6 +56,21 @@ def canon(v):
             return str(int(v))
         return repr(round(v, 9))
     return str(v)
+
+def pandas_kind(duck_type):
+    """Pandas dtype kind a DuckDB column of this declared type materializes
+    as on the driver ('i' int, 'f' float, 'b' bool, 'M' datetime, 'O' other)."""
+    t = duck_type.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t in ("FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        return "f"  # HUGEINT/DECIMAL land as float64 in pandas — the t21 trap
+    if t == "BOOLEAN":
+        return "b"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "M"
+    return "O"
 
 def table_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -74,6 +97,30 @@ for name, sql in sorted(oracles.items()):
         continue
     if sorted(s_cols) != sorted(d_cols):
         print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        fails += 1
+        continue
+    # Dtype-drift gate (CORRECTNESS_r04 t21): the driver materializes the
+    # DuckDB result through pandas, where HUGEINT/DECIMAL become float64 —
+    # so an un-cast SUM(int)*k // n hashes "0.0" against Spark's "0" and
+    # fails on the driver even though fetchall() values are identical here.
+    # Reject the types themselves instead of normalizing them away.
+    drift = [f"{c}:{t}" for c, t in zip(d_cols, map(str, duck_rel.types))
+             if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+             or t.startswith("UINTEGER") or t.startswith("UBIGINT")]
+    if drift:
+        print(f"FAIL {name}: oracle dtype drift (cast to BIGINT/DOUBLE): {drift}")
+        fails += 1
+        continue
+    # Mirror the driver's pandas comparison: per-column dtype KINDS must
+    # agree (int-vs-float on one side is a driver hash fail even when every
+    # value is integral). Compared on DECLARED types — no re-execution of
+    # the (expensive) oracle SQL.
+    s_kinds = {c: pandas_kind(t) for c, t in zip(s_cols, map(str, spark_rel.types))}
+    d_kinds = {c: pandas_kind(t) for c, t in zip(d_cols, map(str, duck_rel.types))}
+    kind_drift = [f"{c}: spark={s_kinds[c]} duck={d_kinds[c]}"
+                  for c in s_kinds if s_kinds[c] != d_kinds[c]]
+    if kind_drift:
+        print(f"FAIL {name}: pandas dtype-kind drift: {kind_drift}")
         fails += 1
         continue
     if len(s_rows) != len(d_rows):

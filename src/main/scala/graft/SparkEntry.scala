@@ -634,7 +634,7 @@ object SparkEntry {
          |       FROM g WHERE doc_id % 7 <> 3)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
          |       CAST(SUM(hit) AS BIGINT) AS n_hits,
-         |       SUM(hit) * 1000 // COUNT(*) AS contam_permille
+         |       CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS contam_permille
          |FROM ne GROUP BY 1 ORDER BY 1""".stripMargin
     },
     // t19: chunking — chunk 64 / overlap 16 / stride 48; chunk count

@@ -189,7 +189,6 @@ object SparkEntry {
       |FROM c WHERE tf_spark > 0 AND tf_vector > 0 AND tf_stream > 0
       |ORDER BY score DESC, doc_id""".stripMargin
 
-  /** Shared by d09 (broadcast anti-join) and d16 (Bloom-prefilter plan). */
   /** The t06 quality formula (see TextOps.qualityCol) — shared so t06 and
     * d21 can never drift apart.
     */
@@ -198,6 +197,7 @@ object SparkEntry {
       |     + 0.25 * (1.0 - (LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) / (LENGTH(text) + 1.0)))
       |     + 0.25 * (LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|and|of|to|in|is)\b')) / (LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) + 1.0))) * 10000.0 + 0.5) / 10000.0""".stripMargin
 
+  /** Shared by d09 (broadcast anti-join) and d16 (Bloom-prefilter plan). */
   private val DecontaminateOracle: String =
     """WITH d AS (SELECT doc_id, source,
       |             MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5

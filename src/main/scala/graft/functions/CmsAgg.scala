@@ -101,8 +101,16 @@ case class CmsAggExpr(
   override def update(buffer: CmsBuffer, input: InternalRow): CmsBuffer = {
     val v = child.eval(input)
     val w = weightExpr.eval(input)
-    if (v != null && w != null)
-      buffer.add(v.asInstanceOf[UTF8String], w.asInstanceOf[Long])
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      // A negative weight would silently break the one-sided-error
+      // guarantee (cms_query could UNDERcount), which every consumer and
+      // spec assumes unconditionally — fail loudly instead.
+      if (wl < 0)
+        throw new IllegalArgumentException(
+          s"cms_agg: negative weight $wl would break the CMS overestimate guarantee")
+      buffer.add(v.asInstanceOf[UTF8String], wl)
+    }
     buffer
   }
 

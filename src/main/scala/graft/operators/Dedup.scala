@@ -183,7 +183,7 @@ object Dedup {
     import s.implicits._
     val banded = bandSignatures(signaturesOf(batch))
     val existing =
-      if (new java.io.File(statePath).exists()) Some(s.read.parquet(statePath)) else None
+      if (graft.Fs.exists(s, statePath)) Some(s.read.parquet(statePath)) else None
     val fresh = existing match {
       case None => banded
       case Some(st) =>

@@ -87,37 +87,18 @@ object Multimodal {
     // Fixture store name carries the source data's mtime, so regenerated
     // testdata invalidates it instead of silently reusing stale bytes.
     val srcStamp = new java.io.File(s"$dir/documents.parquet").lastModified()
-    val store = new java.io.File(
-      s"/tmp/graft_attachments_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$srcStamp")
-    if (!store.exists()) {
-      // Build driver-side into a per-process tmp dir, then publish with an
-      // atomic rename: concurrent builders (Bench + Verify on the same sf)
-      // each write their own tmp, and rename losers just reuse the winner's
-      // store. Driver-side because this is fixture GENERATION — production
-      // points the binaryFile reader at an existing object-store directory
-      // and no build step runs at all. toLocalIterator bounds driver memory
-      // to one partition of (id, text) rows.
-      val tmp = java.nio.file.Files
-        .createTempDirectory(store.getParentFile.toPath, store.getName + ".build.")
-        .toFile
+    // Built driver-side ([[Fixtures.publishOnce]]) because this is fixture
+    // GENERATION — production points the binaryFile reader at an existing
+    // object-store directory and no build step runs at all. toLocalIterator
+    // bounds driver memory to one partition of (id, text) rows.
+    val store = Fixtures.publishOnce(new java.io.File(
+      s"/tmp/graft_attachments_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$srcStamp")) { tmp =>
       Tables.documents(s, dir).select($"doc_id", $"text").as[(Long, String)]
         .toLocalIterator().forEachRemaining { case (id, text) =>
           java.nio.file.Files.write(
             new java.io.File(tmp, f"doc_$id%06d.bin").toPath,
             ("IMG0" + text).getBytes("UTF-8"))
         }
-      if (!tmp.renameTo(store)) {
-        // a failed rename is only safe to swallow when it means "lost the
-        // publish race" — i.e. the winner's store is actually in place; any
-        // other cause (permissions, stale crashed-build dir) must fail loudly
-        // instead of silently discarding the fixture and surfacing later as
-        // an unrelated-looking empty-read error
-        if (!store.exists())
-          throw new java.io.IOException(
-            s"fixture publish failed: rename $tmp -> $store returned false and no store exists")
-        tmp.listFiles().foreach(_.delete())
-        tmp.delete()
-      }
     }
     s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
       .load(store.getPath)

@@ -413,18 +413,15 @@ object PipelineOps {
 
   /** Planted jsonl fixture: every document as one JSON line, except
     * doc_id % 13 == 5 rows are written truncated (the cut always lands
-    * inside the final string literal, so the line cannot parse). Same
-    * stamp + atomic-rename lifecycle as the m03 attachment store.
+    * inside the final string literal, so the line cannot parse). Shared
+    * [[Fixtures.publishOnce]] lifecycle with the m03 attachment store
+    * (mtime-stamped name, atomic-rename publish, stale-build sweep).
     */
   private def jsonlStore(s: SparkSession, dir: String): java.io.File = {
     import s.implicits._
     val srcStamp = new java.io.File(s"$dir/documents.parquet").lastModified()
-    val store = new java.io.File(
-      s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$srcStamp")
-    if (!store.exists()) {
-      val tmp = java.nio.file.Files
-        .createTempDirectory(store.getParentFile.toPath, store.getName + ".build.")
-        .toFile
+    Fixtures.publishOnce(new java.io.File(
+      s"/tmp/graft_jsonl_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$srcStamp")) { tmp =>
       // Files.newBufferedWriter THROWS on I/O errors (PrintWriter swallows
       // them behind an unchecked error flag — a truncated fixture would be
       // published and mtime-cached forever)
@@ -438,15 +435,6 @@ object PipelineOps {
           w.newLine()
         }
       finally w.close()
-      if (!tmp.renameTo(store)) {
-        // swallow only a lost publish race (see Multimodal.binaryIngest)
-        if (!store.exists())
-          throw new java.io.IOException(
-            s"fixture publish failed: rename $tmp -> $store returned false and no store exists")
-        tmp.listFiles().foreach(_.delete())
-        tmp.delete()
-      }
     }
-    store
   }
 }

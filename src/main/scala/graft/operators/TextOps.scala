@@ -418,17 +418,6 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** t19: fixed token-budget chunking with overlap — the RAG / context-window
-    * prep step: each doc's token stream is cut into windows of ChunkTokens
-    * with OverlapTokens shared between neighbors (stride = chunk − overlap).
-    * Chunk count is 1 + floor(max(n − overlap − 1, 0) / stride), which
-    * guarantees (a) full coverage (last start + chunk ≥ n) and (b) every
-    * chunk after the first contributes at least one NEW token — no
-    * degenerate all-overlap tail chunks. Shape at 100 TB: a pure per-row
-    * transform (tokenize → sequence → explode → slice), zero exchanges
-    * before the presentation sort; chunking 100 TB is exactly as parallel
-    * as reading it.
-    */
   /** t20: Count-Min-Sketch heavy hitters — the bounded-memory frequency
     * path next to t08's exact top-k: one corpus pass builds term counts,
     * from which BOTH the exact top-20 (the evaluation yardstick) and the
@@ -488,6 +477,17 @@ object TextOps {
   private val OverlapTokens = 16
   private val ChunkStride = ChunkTokens - OverlapTokens // 48
 
+  /** t19: fixed token-budget chunking with overlap — the RAG / context-window
+    * prep step: each doc's token stream is cut into windows of ChunkTokens
+    * with OverlapTokens shared between neighbors (stride = chunk − overlap).
+    * Chunk count is 1 + floor(max(n − overlap − 1, 0) / stride), which
+    * guarantees (a) full coverage (last start + chunk ≥ n) and (b) every
+    * chunk after the first contributes at least one NEW token — no
+    * degenerate all-overlap tail chunks. Shape at 100 TB: a pure per-row
+    * transform (tokenize → sequence → explode → slice), zero exchanges
+    * before the presentation sort; chunking 100 TB is exactly as parallel
+    * as reading it.
+    */
   def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

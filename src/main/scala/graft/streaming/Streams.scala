@@ -317,7 +317,7 @@ object Streams {
         val s = batch.sparkSession
         val incoming = batch.select(col("user_id").as("key"),
           col("value").as("version"), col("ts"))
-        val merged = (if (new java.io.File(statePath).exists())
+        val merged = (if (graft.Fs.exists(s, statePath))
                         s.read.parquet(statePath).unionByName(incoming)
                       else incoming)
           .withColumn("rn", row_number().over(
@@ -348,7 +348,7 @@ object Streams {
         val s = batch.sparkSession
         val incoming = batch.select(col("user_id").as("key"),
           col("event_type").as("op"), col("value").as("version"), col("ts"))
-        val merged = (if (new java.io.File(statePath).exists())
+        val merged = (if (graft.Fs.exists(s, statePath))
                         s.read.parquet(statePath).unionByName(incoming)
                       else incoming)
           .withColumn("rn", row_number().over(

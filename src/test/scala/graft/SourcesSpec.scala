@@ -265,4 +265,35 @@ class SourcesSpec extends SparkSpec {
       "read-back filter on the partition key must prune directories, not scan+filter")
     assert(back.count() == docs.filter($"source" === "src3").count())
   }
+
+  test("fixture publishOnce sweeps stale crashed .build. dirs, spares live ones") {
+    val base = Files.createTempDirectory("graft_fixture_spec").toFile
+    val store = new java.io.File(base, "store")
+    // a crashed builder's leftover: half-built dir, mtime far past the
+    // staleness threshold — nothing will ever rename or read it
+    val stale = new java.io.File(base, "store.build.crashed")
+    assert(stale.mkdirs())
+    java.nio.file.Files.write(new java.io.File(stale, "half.bin").toPath,
+      "partial".getBytes("UTF-8"))
+    assert(stale.setLastModified(
+      System.currentTimeMillis() - operators.Fixtures.StaleBuildMs - 60000))
+    // a RECENT .build. dir could belong to a live concurrent builder — the
+    // sweep must not touch it
+    val live = new java.io.File(base, "store.build.live")
+    assert(live.mkdirs())
+
+    val out = operators.Fixtures.publishOnce(store) { tmp =>
+      java.nio.file.Files.write(new java.io.File(tmp, "data.bin").toPath,
+        "payload".getBytes("UTF-8"))
+    }
+    assert(out.exists() && new java.io.File(out, "data.bin").exists(),
+      "store must be published with its content")
+    assert(!stale.exists(), "stale crashed .build. dir must be swept")
+    assert(live.exists(), "recent (possibly live) .build. dir must survive the sweep")
+
+    // existing store short-circuits: the build body must not run again
+    operators.Fixtures.publishOnce(store) { _ =>
+      fail("publishOnce must not rebuild an existing store")
+    }
+  }
 }

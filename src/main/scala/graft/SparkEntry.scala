@@ -134,6 +134,8 @@ object SparkEntry {
     "d20_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "d21_adaptive_quality_gate" -> (Dedup.adaptiveQualityGate _),
     "d22_dedup_survivorship" -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
+    "d23_sketch_quality_gate" -> (Dedup.sketchQualityGate _),
+    "d24_histogram_quality_gate" -> (Dedup.histogramQualityGate _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -828,14 +830,21 @@ object SparkEntry {
     // anti-join before the dedup window)
     "p27_curated_packing" ->
       s"""WITH qx AS (SELECT doc_id, source, text, $QualitySql AS quality FROM documents),
-        |tl AS (SELECT doc_id, source, text,
-        |              NTILE(4) OVER (PARTITION BY source ORDER BY quality, doc_id) AS tile
-        |       FROM qx),
+        |h AS (SELECT source, quality, COUNT(*) AS c FROM qx GROUP BY 1, 2),
+        |nn AS (SELECT source, COUNT(*) AS n FROM qx GROUP BY 1),
+        |cum AS (SELECT h.source, h.quality,
+        |               SUM(c) OVER (PARTITION BY h.source ORDER BY h.quality
+        |                            ROWS UNBOUNDED PRECEDING) AS cum, nn.n
+        |        FROM h JOIN nn USING (source)),
+        |cut AS (SELECT source, MIN(quality) AS cutoff FROM cum
+        |        WHERE cum >= CAST(CEIL(0.25 * n) AS BIGINT) GROUP BY 1),
+        |tl AS (SELECT qx.doc_id, qx.source, qx.text
+        |       FROM qx JOIN cut USING (source) WHERE qx.quality > cut.cutoff),
         |ev AS (SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp
         |       FROM documents WHERE doc_id % 7 = 3),
         |fx AS (SELECT doc_id, source, text,
         |              MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp
-        |       FROM tl WHERE tile > 1),
+        |       FROM tl),
         |dd AS (SELECT doc_id, source, text FROM fx
         |       WHERE fp NOT IN (SELECT fp FROM ev)
         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
@@ -1070,6 +1079,29 @@ object SparkEntry {
         |      FROM q)
         |SELECT doc_id, source, quality, tile FROM t
         |WHERE tile > 1 ORDER BY doc_id""".stripMargin,
+    // d23: the sketch cutoff is engine-specific (GK summary) — the oracle
+    // asserts the claim rows (d13/q30 pattern): rank bound + gate identity
+    // must hold for every source
+    "d23_sketch_quality_gate" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       true AS cutoff_within_bound, true AS gate_consistent
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // d24: exact quantized-histogram quartile — fully replayable: the
+    // cumulative-count walk is integer arithmetic over bit-identical
+    // quality values
+    "d24_histogram_quality_gate" ->
+      s"""WITH q AS (SELECT doc_id, source, $QualitySql AS quality FROM documents),
+        |h AS (SELECT source, quality, COUNT(*) AS c FROM q GROUP BY 1, 2),
+        |n AS (SELECT source, COUNT(*) AS n FROM q GROUP BY 1),
+        |cum AS (SELECT h.source, h.quality,
+        |               SUM(c) OVER (PARTITION BY h.source ORDER BY h.quality
+        |                            ROWS UNBOUNDED PRECEDING) AS cum, n.n
+        |        FROM h JOIN n USING (source)),
+        |cut AS (SELECT source, MIN(quality) AS cutoff FROM cum
+        |        WHERE cum >= CAST(CEIL(0.25 * n) AS BIGINT) GROUP BY 1)
+        |SELECT q.doc_id, q.source, q.quality, cut.cutoff
+        |FROM q JOIN cut USING (source)
+        |WHERE q.quality > cut.cutoff ORDER BY q.doc_id""".stripMargin,
     "t07_fingerprint" ->
       """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -206,10 +206,11 @@ object Dedup {
     * (quality, doc_id)) and drop the bottom quartile of every source.
     * One window shuffle on source; survivors keep their tile so the
     * downstream mix can stratify by quality band. At 100 TB the exact
-    * per-source sort is the cost ceiling — the sketch-calibrated variant
-    * (per-source percentile_approx cutoffs broadcast back, q30's path)
-    * trades exactness for a sort-free two-pass plan; this key is the
-    * exact form the sketch variant is judged against.
+    * per-source sort is the cost ceiling — this key is the exact-ranked
+    * yardstick its two scale-path variants are judged against:
+    * [[sketchQualityGate]] (d23, percentile_approx cutoffs, rank-error
+    * claim) and [[histogramQualityGate]] (d24, exact quantized-histogram
+    * cutoffs — what p27 runs).
     */
   def adaptiveQualityGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -219,6 +220,94 @@ object Dedup {
       .withColumn("tile", ntile(4).over(w).cast("long"))
       .filter($"tile" > 1)
       .orderBy($"doc_id")
+  }
+
+  /** Rank-error budget of the d23 sketch: percentile_approx's GK summary
+    * guarantees the returned element's rank is within n/accuracy of the
+    * target; the +2/n term is q30's discreteness slack at small groups.
+    */
+  private[graft] val SketchQualityAccuracy = 10000
+
+  /** d23: sketch-calibrated per-source quality gate — d21's contract on the
+    * 100-TB plan. d21's exact ntile puts each source's ENTIRE corpus
+    * through one task's sort (a multi-TB single-executor sort when a
+    * handful of sources carry the corpus); this variant never sorts the
+    * corpus at all. Pass 1 partial-aggregates a per-source
+    * percentile_approx(quality, 0.25) GK sketch (constant state per
+    * partition, one tiny row per source out); pass 2 broadcasts the cutoffs
+    * back and the gate itself is a scan-local `quality > cutoff` filter —
+    * the corpus crosses one hash exchange (the sketch agg), nothing is
+    * per-source-serialized. The engine-specific cutoff is reduced to
+    * oracle-assertable claim rows (q30's rank pattern): the cutoff's exact
+    * rank interval [|q < cutoff|, |q <= cutoff|] must overlap the target
+    * rank 0.25·n within n/accuracy + 2 — i.e. the sketch cutoff matches
+    * d21's exact quartile boundary within the sketch's published
+    * rank-error bound. gate_consistent pins the applied filter to the
+    * measured counts (kept = n − |q <= cutoff|).
+    */
+  def sketchQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextOps.qualityCol.as("quality"))
+    val cutoffs = docs.groupBy($"source")
+      .agg(percentile_approx($"quality", lit(0.25), lit(SketchQualityAccuracy)).as("cutoff"),
+           count(lit(1)).as("n_docs"))
+    docs.join(broadcast(cutoffs), "source")
+      .groupBy($"source", $"n_docs", $"cutoff")
+      .agg(sum(when($"quality" < $"cutoff", 1L).otherwise(0L)).as("cnt_lt"),
+           sum(when($"quality" <= $"cutoff", 1L).otherwise(0L)).as("cnt_le"),
+           sum(when($"quality" > $"cutoff", 1L).otherwise(0L)).as("n_kept"))
+      .select($"source", $"n_docs",
+        (($"cnt_lt" / $"n_docs" <= lit(0.25) + lit(1.0 / SketchQualityAccuracy) + lit(2.0) / $"n_docs") &&
+         ($"cnt_le" / $"n_docs" >= lit(0.25) - lit(1.0 / SketchQualityAccuracy) - lit(2.0) / $"n_docs"))
+          .as("cutoff_within_bound"),
+        ($"n_kept" === $"n_docs" - $"cnt_le").as("gate_consistent"))
+      .orderBy($"source")
+  }
+
+  /** d24: histogram-calibrated per-source quality gate — the variant that
+    * keeps d21's EXACTNESS and d23's scale shape at once, exploiting the
+    * quantized score domain (see [[histogramQualityCutoffs]]). Survivors are
+    * every doc strictly above its source's exact lower-quartile value
+    * (whole tie-classes drop together — rank-splitting ties like d21's
+    * ntile does requires the per-source sort this variant exists to avoid).
+    * Fully hash-oracled: cutoffs, survivor set and carried quality are all
+    * DuckDB-replayed. p27's stage 1 runs this same gate.
+    */
+  def histogramQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextOps.qualityCol.as("quality"))
+    docs.join(broadcast(histogramQualityCutoffs(docs)), "source")
+      .filter($"quality" > $"cutoff")
+      .select($"doc_id", $"source", $"quality", $"cutoff")
+      .orderBy($"doc_id")
+  }
+
+  /** (source, cutoff) table for [[histogramQualityGate]] / p27: per-source
+    * exact lower-quartile cutoffs WITHOUT a per-source corpus sort. The t06
+    * quality score is quantized to 1e-4 (TextOps.qualityCol), so each
+    * source's value HISTOGRAM is bounded at ≤ 10001 rows no matter how many
+    * documents the source holds. One partial-aggregated
+    * groupBy(source, quality) count builds the histogram; the quartile walk
+    * (cumulative count ≥ ceil(0.25·n)) is a window over HISTOGRAM rows —
+    * thousands per source, never the corpus. Exact, deterministic,
+    * integer-thresholded (no interpolation, so DuckDB replays it
+    * bit-for-bit); the corpus itself crosses exactly one hash exchange.
+    * Input must carry (source, quality).
+    */
+  private[graft] def histogramQualityCutoffs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val hist = docs.groupBy($"source", $"quality").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"source").orderBy($"quality")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"source")
+    hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(wAll))
+      .filter($"cum" >= ceil(lit(0.25) * $"n"))
+      .groupBy($"source").agg(min($"quality").as("cutoff"))
   }
 
   /** SimHash near-dup: 60-bit cross-engine fingerprints, 15-bit hamming

@@ -114,24 +114,29 @@ object EndToEnd {
   /** p27: curation → training sequences, end to end — the second fusion
     * flagship. Where p19 ends at the mix's token accounting, p27 carries
     * the curated corpus all the way to the packed-sequence manifest a
-    * trainer consumes: d21's per-source quality calibration (drop each
-    * source's bottom quartile) → d09's broadcast decontamination → d01's
-    * min-id exact dedup → p26's concat-and-chunk packing. One declarative
-    * plan, three hash exchanges for the corpus (quality window on source,
-    * dedup window on content_md5, packing window on (source, shard) whose
-    * partitioning the rollup reuses) plus the broadcast blocklist — every
-    * stage's shuffle key is the stage's natural key, nothing moves twice
-    * on the same key.
+    * trainer consumes: d24's histogram-calibrated per-source quality gate
+    * (drop everything at or below each source's exact lower-quartile
+    * value) → d09's broadcast decontamination → d01's min-id exact dedup →
+    * p26's concat-and-chunk packing. One declarative plan, three hash
+    * exchanges for the corpus (quality histogram agg on source, dedup
+    * window on content_md5, packing window on (source, shard) whose
+    * partitioning the rollup reuses) plus two broadcasts (cutoffs,
+    * blocklist) — every stage's shuffle key is the stage's natural key,
+    * nothing moves twice on the same key. Stage 1 was d21's exact ntile
+    * through round 4; the per-source corpus sort that implied was this
+    * flagship's scale ceiling, and [[Dedup.histogramQualityCutoffs]]
+    * removes it while KEEPING the exact, DuckDB-replayable semantics — the
+    * sketch gate (d23) remains the posture for un-quantized score domains.
     */
   def curatedPacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    // 1. adaptive per-source quality gate (d21)
-    val wTile = Window.partitionBy($"source").orderBy($"quality", $"doc_id")
-    val gated = docs
+    // 1. histogram-calibrated per-source quality gate (d24)
+    val scored = docs
       .select($"doc_id", $"source", $"text", TextOps.qualityCol.as("quality"))
-      .withColumn("tile", ntile(4).over(wTile))
-      .filter($"tile" > 1)
+    val gated = scored
+      .join(broadcast(Dedup.histogramQualityCutoffs(scored)), "source")
+      .filter($"quality" > $"cutoff")
     // 2. decontaminate against the broadcast eval blocklist (d09), then
     //    exact-dedup survivors on the same fingerprint (d01)
     val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))

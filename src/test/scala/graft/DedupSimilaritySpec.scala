@@ -188,6 +188,53 @@ class DedupSimilaritySpec extends SparkSpec {
     kept.unpersist()
   }
 
+  test("d23/d24 scale gates: claims hold, no per-source corpus sort in either plan") {
+    import spark.implicits._
+    // d23: every claim row must be true (the oracle asserts the same)
+    val claims = SparkEntry.queries("d23_sketch_quality_gate")(spark, sfDir)
+    assert(claims.filter(!$"cutoff_within_bound" || !$"gate_consistent").isEmpty,
+      "sketch cutoff outside its rank-error bound or gate/count mismatch")
+    // d24 agrees with d21's exact quartile boundary: survivors are exactly
+    // the docs strictly above the source's Q1 value, so every d24 survivor
+    // is a d21 survivor (d21 additionally rank-splits the boundary ties)
+    val d24 = SparkEntry.queries("d24_histogram_quality_gate")(spark, sfDir).cache()
+    val d21 = SparkEntry.queries("d21_adaptive_quality_gate")(spark, sfDir)
+    assert(d24.select("doc_id").join(d21.select("doc_id"), Seq("doc_id"), "left_anti").isEmpty,
+      "a d24 survivor was dropped by d21's exact ntile gate")
+    // ... and d21 keeps at most the boundary tie-class more per source
+    val tieMass = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", operators.TextOps.qualityCol.as("q"))
+      .join(d24.groupBy($"source").agg(min($"cutoff").as("cut")), "source")
+      .filter($"q" === $"cut").groupBy($"source").agg(count(lit(1)).as("ties"))
+    val slack = d21.groupBy($"source").agg(count(lit(1)).as("n21"))
+      .join(d24.groupBy($"source").agg(count(lit(1)).as("n24")), "source")
+      .join(tieMass, "source")
+      .filter($"n21" - $"n24" > $"ties")
+    assert(slack.isEmpty, "d21/d24 survivor gap exceeds the boundary tie-class")
+    // THE scale assertion: neither plan may serialize a source through a
+    // single task's sort — no Window (ntile/row_number) over the corpus;
+    // d24's only window runs over the bounded per-source value histogram
+    // ("ntile(" with the paren: perceNTILE_approx contains the bare word)
+    val p23 = physical(SparkEntry.queries("d23_sketch_quality_gate")(spark, sfDir)).toString
+    assert(!p23.contains("ntile(") && !p23.contains("Window"),
+      s"d23 must calibrate via sketch agg, not a per-source window sort:\n$p23")
+    assert(p23.contains("percentile_approx"), "d23 plan lost its sketch aggregate")
+    d24.unpersist()
+    val p24 = physical(SparkEntry.queries("d24_histogram_quality_gate")(spark, sfDir)).toString
+    assert(!p24.contains("ntile("), "d24 must not rank the corpus")
+    // d24's windows (histogram cumsum + per-source total) consume the
+    // (source, quality) HISTOGRAM aggregate, never raw corpus rows: a
+    // corpus-ranking window would have to order/carry doc_id in its spec
+    assert(p24.contains("windowspecdefinition"), "d24 plan lost its histogram cumsum window")
+    val corpusWindows = p24.split("\n")
+      .filter(_.contains("windowspecdefinition")).filter(_.contains("doc_id"))
+    assert(corpusWindows.isEmpty,
+      s"d24 window must run over histogram rows, not the corpus:\n${corpusWindows.mkString("\n")}")
+    // ... and corpus rows reach the gate through a broadcast join of the
+    // tiny cutoff table, not a shuffle
+    assert(p24.contains("BroadcastHashJoin"), s"d24 cutoffs must broadcast:\n$p24")
+  }
+
   test("d22 survivorship histogram conserves the corpus and matches d10's clusters") {
     import spark.implicits._
     val df = SparkEntry.queries("d22_dedup_survivorship")(spark, sfDir).cache()

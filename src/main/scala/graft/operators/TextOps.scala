@@ -266,19 +266,49 @@ object TextOps {
     * p19 joins against (an interior orderBy would cost a pointless range
     * exchange mid-plan).
     */
-  private[graft] def entropyScoreRaw(s: SparkSession, dir: String): DataFrame = {
+  /** The corpus LM t18/p19 score against: one row per vocabulary term with
+    * its quantized-log2 surprisal bits = bit_length(n_total div c). One
+    * partial-aggregated corpus pass, vocabulary-sized output. The LM is
+    * BROADCAST at the scoring join — a tokenizer vocabulary (BPE-ish) is
+    * bounded at ~10^5-10^6 rows regardless of corpus size, so the corpus
+    * token stream never shuffles on term; for an open (untokenized)
+    * vocabulary the LM persists as a term-bucketed artifact instead and the
+    * scoring join aligns to its buckets (the d20 index pattern —
+    * round-trip + plan proven in PlansSpec "t18 LM artifact").
+    */
+  private[graft] def corpusLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perDoc = Tables.documents(s, dir)
+    val tf = Tables.documents(s, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    val n = tf.agg(sum($"c").as("n_total"))
+    tf.crossJoin(broadcast(n))
+      .select($"term", length(bin(expr("n_total div c"))).cast("long").as("bits"))
+  }
+
+  /** Per-doc surprisal vs the corpus LM. Round-4 shape shuffled the
+    * (doc_id, term) counts TWICE on term (vocab derivation + LM join) —
+    * the p19 sf1 regression; now the token stream broadcast-joins the
+    * precomputed per-term bits and partial-aggregates straight to per-doc
+    * rows: the corpus crosses ONE exchange (doc_id), the LM none.
+    * Summing bits per token occurrence ≡ summing k·bits per distinct term.
+    */
+  private[graft] def entropyScoreRaw(s: SparkSession, dir: String): DataFrame =
+    entropyScoreVs(s, dir, corpusLm(s, dir))
+
+  /** Scoring against a caller-supplied LM table (term, bits) — the seam the
+    * precomputed/bucketed-artifact path shares with the inline key.
+    */
+  private[graft] def entropyScoreVs(s: SparkSession, dir: String,
+                                    lm: DataFrame): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
       .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
       .filter($"term" =!= "")
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("k"))
-    val vocab = perDoc.groupBy($"term").agg(sum($"k").as("c"))
-    val n = vocab.agg(sum($"c").as("n_total"))
-    perDoc.join(vocab, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("bits", $"k" * length(bin(expr("n_total div c"))).cast("long"))
+      .join(broadcast(lm), "term")
       .groupBy($"doc_id")
-      .agg(sum($"k").as("n_tokens"), sum($"bits").as("surprisal_bits"))
+      .agg(count(lit(1)).as("n_tokens"), sum($"bits").as("surprisal_bits"))
       .withColumn("bits_per_token", $"surprisal_bits" / $"n_tokens")
   }
 

@@ -237,4 +237,33 @@ class TextOpsSpec extends SparkSpec {
     assert(df.filter(!$"redacted".contains("[EMAIL]") || !$"redacted".contains("[PHONE]")).isEmpty)
     df.unpersist()
   }
+
+  test("t18 LM artifact: precomputed LM round-trips, corpus never shuffles on term") {
+    import spark.implicits._
+    // the 100-TB posture: the corpus LM is a precomputed artifact joined
+    // in, not re-derived inline every run — materialize it, score against
+    // the read-back, and get bit-identical results
+    val lmPath = java.nio.file.Files.createTempDirectory("graft_lm").toString + "/lm"
+    operators.TextOps.corpusLm(spark, sfDir).write.mode("overwrite").parquet(lmPath)
+    val scored = operators.TextOps.entropyScoreVs(spark, sfDir,
+      spark.read.parquet(lmPath))
+    val inline = operators.TextOps.entropyScoreRaw(spark, sfDir)
+    assert(scored.exceptAll(inline).isEmpty && inline.exceptAll(scored).isEmpty,
+      "artifact-scored surprisal must equal the inline derivation")
+    // the LM is broadcast: no exchange may move doc-carrying rows on term
+    // (the vocab agg itself exchanges only vocabulary-sized partial rows)
+    for ((df, name) <- Seq((scored, "artifact"),
+                           (SparkEntry.queries("t18_entropy_score")(spark, sfDir), "inline"))) {
+      val planned = physical(df)
+      assert(planned.toString.contains("BroadcastHashJoin"),
+        s"$name LM join must broadcast:\n$planned")
+      val termShuffles = planned.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("term") &&
+               e.child.output.exists(_.name == "doc_id") => e
+      }
+      assert(termShuffles.isEmpty,
+        s"$name plan shuffles the corpus token stream on term:\n$planned")
+    }
+  }
 }

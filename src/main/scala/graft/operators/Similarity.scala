@@ -322,6 +322,15 @@ object Similarity {
     * as q24's HLL bound). The raw neighbor lists of d06/d08/d12 stay
     * engine-specific by nature; this converts their guarantee into a
     * hash-checked row anyway.
+    *
+    * SAMPLE-ONLY AT SCALE: the exact reference side is inherently
+    * brute-force — O(|corpus|) scored per probe — so the gate is a
+    * VERIFICATION key, never a production query. The probe set is
+    * constant-capped at [[NumQueries]] (spec-asserted), which bounds the
+    * gate at NumQueries corpus scans' worth of work; at 100 TB the exact
+    * side additionally runs against a deterministic corpus sample (q25's
+    * hash-mod sharding), estimating recall rather than computing it over
+    * every row — the ANN paths themselves stay full-corpus.
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

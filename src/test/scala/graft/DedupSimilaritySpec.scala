@@ -65,6 +65,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(0L) ^ m(2L)) >= 20)
   }
 
+  test("d13 recall gate is probe-capped: brute force stays a bounded verification key") {
+    import spark.implicits._
+    // the exact side costs O(|corpus|) per probe — the constant cap is what
+    // keeps the gate runnable at any corpus size (sample-only posture,
+    // SURVEY §5); a cap regression would silently turn d13 into a full
+    // corpus² scan
+    assert(Similarity.NumQueries <= 16, "probe cap must stay a small constant")
+    val probes = Similarity.cosineTopK(spark, sfDir)
+      .select($"query_id").distinct().count()
+    assert(probes <= Similarity.NumQueries,
+      s"$probes probe queries exceed the NumQueries=${Similarity.NumQueries} cap")
+  }
+
   test("d06 ann-lsh achieves usable recall against brute force") {
     val exact = Similarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -90,6 +90,32 @@ class RenderSpec extends SparkSpec {
       "binaryFile read-back must equal the in-plan blob fabrication")
   }
 
+  test("m03 small-file mitigation: file-source packing knobs coalesce the attachment scan") {
+    // m03's wall-clock is file-count-linear by design (SURVEY §5); the
+    // mitigation for small-file-heavy stores is the file-source packing
+    // cost model — files.openCostInBytes charges a per-file admission so
+    // many small files pack into few partitions, and shrinking it (or
+    // growing maxPartitionBytes) packs MORE files per partition. Prove the
+    // knob bites on the real fixture store.
+    val store = "/tmp/graft_attachments_" +
+      "_root_testdata_sf0.001_".replaceAll("[^A-Za-z0-9.]", "_") +
+      new java.io.File(s"$sfDir/documents.parquet").lastModified()
+    SparkEntry.queries("m03_binary_ingest")(spark, sfDir).count() // builds fixture
+    def partsWith(openCost: String): Int = {
+      spark.conf.set("spark.sql.files.openCostInBytes", openCost)
+      try spark.read.format("binaryFile").load(store).rdd.getNumPartitions
+      finally spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+    }
+    val spread = partsWith("4194304")  // default 4 MB: ~each file its own slot
+    val packed = partsWith("0")        // pure byte packing
+    assert(packed < spread,
+      s"packing knob must coalesce small files: packed=$packed spread=$spread")
+    // bytesPerCore keeps a defaultParallelism floor — the point is the
+    // hundreds of per-file slots collapse to core-count-sized scheduling
+    assert(packed <= spark.sparkContext.defaultParallelism + 1,
+      s"500 tiny blobs should pack down to core count, got $packed")
+  }
+
   test("p18 search hits contain every term and misses lack at least one") {
     import spark.implicits._
     val hits = SparkEntry.queries("p18_text_search")(spark, sfDir)

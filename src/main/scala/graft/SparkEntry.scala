@@ -136,6 +136,7 @@ object SparkEntry {
     "d22_dedup_survivorship" -> ((s, d) => Dedup.dedupSurvivorship(s, d)),
     "d23_sketch_quality_gate" -> (Dedup.sketchQualityGate _),
     "d24_histogram_quality_gate" -> (Dedup.histogramQualityGate _),
+    "d25_token_budget_mix" -> (Dedup.tokenBudgetMix _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1086,6 +1087,25 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |       true AS cutoff_within_bound, true AS gate_consistent
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // d25: band-granular token-budget curation — same quantized-histogram
+    // machinery as d24, with token masses and a top-down cumsum; fully
+    // replayable (cum stays a comparison operand; budget_used cast BIGINT)
+    "d25_token_budget_mix" ->
+      s"""WITH sc AS (SELECT doc_id, source, $QualitySql AS quality,
+        |                   len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        |                                   t -> t <> '')) AS tokens
+        |            FROM documents),
+        |b AS (SELECT source, quality, SUM(tokens) AS band_toks FROM sc GROUP BY 1, 2),
+        |c AS (SELECT source, quality,
+        |             SUM(band_toks) OVER (PARTITION BY source ORDER BY quality DESC
+        |                                  ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM b),
+        |k AS (SELECT source, MIN(quality) AS cutoff, CAST(MAX(cum) AS BIGINT) AS budget_used
+        |      FROM c WHERE cum <= ${Dedup.BudgetTokens} GROUP BY 1)
+        |SELECT sc.doc_id, sc.source, sc.quality, CAST(sc.tokens AS BIGINT) AS tokens,
+        |       k.budget_used
+        |FROM sc JOIN k USING (source)
+        |WHERE sc.quality >= k.cutoff ORDER BY sc.doc_id""".stripMargin,
     // d24: exact quantized-histogram quartile — fully replayable: the
     // cumulative-count walk is integer arithmetic over bit-identical
     // quality values

@@ -527,6 +527,47 @@ object Dedup {
       .orderBy($"source", $"pick")
   }
 
+  /** Per-source token budget for [[tokenBudgetMix]] — an absolute cap like
+    * d18/d19's doc quotas, but in the unit a trainer actually provisions.
+    */
+  val BudgetTokens = 5000L
+
+  /** d25: token-budget curation — "the highest-quality documents per
+    * source, up to B tokens" — the selection a data-mix owner runs once
+    * per source per training run. Naively this is a per-source sort by
+    * quality with a running token sum: the same scale ceiling d21 had.
+    * Like d24 it rides the quantized score domain instead: per-(source,
+    * quality) token masses (bounded histogram), a top-down cumulative sum
+    * over HISTOGRAM rows picks the lowest quality band that still fits the
+    * budget, and survivors are a broadcast-join + scan-local filter.
+    * Selection is band-granular: the budget-crossing band is left out
+    * whole (undershoot, never split — splitting a tie-band fairly is
+    * exactly the per-source rank the histogram path exists to avoid), and
+    * a source whose TOP band alone exceeds B keeps nothing. budget_used
+    * carries the realized per-source spend for accounting. The corpus
+    * crosses one hash exchange (the histogram agg); at 100 TB the
+    * histogram is thousands of rows per source regardless of corpus size.
+    */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextOps.qualityCol.as("quality"),
+        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .cast("long").as("tokens"))
+    val bands = scored.groupBy($"source", $"quality").agg(sum($"tokens").as("band_toks"))
+    val wDesc = Window.partitionBy($"source").orderBy($"quality".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = bands
+      .withColumn("cum", sum($"band_toks").over(wDesc))
+      .filter($"cum" <= BudgetTokens)
+      .groupBy($"source")
+      .agg(min($"quality").as("cutoff"), max($"cum").as("budget_used"))
+    scored.join(broadcast(kept), "source")
+      .filter($"quality" >= $"cutoff")
+      .select($"doc_id", $"source", $"quality", $"tokens", $"budget_used")
+      .orderBy($"doc_id")
+  }
+
   /** Exact n-gram Jaccard on a deterministic linear pairing (doc i vs doc
     * i + n/2): the verify step that LSH candidates would feed at scale.
     * Grams are word-bigram STRINGS (not hashes) so the DuckDB oracle computes

@@ -248,6 +248,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p24.contains("BroadcastHashJoin"), s"d24 cutoffs must broadcast:\n$p24")
   }
 
+  test("d25 token budget: spend within budget, top-quality prefix, no corpus sort") {
+    import spark.implicits._
+    val mix = SparkEntry.queries("d25_token_budget_mix")(spark, sfDir).cache()
+    // realized spend: the survivors' token mass IS budget_used, within budget
+    val spend = mix.groupBy($"source", $"budget_used")
+      .agg(sum($"tokens").as("actual"))
+    assert(spend.filter($"actual" =!= $"budget_used").isEmpty,
+      "budget_used must equal the survivors' token mass")
+    assert(spend.filter($"budget_used" > operators.Dedup.BudgetTokens).isEmpty,
+      "a source overspent its token budget")
+    // band-granular top-quality prefix: every survivor outscores every
+    // dropped doc of the same source STRICTLY (whole bands keep or drop)
+    val dropped = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", operators.TextOps.qualityCol.as("q"))
+      .join(mix.select("doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.groupBy($"source").agg(max($"q").as("max_dropped"))
+    val minKept = mix.groupBy($"source").agg(min($"quality").as("min_kept"))
+    assert(maxDropped.join(minKept, "source").filter($"max_dropped" >= $"min_kept").isEmpty,
+      "selection must be a strict top-quality band prefix per source")
+    mix.unpersist()
+    // scale shape: the only window runs over histogram rows (d24's pattern)
+    val planned = physical(SparkEntry.queries("d25_token_budget_mix")(spark, sfDir))
+    val p = planned.toString
+    val corpusWindows = p.split("\n")
+      .filter(_.contains("windowspecdefinition")).filter(_.contains("doc_id"))
+    assert(corpusWindows.isEmpty,
+      s"d25 must never sort the corpus per source:\n${corpusWindows.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), s"d25 cutoffs must broadcast:\n$p")
+  }
+
   test("d22 survivorship histogram conserves the corpus and matches d10's clusters") {
     import spark.implicits._
     val df = SparkEntry.queries("d22_dedup_survivorship")(spark, sfDir).cache()

@@ -30,6 +30,38 @@ class SourcesSpec extends SparkSpec {
       .collect().toSeq == docs.select("doc_id", "text", "source").collect().toSeq)
   }
 
+  test("documents round-trip through the native XML source; storage-format markup parses structured") {
+    import spark.implicits._
+    // the reference's page bodies ARE XML (Confluence storage format is
+    // XHTML with ac:/ri: namespaced macros — html_cleaner.py:47-193 parses
+    // it with regexes); Spark 4 ships a native XML source, so the engine
+    // covers the format as a first-class source, not just via string ops
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text").orderBy("doc_id")
+    val xdir = Files.createTempDirectory("graft_xml").toString + "/docs"
+    docs.write.mode("overwrite").option("rowTag", "page").format("xml").save(xdir)
+    val back = spark.read.option("rowTag", "page").format("xml").load(xdir)
+    assert(back.select("doc_id", "source", "text").orderBy("doc_id")
+      .collect().toSeq == docs.collect().toSeq,
+      "XML round-trip must preserve every page body byte-for-byte")
+
+    // structured extraction of the ac:image/ri:attachment macro — the
+    // schema-on-read path the regex rewrite (t11) trades away
+    val frag = docs.limit(50).select($"doc_id",
+      concat(lit("<ac:image ac:width=\""), ($"doc_id" % 800 + 100).cast("string"),
+             lit("\"><ri:attachment ri:filename=\"img"), $"doc_id",
+             lit(".png\"/></ac:image>")).as("markup"))
+    val parsed = frag.select($"doc_id",
+      expr("from_xml(markup, 'struct<`_ac:width`: long, `ri:attachment`: struct<`_ri:filename`: string>>')")
+        .as("img"))
+      .select($"doc_id", $"img._ac:width".as("width"),
+              $"img.`ri:attachment`.`_ri:filename`".as(("filename")))
+    assert(parsed.filter($"filename" =!= concat(lit("img"), $"doc_id", lit(".png"))).isEmpty,
+      "namespaced attribute extraction must recover the attachment filename")
+    assert(parsed.filter($"width" =!= $"doc_id" % 800 + 100).isEmpty,
+      "numeric macro attributes must parse typed")
+  }
+
   test("custom DSv2 paged source: partition-per-page, pushdown prunes pages") {
     import spark.implicits._
     val read = spark.read.format("graft.sources.PagedSource")

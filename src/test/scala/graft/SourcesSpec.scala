@@ -298,6 +298,56 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == docs.filter($"source" === "src3").count())
   }
 
+  test("RenderSink DSv2 write: staged commit publishes per-space files with a manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_rsink").toString + "/out"
+    val pages = SparkEntry.queries("p11_html_render")(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select($"doc_id", $"source".as("space")), "doc_id")
+      .select($"doc_id", $"space", $"html")
+    pages.write.format("graft.sources.RenderSink")
+      .option("path", dir).mode("overwrite").save()
+
+    // layout: one file per page under its space dir (the reference's
+    // master_script.py:157-211 organization), nothing else visible
+    val root = new java.io.File(dir)
+    val spaceDirs = root.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val expectedSpaces = pages.select($"space").distinct().as[String].collect().toSet
+    assert(spaceDirs == expectedSpaces.map("space=" + _), s"layout: $spaceDirs")
+    assert(!root.listFiles().exists(_.getName.startsWith(".staging")),
+      "staging must be cleaned up on commit")
+    val manifest = java.nio.file.Files.readString(new java.io.File(root, "_MANIFEST").toPath)
+    val total = pages.count()
+    assert(manifest.contains(s""""files": $total"""), s"manifest: $manifest")
+
+    // content round-trip: the published bytes ARE the rendered html
+    val back = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.html").load(dir)
+      .select(
+        regexp_extract($"path", "doc_(\\d+)\\.html", 1).cast("long").as("doc_id"),
+        $"content".cast("string").as("html"))
+    assert(back.count() == total)
+    assert(back.exceptAll(pages.select($"doc_id", $"html")).isEmpty,
+      "published file contents must equal the rendered html")
+
+    // overwrite replaces (no stale accumulation), append adds
+    pages.limit(10).write.format("graft.sources.RenderSink")
+      .option("path", dir).mode("overwrite").save()
+    def countFiles(): Long = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", "*.html")
+      .load(dir).count()
+    assert(countFiles() == 10, "overwrite must truncate prior space dirs")
+    pages.filter($"doc_id" >= 490).write.format("graft.sources.RenderSink")
+      .option("path", dir).mode("append").save()
+    assert(countFiles() > 10, "append must add files")
+
+    // a wrong row shape is rejected at planning time, not mid-write
+    intercept[Exception] {
+      pages.select($"doc_id", $"space").write
+        .format("graft.sources.RenderSink").option("path", dir)
+        .mode("append").save()
+    }
+  }
+
   test("fixture publishOnce sweeps stale crashed .build. dirs, spares live ones") {
     val base = Files.createTempDirectory("graft_fixture_spec").toFile
     val store = new java.io.File(base, "store")

@@ -60,6 +60,7 @@ object SparkEntry {
     "q37_null_semantics"  -> (Relational.nullSemantics _),
     "q38_interval_sweep"  -> (Relational.intervalSweep _),
     "q39_funnel"          -> (Relational.funnel _),
+    "q40_retention"       -> (Relational.retentionCohorts _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -765,6 +766,27 @@ object SparkEntry {
         |       COUNT(purchase_ts) * 1000 // COUNT(*) AS conv_permille
         |FROM su LEFT JOIN cv USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q40: day-based integer offsets (datediff // 7 from each user's
+    // anchor DAY) keep the offset math engine-neutral; cohort label is the
+    // shared ISO date_trunc week
+    "q40_retention" ->
+      """WITH a AS (SELECT user_id, MIN(ts) AS anchor_ts FROM events
+        |           WHERE event_type = 'signup' GROUP BY 1),
+        |an AS (SELECT user_id, CAST(date_trunc('week', anchor_ts) AS DATE) AS cohort,
+        |              CAST(anchor_ts AS DATE) AS anchor_day FROM a),
+        |sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM an GROUP BY 1),
+        |r AS (SELECT an.cohort,
+        |             date_diff('day', an.anchor_day, CAST(e.ts AS DATE)) // 7 AS week_offset,
+        |             COUNT(DISTINCT e.user_id) AS n_active
+        |      FROM events e JOIN an USING (user_id)
+        |      WHERE CAST(e.ts AS DATE) >= an.anchor_day
+        |        AND date_diff('day', an.anchor_day, CAST(e.ts AS DATE)) // 7 <= 3
+        |      GROUP BY 1, 2)
+        |SELECT r.cohort, CAST(r.week_offset AS BIGINT) AS week_offset,
+        |       CAST(r.n_active AS BIGINT) AS n_active,
+        |       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+        |       r.n_active * 1000 // sz.cohort_size AS retention_permille
+        |FROM r JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

@@ -761,6 +761,41 @@ object Relational {
       .orderBy($"cohort_week")
   }
 
+  /** q40: weekly cohort retention — the matrix next to q39's funnel: for
+    * each signup-week cohort, how many of its users were active again 0,
+    * 1, 2, 3 weeks after their own signup day. Day-based integer offsets
+    * (datediff div 7 from each user's anchor DAY) avoid engine week-origin
+    * differences inside the offset math; the cohort label itself is the
+    * ISO date_trunc week both engines share. Shape: the anchor agg and
+    * the activity join co-partition on user_id (one corpus exchange), the
+    * retention rollup partial-aggregates (cohort, offset, user) distincts,
+    * cohort sizes broadcast back — no self-join of events against events,
+    * and the result is |cohorts|x4 rows at any SF. Exact integer permille.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val anchors = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("anchor_ts"))
+      .select($"user_id",
+        to_date(date_trunc("week", $"anchor_ts")).as("cohort"),
+        to_date($"anchor_ts").as("anchor_day"))
+    val sizes = anchors.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))
+    val retained = ev.select($"user_id", to_date($"ts").as("day"))
+      .join(anchors, "user_id")
+      .filter($"day" >= $"anchor_day")
+      .select($"cohort", expr("datediff(day, anchor_day) div 7").as("week_offset"),
+              $"user_id")
+      .filter($"week_offset" <= 3)
+      .groupBy($"cohort", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+    retained.join(broadcast(sizes), "cohort")
+      .select($"cohort", $"week_offset".cast("long").as("week_offset"),
+              $"n_active", $"cohort_size",
+              expr("n_active * 1000 div cohort_size").as("retention_permille"))
+      .orderBy($"cohort", $"week_offset")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

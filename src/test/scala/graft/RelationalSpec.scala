@@ -327,6 +327,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q40 retention: week zero is total by construction, offsets bounded") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q40_retention")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // the signup event itself makes every cohort member active at offset 0
+    val w0 = df.filter($"week_offset" === 0)
+    val cohorts = df.select($"cohort").distinct().count()
+    assert(w0.count() == cohorts, "every cohort must have its offset-0 row")
+    assert(w0.filter($"n_active" =!= $"cohort_size" || $"retention_permille" =!= 1000).isEmpty,
+      "offset-0 retention must be exactly 1000 permille")
+    assert(df.filter($"week_offset" < 0 || $"week_offset" > 3).isEmpty)
+    assert(df.filter($"n_active" > $"cohort_size").isEmpty)
+    df.unpersist()
+    // co-partitioned on user_id — no cartesian/nested-loop fallback
+    val p = physical(SparkEntry.queries("q40_retention")(spark, sfDir)).toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"retention must join anchors by key:\n$p")
+  }
+
   test("q39 funnel: conversions bounded by signups, latency only from converters") {
     import spark.implicits._
     val df = SparkEntry.queries("q39_funnel")(spark, sfDir).cache()

@@ -152,6 +152,7 @@ object SparkEntry {
     "s09_stream_topk"     -> (graft.streaming.Streams.topkBatch _),
     "s12_session_topk"    -> (graft.streaming.Streams.sessionTopkBatch _),
     "s13_stream_decontaminate" -> (graft.streaming.Streams.streamDeconBatch _),
+    "s16_stream_quality_gate" -> (graft.streaming.Streams.streamQualityBatch _),
     "s15_window_heavy_hitters" -> (graft.streaming.Streams.windowHeavyHittersBatch _),
   )
 
@@ -1128,6 +1129,24 @@ object SparkEntry {
         |       k.budget_used
         |FROM sc JOIN k USING (source)
         |WHERE sc.quality >= k.cutoff ORDER BY sc.doc_id""".stripMargin,
+    // s16: the d24 cutoffs applied as an ingest admission summary
+    "s16_stream_quality_gate" ->
+      s"""WITH q AS (SELECT doc_id, source, $QualitySql AS quality FROM documents),
+        |h AS (SELECT source, quality, COUNT(*) AS c FROM q GROUP BY 1, 2),
+        |n AS (SELECT source, COUNT(*) AS n FROM q GROUP BY 1),
+        |cum AS (SELECT h.source, h.quality,
+        |               SUM(c) OVER (PARTITION BY h.source ORDER BY h.quality
+        |                            ROWS UNBOUNDED PRECEDING) AS cum, n.n
+        |        FROM h JOIN n USING (source)),
+        |cut AS (SELECT source, MIN(quality) AS cutoff FROM cum
+        |        WHERE cum >= CAST(CEIL(0.25 * n) AS BIGINT) GROUP BY 1)
+        |SELECT q.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN q.quality > cut.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_admitted,
+        |       CAST(SUM(CASE WHEN q.quality > cut.cutoff THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_blocked
+        |FROM q JOIN cut USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // d24: exact quantized-histogram quartile — fully replayable: the
     // cumulative-count walk is integer arithmetic over bit-identical
     // quality values

@@ -431,4 +431,39 @@ object Streams {
            sum(when($"blocked", 1L).otherwise(0L)).as("n_blocked"))
       .orderBy($"source")
   }
+
+  /** s16: quality gating at INGEST — d24's per-source calibrated cutoffs
+    * (a tiny static table, computed offline over the reference corpus)
+    * broadcast-joined to the live stream; a doc at or below its source's
+    * cutoff is refused before it ever lands. Stateless like s13 (append
+    * mode, zero state-store rows): gate throughput = scan rate. A source
+    * with no calibration row passes uncut — refusing everything from a
+    * new feed until someone recalibrates would be an outage, not a gate.
+    */
+  def qualityGateStream(stream: DataFrame, cutoffs: DataFrame): DataFrame = {
+    val quality = graft.operators.TextOps.qualityCol
+    stream
+      .withColumn("quality", quality)
+      .join(broadcast(cutoffs), Seq("source"), "left")
+      .filter(col("cutoff").isNull || col("quality") > col("cutoff"))
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
+
+  /** s16's batch twin: per-source admission summary under the SAME d24
+    * cutoffs — what the gate would do to the whole corpus, as one
+    * partial-aggregated pass (histogram agg + broadcast cutoffs + count
+    * rollup; the corpus crosses one exchange).
+    */
+  def streamQualityBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source", graft.operators.TextOps.qualityCol.as("quality"))
+    val cutoffs = graft.operators.Dedup.histogramQualityCutoffs(scored)
+    scored.join(broadcast(cutoffs), Seq("source"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"quality" > $"cutoff", 1L).otherwise(0L)).as("n_admitted"),
+           sum(when($"quality" > $"cutoff", 0L).otherwise(1L)).as("n_blocked"))
+      .orderBy($"source")
+  }
 }

@@ -295,6 +295,51 @@ class StreamingSpec extends SparkSpec {
     assert(twin.agg(sum("n_blocked")).head().getLong(0) >= 1)
   }
 
+  test("s16 stream quality gate refuses below-cutoff docs statelessly, passes uncalibrated sources") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // calibrated cutoffs for two known sources; srcC is uncalibrated.
+    // quality of a short all-punct doc is far below 0.9; a 500+ char prose
+    // doc with stopwords scores well above 0.2
+    val cutoffs = Seq(("srcA", 0.9), ("srcB", 0.2)).toDF("source", "cutoff")
+    val prose = ("the quick brown fox jumps over the lazy dog and runs to " +
+      "the old mill in the valley where the miller grinds the grain ") * 5
+    val junk = "!!! ??? *** %%% $$$"
+    val input = MemoryStream[(Long, String, String)]
+    input.addData(
+      (1L, "srcA", prose), // above srcB's bar but BELOW srcA's 0.9 → refused
+      (2L, "srcB", prose), // admitted
+      (3L, "srcB", junk))  // refused
+    val q = Streams.qualityGateStream(
+        input.toDF().toDF("doc_id", "source", "text"), cutoffs)
+      .writeStream.format("memory").queryName("s16_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch: still gating, and an uncalibrated source passes
+      input.addData(
+        (4L, "srcC", junk),  // no cutoff row → admitted by policy
+        (5L, "srcA", junk))  // refused
+      q.processAllAvailable()
+      val admitted = s.table("s16_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted == Set(2L, 4L),
+        s"gate admitted $admitted, expected Set(2, 4)")
+      assert(q.lastProgress.stateOperators.isEmpty ||
+             q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static quality gate must hold no streaming state")
+    } finally q.stop()
+    // batch twin: admissions + blocks partition each source, admitted
+    // matches the d24 survivor set exactly (same cutoffs, same rule)
+    val twin = SparkEntry.queries("s16_stream_quality_gate")(spark, sfDir)
+    assert(twin.filter(col("n_admitted") + col("n_blocked") =!= col("n_docs")).isEmpty)
+    val d24PerSource = SparkEntry.queries("d24_histogram_quality_gate")(spark, sfDir)
+      .groupBy(col("source")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n24"))
+    assert(twin.join(d24PerSource, "source")
+      .filter(col("n_admitted") =!= col("n24")).isEmpty,
+      "the gate's admissions must equal d24's survivors per source")
+  }
+
   test("s15 windowed CMS merges sketch state across batches and never undercounts") {
     val s = spark
     import s.implicits._

@@ -176,6 +176,18 @@ class PipelineSpec extends SparkSpec {
     // (the whole cutoff tie-class goes), so survivors cap at 3/4 strictly
     assert(curatedDocs <= math.ceil(fullDocs * 0.75).toLong)
     df.unpersist()
+    // the round-4 scale flag is gone: no window ranks the corpus per
+    // source (the d24 cutoff build windows only histogram rows; the dedup
+    // and packing windows partition by content_md5 / (source, shard))
+    // (the packing window partitions by (source, shard) and the histogram
+    // cutoff build windows bounded (source, quality) rows — both fine; the
+    // dead shape is ntile's spec: partition by source alone, ordered by
+    // (quality, doc_id), i.e. a per-source rank of CORPUS rows)
+    val planText = physical(SparkEntry.queries("p27_curated_packing")(spark, sfDir)).toString
+    val perSourceRank = planText.split("\n").filter(
+      _.matches(""".*\], \[source#\d+\], \[quality#\d+[^,]*, doc_id.*"""))
+    assert(perSourceRank.isEmpty,
+      s"p27 must not rank the corpus within source:\n${perSourceRank.mkString("\n")}")
   }
 
   test("p28 freshness report: one row per feed, freshest feed at zero staleness") {

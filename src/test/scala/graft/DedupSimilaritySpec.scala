@@ -248,6 +248,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(p24.contains("BroadcastHashJoin"), s"d24 cutoffs must broadcast:\n$p24")
   }
 
+  test("histogram cutoff property: equals the sorted-quartile definition on random data") {
+    import spark.implicits._
+    // the d24/d25/s16 foundation: for ANY quantized score distribution
+    // (ties, skew, singleton sources), the histogram walk must return
+    // exactly the sorted definition's Q1 — the smallest value whose
+    // cumulative count reaches ceil(n/4)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val source = "s" + rng.nextInt(7)
+      // mix heavy ties (coarse grid) with fine values, all 1e-4 quantized
+      val q = if (rng.nextBoolean()) rng.nextInt(5) * 0.25
+              else math.floor(rng.nextDouble() * 10000.0 + 0.5) / 10000.0
+      (i.toLong, source, q)
+    } :+ ((9999L, "lonely", 0.5)) // a singleton source
+    val df = rows.toDF("doc_id", "source", "quality")
+    val got = operators.Dedup.histogramQualityCutoffs(df)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = rows.groupBy(_._2).map { case (src, rs) =>
+      val sorted = rs.map(_._3).sorted
+      src -> sorted(math.ceil(0.25 * sorted.size).toInt - 1)
+    }
+    assert(got == expect, s"cutoffs diverge from the sorted definition:\n$got\nvs\n$expect")
+  }
+
   test("d25 token budget: spend within budget, top-quality prefix, no corpus sort") {
     import spark.implicits._
     val mix = SparkEntry.queries("d25_token_budget_mix")(spark, sfDir).cache()

@@ -62,7 +62,10 @@ object Bench {
       else {
         val headline = Seq("q01_agg_pricing", "q04_join_shuffle", "q17_salted_join",
           "t08_ngram_topk", "d01_exact_dedup", "d02_minhash_lsh", "d12_ann_pq",
-          "p14_corpus_pipeline", "p19_training_mix", "s01_window_agg")
+          "p14_corpus_pipeline", "p19_training_mix", "s01_window_agg",
+          // round-5 additions (appended so prior keys stay comparable):
+          // the histogram-calibration family + its fusion consumer
+          "d24_histogram_quality_gate", "d25_token_budget_mix", "p27_curated_packing")
         val sf1Results = timeRoundRobin(spark, sf1Dir, headline, reps = 3)
         s""","sf1_headline":${toJsonObj(sf1Results)},"sf1_dir":"$sf1Dir""""
       }

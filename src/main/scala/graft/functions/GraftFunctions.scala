@@ -32,6 +32,8 @@ object GraftFunctions {
     "tree_ancestors"  -> (es => TreeAncestorsExpr(es(0))),
     "cms_agg"         -> (es => CmsAggExpr(es(0), es(1), es(2), es(3))),
     "cms_query"       -> (es => CmsQueryExpr(es(0), es(1))),
+    "regex_count"     -> (es => RegexCountExpr(es(0), es(1))),
+    "non_alnum_count" -> (es => NonAlnumCountExpr(es(0))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -61,6 +63,22 @@ object GraftFunctions {
   def cmsAgg(term: Column, weight: Column, depth: Column, width: Column): Column =
     call_function("cms_agg", term, weight, depth, width)
   def cmsQuery(sketch: Column, term: Column): Column = call_function("cms_query", sketch, term)
+  def regexCount(s: Column, pattern: Column): Column = call_function("regex_count", s, pattern)
+
+  /** Registry-free regex_count for context-free Column builders (e.g.
+    * TextOps.qualityCol, which has no session to register on): the Column
+    * wraps the expression directly, so it resolves on ANY session.
+    */
+  def regexCountDirect(s: Column, pattern: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(RegexCountExpr(GraftSqlShim.expr(s), GraftSqlShim.expr(pattern)))
+  }
+
+  /** Registry-free non_alnum_count (see [[kernels.nonAlnumSpaceCount]]). */
+  def nonAlnumCountDirect(s: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NonAlnumCountExpr(GraftSqlShim.expr(s)))
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */

@@ -163,6 +163,53 @@ object kernels {
     }
     new GenericArrayData(sig)
   }
+
+  /** Code points outside [A-Za-z0-9\s] — the t06 punctuation count.
+    * Semantically identical to regexp_count(text, "[^A-Za-z0-9\\s]"): a
+    * single-char negated class matches once per non-member code point
+    * (a supplementary pair is ONE code point in Java regex and RE2 alike),
+    * but java.util.regex walks an interpreted node graph per char — ~80
+    * ns/char measured, which made this count 85% of the whole t06 pass.
+    * The hand loop is a branch per char (~1 ns), 16-bit chars counted
+    * directly and only the low surrogate skipped, preserving the
+    * per-code-point contract.
+    */
+  def nonAlnumSpaceCount(s: UTF8String): Long = {
+    val str = s.toString
+    var i = 0; var c = 0L
+    val n = str.length
+    while (i < n) {
+      val ch = str.charAt(i)
+      val member = (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z') ||
+        (ch >= '0' && ch <= '9') ||
+        ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
+      if (!member) {
+        c += 1
+        // a high surrogate starts a supplementary code point: one match,
+        // skip its low half
+        if (Character.isHighSurrogate(ch) && i + 1 < n &&
+            Character.isLowSurrogate(str.charAt(i + 1))) i += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** Non-overlapping match count, same find() traversal as the built-in
+    * regexp engine but with no per-match allocation. Java's Matcher.find()
+    * self-advances past zero-width matches, so the loop terminates on any
+    * pattern.
+    */
+  def regexCount(s: UTF8String, pattern: UTF8String): Long = {
+    val p = regexCache.computeIfAbsent(pattern.toString, java.util.regex.Pattern.compile(_))
+    val m = p.matcher(s.toString)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
 }
 
 /** Cross-engine hash family: every kernel here has a bit-exact DuckDB SQL
@@ -443,6 +490,46 @@ case class MinHashSig31Expr(left: Expression, right: Expression)
   * decomposed combining marks hash differently. DuckDB mirrors it with
   * utf8proc's nfc_normalize, so the result is oracle-checkable.
   */
+/** regex_count(string, pattern) -> long: non-overlapping match count
+  * WITHOUT materializing the matches. Spark's built-in regexp_count is
+  * RuntimeReplaceable as size(regexp_extract_all(...)), which allocates a
+  * UTF8String per match per row — on punct-heavy corpora that array build
+  * dominates the t06 quality pass (measured ~1.6s of a 1.9s corpus scan at
+  * the 10× SF). Identical count semantics: java.util.regex find() loop,
+  * the same engine and traversal the built-in uses, so every oracle value
+  * is unchanged. Patterns are cached per-JVM (they are plan literals;
+  * the cache never exceeds the handful of distinct patterns in the
+  * codebase).
+  */
+case class RegexCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(StringType, StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any, p: Any): Any =
+    kernels.regexCount(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) => s"graft.functions.kernels.regexCount($s, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "regex_count"
+}
+
+/** non_alnum_count(string) -> long: [[kernels.nonAlnumSpaceCount]] as a
+  * codegen'd expression — the t06 punctuation counter.
+  */
+case class NonAlnumCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(child), Seq(StringType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(s: Any): Any =
+    kernels.nonAlnumSpaceCount(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.nonAlnumSpaceCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "non_alnum_count"
+}
+
 case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     GraftTypeCheck.expect(prettyName, Seq(child), Seq(StringType))

@@ -20,7 +20,8 @@ object EndToEnd {
     val cleaned = trim(regexp_replace($"text", "\\s+", " "))
     // 2. analyze: tokens + quality
     val tokens = size(split(cleaned, " ")).cast("long")
-    val stop = regexp_count(lower(cleaned), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
+    val stop = graft.functions.GraftFunctions.regexCountDirect(
+      lower(cleaned), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
     val quality = least(lit(1.0), length(cleaned) / lit(500.0)) * lit(0.6) +
       (stop / (tokens.cast("double") + lit(1.0))) * lit(0.4)
     // 3. exact-dedup survivors (min doc_id per normalized-content hash)
@@ -72,7 +73,8 @@ object EndToEnd {
     val tokens = size(toks).cast("long")
     val rep = floor((lit(1.0) - size(array_distinct(toks)) / size(toks).cast("double"))
       * 10000.0 + 0.5) / 10000.0
-    val stop = regexp_count(lower($"cleaned"), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
+    val stop = graft.functions.GraftFunctions.regexCountDirect(
+      lower($"cleaned"), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
     val quality = least(lit(1.0), length($"cleaned") / lit(500.0)) * lit(0.6) +
       (stop / (tokens.cast("double") + lit(1.0))) * lit(0.4)
     // corpus-LM surprisal gate (t18): docs with no tokens carry no defined

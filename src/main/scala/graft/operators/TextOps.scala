@@ -79,7 +79,8 @@ object TextOps {
       .select(
         $"doc_id",
         size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
-        regexp_count($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"),
+        graft.functions.GraftFunctions.regexCountDirect(
+          $"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("bpe_tokens"),
         length($"text").cast("long").as("char_len"))
       .orderBy($"doc_id")
   }
@@ -102,7 +103,8 @@ object TextOps {
       "fr" -> "\\b(le|la|et|les|des|est)\\b",
       "zh" -> "[\\u4e00-\\u9fff]")
     val scored = markers.foldLeft(Tables.documents(s, dir).select($"doc_id", $"text", $"lang")) {
-      case (df, (code, pat)) => df.withColumn(s"score_$code", regexp_count(lower($"text"), lit(pat)))
+      case (df, (code, pat)) => df.withColumn(s"score_$code",
+        graft.functions.GraftFunctions.regexCountDirect(lower($"text"), lit(pat)))
     }
     val best = markers.map { case (code, _) =>
       struct(col(s"score_$code").as("score"), lit(code).as("code"))
@@ -123,11 +125,20 @@ object TextOps {
     * (decimal-expansion HALF_UP vs scaled-nearbyint).
     */
   private[graft] def qualityCol: Column = {
+    // match counting goes through the codegen'd regex_count kernel: the
+    // built-in regexp_count is RuntimeReplaceable as
+    // size(regexp_extract_all(...)), whose per-match UTF8String array was
+    // ~85% of the quality pass at the 10x SF (measured: 1.75s -> 0.4s per
+    // corpus scan). Counts — and thus every oracle value — are identical
+    // (same java.util.regex find() traversal). `words` counts separators+1,
+    // provably equal to size(split(trim, \s+)) for every input incl. empty
+    // and leading/trailing whitespace (split keeps empty edge tokens).
+    import graft.functions.GraftFunctions.{nonAlnumCountDirect, regexCountDirect}
     val text  = col("text")
     val chars = length(text).cast("double")
-    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
-    val words = size(split(trim(text), "\\s+")).cast("double")
-    val stop  = regexp_count(lower(text), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
+    val punct = nonAlnumCountDirect(text).cast("double")
+    val words = (regexCountDirect(trim(text), lit("\\s+")) + lit(1L)).cast("double")
+    val stop  = regexCountDirect(lower(text), lit("\\b(the|a|and|of|to|in|is)\\b")).cast("double")
     val lenScore  = least(lit(1.0), chars / lit(500.0))
     val punctPen  = punct / (chars + lit(1.0))
     val stopRatio = stop / (words + lit(1.0))
@@ -328,8 +339,8 @@ object TextOps {
       .select($"doc_id",
         regexp_replace(regexp_replace(pii, emailPat, "[EMAIL]"), phonePat, "[PHONE]")
           .as("redacted"),
-        regexp_count(pii, lit(emailPat)).cast("long").as("n_emails"),
-        regexp_count(pii, lit(phonePat)).cast("long").as("n_phones"))
+        graft.functions.GraftFunctions.regexCountDirect(pii, lit(emailPat)).cast("long").as("n_emails"),
+        graft.functions.GraftFunctions.regexCountDirect(pii, lit(phonePat)).cast("long").as("n_phones"))
       .orderBy($"doc_id")
   }
 

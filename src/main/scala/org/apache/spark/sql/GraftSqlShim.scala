@@ -18,4 +18,11 @@ object GraftSqlShim {
     */
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** ... and the converse: wrap a hand-built Catalyst expression as a
+    * Column that resolves on any session (no FunctionRegistry needed) —
+    * for context-free Column builders like TextOps.qualityCol.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -238,6 +238,36 @@ class TextOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("regex_count/non_alnum_count kernels equal the builtin on corpus and edge strings") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{nonAlnumCountDirect, regexCountDirect}
+    // edge strings: empty, whitespace variants, all-punct, unicode incl. a
+    // surrogate-pair emoji (ONE code point -> one match), CJK, mixed
+    val edges = Seq("", " ", "\t\n\f\r", "!!!...###", "a,b;c:d",
+      "héllo wörld", "漢字テスト", "mix 12a!😀ok", "😀😁",
+      "plain alnum text 123").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val corpus = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val df = (edges ++ corpus.map { case (i, t) => (i + 10000, t) })
+      .toDF("id", "text")
+    val pats = Seq("[^A-Za-z0-9\\s]", "\\s+", "\\b(the|a|and|of|to|in|is)\\b",
+      "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    for (p <- pats) {
+      val diff = df.filter(
+        regexCountDirect($"text", lit(p)) =!= regexp_count($"text", lit(p)))
+      assert(diff.isEmpty, s"kernel count diverges from builtin for pattern $p")
+    }
+    val diffNa = df.filter(
+      nonAlnumCountDirect($"text") =!= regexp_count($"text", lit("[^A-Za-z0-9\\s]")))
+    assert(diffNa.isEmpty,
+      "non_alnum_count must equal regexp_count('[^A-Za-z0-9\\s]') on every string")
+    // the words identity qualityCol relies on: separators+1 == size(split)
+    val diffW = df.filter(
+      regexCountDirect(trim($"text"), lit("\\s+")) + 1 =!=
+        size(split(trim($"text"), "\\s+")))
+    assert(diffW.isEmpty, "separator+1 word count must equal size(split)")
+  }
+
   test("t18 LM artifact: precomputed LM round-trips, corpus never shuffles on term") {
     import spark.implicits._
     // the 100-TB posture: the corpus LM is a precomputed artifact joined

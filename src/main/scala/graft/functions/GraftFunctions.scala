@@ -23,6 +23,7 @@ object GraftFunctions {
     "shingle_strings" -> (es => ShingleStringsExpr(es(0), es(1))),
     "simhash60"       -> (es => SimHash60Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
+    "minhash_shingle_sig" -> (es => MinhashShingleSigExpr(es(0), es(1), es(2))),
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
     "nearest_centroid" -> (es => NearestCentroidExpr(es(0), es(1))),
     "topk_agg"        -> (es => TopKAggExpr(es(0), es(1))),
@@ -50,6 +51,8 @@ object GraftFunctions {
   def shingleStrings(tokens: Column, k: Column): Column = call_function("shingle_strings", tokens, k)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
+  def minhashShingleSig(tokens: Column, k: Column, n: Column): Column =
+    call_function("minhash_shingle_sig", tokens, k, n)
   def pqEncode(emb: Column, cbs: Column): Column = call_function("pq_encode", emb, cbs)
   def nearestCentroid(emb: Column, cents: Column): Column =
     call_function("nearest_centroid", emb, cents)
@@ -99,6 +102,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash60Expr(es(0))))
     ext.injectFunction((FunctionIdentifier("minhash_sig31"), info("minhash_sig31"),
       (es: Seq[Expression]) => MinHashSig31Expr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_shingle_sig"), info("minhash_shingle_sig"),
+      (es: Seq[Expression]) => MinhashShingleSigExpr(es(0), es(1), es(2))))
     ext.injectFunction((FunctionIdentifier("pq_encode"), info("pq_encode"),
       (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"), info("nearest_centroid"),

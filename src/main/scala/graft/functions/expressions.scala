@@ -224,6 +224,18 @@ object CrossHash {
   val P = 2147483647L    // 2^31 - 1, Mersenne prime
   val Base = 131L
 
+  /** x mod P by Mersenne folding (2^31 ≡ 1 mod P, so high bits fold onto
+    * low): two folds + one conditional subtract cover any 0 <= x < 2^62,
+    * which bounds every product in this family ((P-1)^2 + (P-1) < 2^62).
+    * Replaces the 64-bit division `% P` in the per-codepoint and
+    * per-(hash,gram) hot loops — same value, ~4x cheaper per reduction.
+    */
+  @inline def modP(x: Long): Long = {
+    var r = (x & P) + (x >>> 31)
+    r = (r & P) + (r >>> 31)
+    if (r >= P) r - P else r
+  }
+
   /** Polynomial hash over unicode code points, mod P, seeded by `salt`.
     * DuckDB mirror: list_reduce over ord() of regexp_split_to_array(s, '').
     * Code points are decoded straight off the UTF-8 bytes — no String
@@ -244,7 +256,7 @@ object CrossHash {
       else { cp = b0 & 0x07; len = 4 }
       var j = 1
       while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
-      acc = (acc * Base + cp) % P
+      acc = modP(acc * Base + cp)
       i += len
     }
     acc
@@ -365,6 +377,11 @@ object crosskernels {
     val hs = new Array[Long](n)
     var j = 0
     while (j < n) { hs(j) = poly31(grams.getUTF8String(j), 0L); j += 1 }
+    affineMins(hs, n, numHashes)
+  }
+
+  /** sig(i) = min_k (A_i * hs(k) + B_i) mod P; empty input degrades to B_i. */
+  private def affineMins(hs: Array[Long], n: Int, numHashes: Int): ArrayData = {
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
@@ -372,7 +389,7 @@ object crosskernels {
       var best = Long.MaxValue
       var k = 0
       while (k < n) {
-        val v = (a * hs(k) + b) % P
+        val v = modP(a * hs(k) + b)
         if (v < best) best = v
         k += 1
       }
@@ -380,6 +397,62 @@ object crosskernels {
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  /** Fused minhash-over-shingles: value-identical to
+    * `minhashSig31(shingleStrings(tokens, k), n)` — the property spec holds
+    * the two equal on arbitrary unicode input — but the shingle strings are
+    * never materialized. poly31 is polynomial in the code points, so the
+    * hash of `"t0 t1 t2"` composes from per-token (hash, Base^cpLen mod P)
+    * pairs: H ∘ (" " + t) = (H*Base + 32) * pow_t + hash_t  (mod P). One
+    * byte-scan per character corpus-wide (the string form re-scans each
+    * character k times and allocates one string per shingle — measured as
+    * the bulk of the d02/d11/d20 signature stage at the 10x SF).
+    */
+  def minhashShingleSig(tokens: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = if (n < k) 0 else n - k + 1
+    val hs = new Array[Long](m)
+    if (m > 0) {
+      val th = new Array[Long](n) // poly31(token, 0)
+      val tp = new Array[Long](n) // Base^cpLen(token) mod P
+      var t = 0
+      while (t < n) {
+        val s = tokens.getUTF8String(t)
+        var acc = 0L
+        var pow = 1L
+        val nb = s.numBytes()
+        var i = 0
+        while (i < nb) {
+          val b0 = s.getByte(i) & 0xff
+          var cp = 0
+          var len = 1
+          if (b0 < 0x80) cp = b0
+          else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+          else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+          else { cp = b0 & 0x07; len = 4 }
+          var j = 1
+          while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
+          acc = modP(acc * Base + cp)
+          pow = modP(pow * Base)
+          i += len
+        }
+        th(t) = acc; tp(t) = pow
+        t += 1
+      }
+      var g = 0
+      while (g < m) {
+        var h = th(g)
+        var j = 1
+        while (j < k) {
+          h = modP(modP(h * Base + 32L) * tp(g + j) + th(g + j))
+          j += 1
+        }
+        hs(g) = h
+        g += 1
+      }
+    }
+    affineMins(hs, m, numHashes)
   }
 }
 
@@ -482,6 +555,28 @@ case class MinHashSig31Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "minhash_sig31"
+}
+
+/** minhash_shingle_sig(array<string> tokens, k, n) -> array<long>: the fused
+  * form of `minhash_sig31(shingle_strings(tokens, k), n)` — identical values
+  * (KernelPropertySpec holds them bit-equal on arbitrary unicode), no
+  * shingle-string materialization. See [[crosskernels.minhashShingleSig]].
+  */
+case class MinhashShingleSigExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(first, second, third),
+      Seq(ArrayType(StringType), IntegerType, IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any, k: Any, n: Any): Any =
+    crosskernels.minhashShingleSig(
+      tokens.asInstanceOf[ArrayData], k.asInstanceOf[Int], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, n) => s"graft.functions.crosskernels.minhashShingleSig($t, $k, $n)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "minhash_shingle_sig"
 }
 
 /** nfc_norm(string) -> string: Unicode NFC normalization (canonical

@@ -40,15 +40,18 @@ object Dedup {
     signaturesOf(Tables.documents(s, dir))
 
   /** Signature form over any (doc_id, text) frame — the streaming index
-    * sink (s14) signs micro-batches through the same kernel.
+    * sink (s14) signs micro-batches through the same kernel. Uses the fused
+    * minhash_shingle_sig kernel: value-identical to
+    * minhash_sig31(shingle_strings(...)) (the oracle recomputes the string
+    * form), with no shingle-string materialization — one character scan.
     */
   private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     docs.select($"doc_id",
-      minhashSig31(
-        shingleStrings(split(lower(trim($"text")), "\\s+"), lit(ShingleK)),
+      minhashShingleSig(
+        split(lower(trim($"text")), "\\s+"), lit(ShingleK),
         lit(NumHashes)).as("sig"))
   }
 

@@ -88,6 +88,30 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("fused minhash_shingle_sig is bit-equal to the composed string form") {
+    import graft.functions.crosskernels
+    // arbitrary unicode incl. empty tokens, multi-byte code points, and
+    // inputs shorter than k — the fused kernel must agree everywhere since
+    // the d02/d11/d20 oracles recompute the string form
+    val alphabet = Seq("", "a", "wort", "Ünïcødé", "☃", "文字化け", "x y", "0")
+    val cases = Seq.empty[String] +:
+      (1 to 60).map(_ => List.fill(rng.nextInt(12))(alphabet(rng.nextInt(alphabet.size)) + rng.nextInt(30)).toSeq)
+    for (tokens <- cases; k <- Seq(2, 3)) {
+      val composed = crosskernels.minhashSig31(crosskernels.shingleStrings(arr(tokens), k), 32)
+      val fused = crosskernels.minhashShingleSig(arr(tokens), k, 32)
+      assert((0 until 32).forall(i => composed.getLong(i) == fused.getLong(i)),
+        s"tokens=$tokens k=$k")
+    }
+  }
+
+  test("mersenne modP equals the division form across the operand range") {
+    import graft.functions.CrossHash
+    val P = CrossHash.P
+    val probes = Seq(0L, 1L, P - 1, P, P + 1, (P - 1) * (P - 1) + (P - 1), (1L << 61) + 12345L) ++
+      Seq.fill(200)(math.abs(rng.nextLong()) % ((P - 1) * (P - 1)))
+    probes.foreach(x => assert(CrossHash.modP(x) == x % P, s"x=$x"))
+  }
+
   test("shingle strings window correctly and empty-pad short inputs") {
     import graft.functions.crosskernels
     val g = crosskernels.shingleStrings(arr(Seq("a", "b", "c", "d")), 3)

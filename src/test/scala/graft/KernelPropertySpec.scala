@@ -88,6 +88,20 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("simhash60 single-token hash matches the two-salt poly31 composition") {
+    import graft.functions.{crosskernels, CrossHash}
+    // the dual-accumulator scan must stay bit-equal to the salted poly31
+    // pair the DuckDB oracle recomputes
+    for (t <- Seq("", "a", "hello", "Ünïcødé☃", "文字化け", "mixedÅscii1")) {
+      val u = UTF8String.fromString(t)
+      val expect = (CrossHash.poly31(u, 1) & 0x3fffffffL) |
+        ((CrossHash.poly31(u, 2) & 0x3fffffffL) << 30)
+      // a single-token doc votes every set bit of h positive, so the
+      // simhash IS the per-token hash restricted to 60 bits
+      assert(crosskernels.simhash60(arr(Seq(t))) == expect, s"'$t'")
+    }
+  }
+
   test("fused minhash_shingle_sig is bit-equal to the composed string form") {
     import graft.functions.crosskernels
     // arbitrary unicode incl. empty tokens, multi-byte code points, and

@@ -108,6 +108,7 @@ object SparkEntry {
     "t19_chunk_overlap"     -> (TextOps.chunkOverlap _),
     "t20_cms_heavy_hitters" -> (TextOps.cmsHeavyHitters _),
     "t21_contamination_score" -> (TextOps.contaminationScore _),
+    "t22_cross_doc_repetition" -> (TextOps.crossDocRepetition _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -642,6 +643,29 @@ object SparkEntry {
          |       CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS contam_permille
          |FROM ne GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // t22: per-doc share of distinct 3-grams appearing in >= BoilerMinDf
+    // docs of the same source (cross-doc boilerplate, not t13's intra-doc)
+    "t22_cross_doc_repetition" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |g AS (SELECT doc_id, source,
+         |        list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         |          ELSE list_transform(range(1, len(toks) - 1),
+         |                 gi -> toks[gi] || ' ' || toks[gi+1] || ' ' || toks[gi+2]) END) AS grams
+         |      FROM w),
+         |e AS (SELECT doc_id, source, unnest(grams) AS gr FROM g),
+         |f AS (SELECT source, gr FROM e GROUP BY source, gr
+         |      HAVING COUNT(*) >= ${TextOps.BoilerMinDf}),
+         |p AS (SELECT e.doc_id, COUNT(*) AS n_grams,
+         |             SUM(CASE WHEN f.gr IS NOT NULL THEN 1 ELSE 0 END) AS flagged
+         |      FROM e LEFT JOIN f ON e.source = f.source AND e.gr = f.gr
+         |      GROUP BY e.doc_id)
+         |SELECT g.doc_id,
+         |       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(COALESCE(p.flagged, 0) AS BIGINT) AS flagged_grams,
+         |       CAST(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0
+         |            ELSE p.flagged * 1000 // p.n_grams END AS BIGINT) AS boiler_permille
+         |FROM g LEFT JOIN p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
     // t19: chunking — chunk 64 / overlap 16 / stride 48; chunk count
     // 1 + (max(n-17,0) // 48) mirrors the Spark sequence() bound exactly
     "t19_chunk_overlap" ->

@@ -529,6 +529,51 @@ object TextOps {
     * before the presentation sort; chunking 100 TB is exactly as parallel
     * as reading it.
     */
+  /** t22: cross-document repetition — per doc, the share of its DISTINCT
+    * 3-gram shingles that also appear in >= [[BoilerMinDf]] documents of the
+    * SAME source. This is the boilerplate filter of web-corpus curation
+    * (repeated headers/footers/templates show up as grams with high document
+    * frequency inside one source), and it is disjoint from t13, which scores
+    * repetition WITHIN a document.
+    *
+    * Shape at 100 TB: per-doc distinct grams are built map-side (no
+    * exchange), document frequency is ONE hash-partitioned aggregation on
+    * (source, gram) with map-side combine, and the flagged set — small by
+    * definition, boilerplate is the heavy-hitter tail — broadcasts back so
+    * the corpus-side scoring pass never reshuffles. If a pathological
+    * corpus made the flagged set too large to broadcast, dropping the hint
+    * degrades to a shuffle join with identical results (and t20's CMS is
+    * the sketch route for approximate df at that point).
+    */
+  private[graft] val BoilerMinDf = 3
+  def crossDocRepetition(s: SparkSession, dir: String): DataFrame =
+    crossDocRepetitionOf(Tables.documents(s, dir))
+
+  private[graft] def crossDocRepetitionOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val grams = docs.select($"doc_id", $"source",
+      array_distinct(
+        graft.functions.GraftFunctions.shingleStrings(
+          split(lower(trim($"text")), "\\s+"), lit(3))).as("grams"))
+    // explode_outer keeps gram-less docs (< 3 tokens) as a null-gram row so
+    // every document scores a row without a second pass over the doc list
+    val exploded = grams.select($"doc_id", $"source", explode_outer($"grams").as("g"))
+    val flagged = exploded.filter($"g".isNotNull)
+      .groupBy($"source", $"g").agg(count(lit(1)).as("df"))
+      .filter($"df" >= BoilerMinDf)
+      .select($"source", $"g", lit(1).as("flag"))
+    exploded.join(broadcast(flagged), Seq("source", "g"), "left")
+      .groupBy($"doc_id")
+      .agg(count($"g").as("n_grams"),
+           coalesce(sum($"flag"), lit(0L)).cast("long").as("flagged_grams"))
+      .select($"doc_id", $"n_grams", $"flagged_grams",
+        when($"n_grams" === 0, lit(0L))
+          .otherwise(expr("flagged_grams * 1000 div n_grams")).as("boiler_permille"))
+      .orderBy($"doc_id")
+  }
+
   def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

@@ -226,6 +226,34 @@ class TextOpsSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("t22 cross-doc repetition flags same-source shared grams, not cross-source or intra-doc") {
+    import spark.implicits._
+    // srcA: three docs share "the same header"; one private doc; one short doc.
+    // srcB: one doc with the SAME gram — must not count toward srcA's df,
+    // and df=1 in srcB keeps it unflagged there (BoilerMinDf=3).
+    val docs = Seq(
+      (1L, "the same header alpha beta", "srcA"),
+      (2L, "the same header gamma delta", "srcA"),
+      (3L, "the same header", "srcA"),
+      (4L, "totally unique words here now", "srcA"),
+      (5L, "ab cd", "srcA"), // < 3 tokens: zero grams, permille 0
+      (6L, "the same header other source", "srcB"),
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextOps.crossDocRepetitionOf(docs)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "every doc scores a row")
+    // doc 3 has exactly one gram ("the same header"), shared by docs 1,2,3
+    assert(r(3L) == ((1L, 1L, 1000L)), s"got ${r(3L)}")
+    assert(r(1L)._1 == 3L && r(1L)._2 == 1L && r(1L)._3 == 333L)
+    assert(r(4L) == ((3L, 0L, 0L)), "unique doc must be unflagged")
+    assert(r(5L) == ((0L, 0L, 0L)), "gram-less doc scores zero, not a missing row")
+    assert(r(6L)._2 == 0L, "same gram in another source must not be flagged")
+    // plan shape: the flagged heavy-gram set comes back as a broadcast join
+    val plan = graft.operators.TextOps.crossDocRepetitionOf(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "flagged-set join must broadcast")
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

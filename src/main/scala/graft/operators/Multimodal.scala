@@ -100,7 +100,17 @@ object Multimodal {
             ("IMG0" + text).getBytes("UTF-8"))
         }
     }
-    s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+    // Small-file packing (the mitigation RenderSpec proves): charge ~4 KB of
+    // open cost per file instead of the 4 MB default, so tiny attachments
+    // pack into core-count-sized partitions rather than one scheduling slot
+    // per ~32 files — m03/m04 wall time is task-count-bound on small-file
+    // stores. The conf is scoped to a cloned session (own SQLConf, shared
+    // SparkContext) so the caller's session is never mutated; planning reads
+    // the conf at execution, which is why a set-then-restore on the caller's
+    // session would silently not bite.
+    val reader = s.newSession()
+    reader.conf.set("spark.sql.files.openCostInBytes", 4096L)
+    reader.read.format("binaryFile").option("pathGlobFilter", "*.bin")
       .load(store.getPath)
       .select(
         regexp_extract($"path", "doc_(\\d+)\\.bin", 1)

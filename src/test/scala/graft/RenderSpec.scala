@@ -116,6 +116,19 @@ class RenderSpec extends SparkSpec {
       s"500 tiny blobs should pack down to core count, got $packed")
   }
 
+  test("m03 production read packs small files without mutating the caller session") {
+    // The packing conf lives in a cloned session inside the m03 path; the
+    // production plan must come out packed (core-count-sized, not one slot
+    // per ~32 files) while the caller's own conf stays at the 4 MB default.
+    val before = spark.conf.get("spark.sql.files.openCostInBytes")
+    val parts = SparkEntry.queries("m03_binary_ingest")(spark, sfDir)
+      .rdd.getNumPartitions
+    assert(parts <= spark.sparkContext.defaultParallelism + 1,
+      s"production m03 must pack the attachment scan, got $parts partitions")
+    assert(spark.conf.get("spark.sql.files.openCostInBytes") == before,
+      "m03 must not leak its packing conf into the caller's session")
+  }
+
   test("p18 search hits contain every term and misses lack at least one") {
     import spark.implicits._
     val hits = SparkEntry.queries("p18_text_search")(spark, sfDir)

@@ -139,6 +139,7 @@ object SparkEntry {
     "d23_sketch_quality_gate" -> (Dedup.sketchQualityGate _),
     "d24_histogram_quality_gate" -> (Dedup.histogramQualityGate _),
     "d25_token_budget_mix" -> (Dedup.tokenBudgetMix _),
+    "d26_cluster_split" -> (Dedup.clusterSplit _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1333,6 +1334,23 @@ object SparkEntry {
          |       CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
          |       COUNT(*) AS docs_kept
          |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // d26: split is a pure function of the cluster id over the same closure;
+    // the SampleHash mirror makes the bucket arithmetic engine-identical
+    "d26_cluster_split" ->
+      s"""WITH RECURSIVE
+         |${CrossHashSql.simhashCtes},
+         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM cand WHERE hamming <= 3
+         |      UNION ALL
+         |      SELECT doc_b AS ea, doc_a AS eb FROM cand WHERE hamming <= 3),
+         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |          UNION
+         |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea),
+         |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN ${SampleHash.sql("cluster_id")} % 100 < 90 THEN 'train'
+         |            WHEN ${SampleHash.sql("cluster_id")} % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

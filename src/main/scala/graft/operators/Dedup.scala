@@ -401,6 +401,29 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d26: leakage-free train/val/test split — the assignment is a pure
+    * function of the near-dup CLUSTER id ([[neardupClusters]]' min-label),
+    * not the doc id, so near-duplicate documents can never straddle the
+    * train/eval boundary. Splitting per-doc (q25's shape) leaves exactly
+    * that hole: a doc and its near-copy hash to different splits and the
+    * eval set leaks into training. Buckets come from the cross-engine
+    * [[graft.SampleHash]] (90/5/5 at mod-100), so DuckDB replays the whole
+    * assignment bit-for-bit on top of its recursive-closure clustering.
+    * Self-contained here (recomputes the clustering inline, like d22); at
+    * 100 TB the cluster table is a materialized artifact (the d20 index
+    * pattern) and this reduces to one broadcast-or-bucketed join + a
+    * codegen'd case expression — the corpus never shuffles for the split.
+    */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(graft.SampleHash.column($"cluster_id"), lit(100L))
+    neardupClusters(s, dir)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .select($"doc_id", $"cluster_id", $"split")
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark decontamination: drop every training doc whose normalized
     * content matches the eval/benchmark set — by CONTENT, not id, so verbatim
     * copies under different ids are caught too. The eval set (simulated here

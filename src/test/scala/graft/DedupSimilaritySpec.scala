@@ -322,6 +322,27 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("d26 split is leakage-free: no near-dup edge straddles train/val/test") {
+    import spark.implicits._
+    val assigned = SparkEntry.queries("d26_cluster_split")(spark, sfDir).cache()
+    assert(assigned.count() == Tables.documents(spark, sfDir).count())
+    // the defining property: split is constant within every cluster, so no
+    // candidate edge (near-dup pair) can cross the train/eval boundary
+    assert(assigned.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("k")).filter($"k" > 1).isEmpty,
+      "a cluster with two splits means eval leakage")
+    val pairs = SparkEntry.queries("d03_simhash")(spark, sfDir).select($"doc_a", $"doc_b")
+    val sa = assigned.select($"doc_id".as("doc_a"), $"split".as("pa"))
+    val sb = assigned.select($"doc_id".as("doc_b"), $"split".as("pb"))
+    assert(pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .filter($"pa" =!= $"pb").isEmpty, "near-dup pair split across the boundary")
+    // the hash targets 90/5/5 at cluster granularity — bound loosely enough
+    // to be SF-stable (binomial noise at 500 clusters is a few points)
+    val frac = assigned.filter($"split" === "train").count().toDouble / assigned.count()
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac far from 0.9")
+    assigned.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

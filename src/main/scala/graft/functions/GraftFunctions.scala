@@ -26,6 +26,7 @@ object GraftFunctions {
     "minhash_shingle_sig" -> (es => MinhashShingleSigExpr(es(0), es(1), es(2))),
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
     "nearest_centroid" -> (es => NearestCentroidExpr(es(0), es(1))),
+    "max_cosine"      -> (es => MaxCosineExpr(es(0), es(1))),
     "topk_agg"        -> (es => TopKAggExpr(es(0), es(1))),
     "bloom_agg"       -> (es => BloomAggExpr(es(0), es(1), es(2))),
     "bloom_contains"  -> (es => BloomContainsExpr(es(0), es(1))),
@@ -56,6 +57,8 @@ object GraftFunctions {
   def pqEncode(emb: Column, cbs: Column): Column = call_function("pq_encode", emb, cbs)
   def nearestCentroid(emb: Column, cents: Column): Column =
     call_function("nearest_centroid", emb, cents)
+  def maxCosine(emb: Column, cents: Column): Column =
+    call_function("max_cosine", emb, cents)
   def topkAgg(v: Column, k: Column): Column = call_function("topk_agg", v, k)
   def bloomAgg(v: Column, bits: Column, hashes: Column): Column =
     call_function("bloom_agg", v, bits, hashes)

@@ -141,6 +141,28 @@ object kernels {
     best
   }
 
+  /** Max cosine similarity against a codebook-shaped reference row — the
+    * value companion to [[nearestCentroid]]'s argmax (same iteration order,
+    * same cosineF accumulation, so thresholding this and naming that id are
+    * mutually consistent). Empty reference set is rejected identically.
+    */
+  def maxCosine(emb: ArrayData, cents: ArrayData): Double = {
+    val n = cents.numElements()
+    if (n == 0)
+      throw new IllegalArgumentException(
+        "max_cosine: empty reference set — the max over no vectors is " +
+          "undefined; check the reference-set predicate")
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < n) {
+      val c = cents.getStruct(j, 2)
+      val sim = cosineF(emb, c.getArray(1))
+      if (sim > bestSim) bestSim = sim
+      j += 1
+    }
+    bestSim
+  }
+
   /** MinHash signature: sig(i) = min over shingle hashes h of a_i*h+b_i
     * (mod 2^64 arithmetic; universal-ish family from a splitmix64 stream).
     */
@@ -699,6 +721,32 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "nearest_centroid"
+}
+
+/** max_cosine(array<float>, array<struct<long, array<float>>>) -> double:
+  * max cosine similarity against a broadcast reference row — the verdict
+  * kernel for embedding-space decontamination (d27): one static call per
+  * corpus row, the |corpus| x |eval| scores never materialize as rows.
+  */
+case class MaxCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(StructType(Array(f0, f1)), _))
+        if f0.dataType == LongType &&
+           (f1.dataType match { case ArrayType(FloatType, _) => true; case _ => false }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<struct<long, array<float>>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(emb: Any, cents: Any): Any =
+    kernels.maxCosine(emb.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) => s"graft.functions.kernels.maxCosine($e, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "max_cosine"
 }
 
 /** tree_ancestors(long) -> array<long>: [self, parent, ..., root] for the

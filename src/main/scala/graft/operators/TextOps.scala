@@ -574,6 +574,37 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t23: BPE merge-pair induction — the first merge step of training a
+    * byte-pair/WordPiece-style tokenizer: the most frequent adjacent
+    * character pairs across the corpus, each pair weighted by the frequency
+    * of the words containing it. The 100-TB shape is what makes this an
+    * engine op: the only corpus-sized work is the word-count aggregation
+    * (one hash exchange with map-side combine); the character-pair
+    * explosion and pair rollup run over the VOCABULARY (bounded, and
+    * shrinking in Zipf mass) — the corpus is never re-scanned per merge
+    * candidate. Top-k lands as TakeOrderedAndProject; rank is assigned on
+    * the k-row result. Deterministic tie-break (freq desc, pair asc).
+    */
+  val BpeTopK = 50
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("wc"))
+    val pairs = vocab.filter(length($"term") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")).as("pair"),
+        $"wc")
+      .groupBy($"pair").agg(sum($"wc").as("freq"))
+      .orderBy($"freq".desc, $"pair".asc)
+      .limit(BpeTopK)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"freq".desc, $"pair".asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"rank", $"pair", $"freq")
+      .orderBy($"rank")
+  }
+
   def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

@@ -140,6 +140,7 @@ object SparkEntry {
     "d24_histogram_quality_gate" -> (Dedup.histogramQualityGate _),
     "d25_token_budget_mix" -> (Dedup.tokenBudgetMix _),
     "d26_cluster_split" -> (Dedup.clusterSplit _),
+    "d27_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1351,6 +1352,26 @@ object SparkEntry {
          |            WHEN ${SampleHash.sql("cluster_id")} % 100 < 95 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
+    // d27: the |corpus| x |eval| score matrix Spark never materializes IS
+    // the oracle's working set (fine at sf0.01); list_cosine_similarity on
+    // FLOAT[] accumulates in double like kernels.cosineF (d05's full-rank
+    // compare proves the pair bit-identical), and the (sim DESC, eid ASC)
+    // row_number mirrors nearest_cosine's strict-> lowest-id tie-break
+    "d27_semantic_decontaminate" ->
+      s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee FROM embeddings
+         |            WHERE vec_id % ${Similarity.SemEvalEvery} = ${Similarity.SemEvalResidue}
+         |              AND vec_id < ${Similarity.SemEvalCap}),
+         |sc AS (SELECT e.vec_id, ev.eid,
+         |              list_cosine_similarity(e.embedding, ev.ee) AS sim
+         |       FROM embeddings e CROSS JOIN ev),
+         |r AS (SELECT vec_id, eid, sim,
+         |             ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                ORDER BY sim DESC, eid ASC) AS rn
+         |      FROM sc)
+         |SELECT vec_id, eid AS nearest_eval_id,
+         |       CAST(CASE WHEN sim >= ${Similarity.SemThreshold} THEN 1 ELSE 0 END AS BIGINT)
+         |         AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

@@ -27,6 +27,7 @@ object GraftFunctions {
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
     "nearest_centroid" -> (es => NearestCentroidExpr(es(0), es(1))),
     "max_cosine"      -> (es => MaxCosineExpr(es(0), es(1))),
+    "nearest_cosine"  -> (es => NearestCosineExpr(es(0), es(1))),
     "topk_agg"        -> (es => TopKAggExpr(es(0), es(1))),
     "bloom_agg"       -> (es => BloomAggExpr(es(0), es(1), es(2))),
     "bloom_contains"  -> (es => BloomContainsExpr(es(0), es(1))),
@@ -59,6 +60,8 @@ object GraftFunctions {
     call_function("nearest_centroid", emb, cents)
   def maxCosine(emb: Column, cents: Column): Column =
     call_function("max_cosine", emb, cents)
+  def nearestCosine(emb: Column, cents: Column): Column =
+    call_function("nearest_cosine", emb, cents)
   def topkAgg(v: Column, k: Column): Column = call_function("topk_agg", v, k)
   def bloomAgg(v: Column, bits: Column, hashes: Column): Column =
     call_function("bloom_agg", v, bits, hashes)
@@ -111,6 +114,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => PqEncodeExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("nearest_centroid"), info("nearest_centroid"),
       (es: Seq[Expression]) => NearestCentroidExpr(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("nearest_cosine"), info("nearest_cosine"),
+      (es: Seq[Expression]) => NearestCosineExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("topk_agg"), info("topk_agg"),
       (es: Seq[Expression]) => TopKAggExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("bloom_agg"), info("bloom_agg"),

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -161,6 +162,31 @@ object kernels {
       j += 1
     }
     bestSim
+  }
+
+  /** Fused argmax + max: one pass over the reference row returning
+    * struct<id: long, sim: double> — [[nearestCentroid]] and [[maxCosine]]
+    * in a single scan of the broadcast array (same iteration order, same
+    * strict-`>` lowest-id tie-break, same cosineF accumulation), so a
+    * consumer that needs both the verdict score and the argmax id pays the
+    * dominant |eval|-length loop once per corpus row instead of twice.
+    */
+  def nearestCosine(emb: ArrayData, cents: ArrayData): InternalRow = {
+    val n = cents.numElements()
+    if (n == 0)
+      throw new IllegalArgumentException(
+        "nearest_cosine: empty reference set — argmax over no vectors is " +
+          "undefined; check the reference-set predicate")
+    var best = -1L
+    var bestSim = Double.NegativeInfinity
+    var j = 0
+    while (j < n) {
+      val c = cents.getStruct(j, 2)
+      val sim = cosineF(emb, c.getArray(1))
+      if (sim > bestSim) { bestSim = sim; best = c.getLong(0) }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestSim))
   }
 
   /** MinHash signature: sig(i) = min over shingle hashes h of a_i*h+b_i
@@ -747,6 +773,36 @@ case class MaxCosineExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "max_cosine"
+}
+
+/** nearest_cosine(array<float>, array<struct<long, array<float>>>) ->
+  * struct<id: long, sim: double>: fused argmax id + max score in ONE pass
+  * over the broadcast reference row — the d27 verdict kernel. Iteration
+  * order and tie-break are shared with nearest_centroid/max_cosine, so
+  * projecting both fields from this struct is bit-identical to calling the
+  * two single-output kernels, at half the per-row cost.
+  */
+case class NearestCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(StructType(Array(f0, f1)), _))
+        if f0.dataType == LongType &&
+           (f1.dataType match { case ArrayType(FloatType, _) => true; case _ => false }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float>, array<struct<long, array<float>>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+  override def nullSafeEval(emb: Any, cents: Any): Any =
+    kernels.nearestCosine(emb.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c) => s"graft.functions.kernels.nearestCosine($e, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_cosine"
 }
 
 /** tree_ancestors(long) -> array<long>: [self, parent, ..., root] for the

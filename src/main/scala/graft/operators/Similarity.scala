@@ -431,11 +431,19 @@ object Similarity {
     * scores) cannot see: a paraphrased eval item shares no 8-gram with its
     * source but sits next to it in embedding space. The eval suite is
     * constant-capped and collapses to ONE broadcast row (the d08 codebook
-    * pattern), so the verdict is a pure scan-local projection: `max_cosine`
-    * thresholds the best score and `nearest_centroid` names the argmax eval
-    * item (same iteration order and tie-break, lowest id wins) — corpus rows
-    * cross no exchange before the output sort. The |corpus| x |eval| score
-    * matrix never materializes as rows.
+    * pattern), so the verdict is a pure scan-local projection: the fused
+    * `nearest_cosine` kernel walks the broadcast eval array ONCE per corpus
+    * row and returns struct<id, sim> — the threshold verdict and the argmax
+    * eval id project from the same call (lowest-id tie-break), corpus rows
+    * cross no exchange before the output sort, and the |corpus| x |eval|
+    * score matrix never materializes as rows.
+    *
+    * Self-match semantics, by design: eval-set members are corpus rows, so
+    * every row matching the eval predicate scores 1.0 against itself and is
+    * reported contaminated with nearest_eval_id = its own id. That is the
+    * correct training-set verdict — the eval items themselves must never be
+    * trained on — and it means `contaminated = 1` rows include exactly the
+    * eval set plus its semantic neighbors.
     */
   def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -446,11 +454,11 @@ object Similarity {
       .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
       .agg(array_sort(collect_list(struct($"centroid_id", $"ce"))).as("evals"))
     emb.crossJoin(broadcast(evalRow))
+      .select($"vec_id", nearestCosine($"embedding", $"evals").as("nc"))
       .select(
         $"vec_id",
-        nearestCentroid($"embedding", $"evals").as("nearest_eval_id"),
-        (maxCosine($"embedding", $"evals") >= SemThreshold)
-          .cast("long").as("contaminated"))
+        $"nc.id".as("nearest_eval_id"),
+        ($"nc.sim" >= SemThreshold).cast("long").as("contaminated"))
       .orderBy($"vec_id")
   }
 

@@ -479,4 +479,55 @@ class DedupSimilaritySpec extends SparkSpec {
       org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
       s"decode must not repartition the corpus:\n$planned")
   }
+
+  test("d27 semantic decontamination catches a planted paraphrase the lexical family misses") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // "paraphrase": same direction as the eval vector plus small orthogonal
+    // noise — high cosine, zero shared text. A background vector is near
+    // orthogonal. Verdicts come from the same fused kernel the key uses.
+    val evalVec = Array.tabulate(64)(i => math.cos(i * 0.7).toFloat)
+    val para = evalVec.zipWithIndex.map { case (v, i) => v + 0.08f * math.sin(i * 1.3).toFloat }
+    val backg = Array.tabulate(64)(i => math.sin(i * 2.9 + 1.0).toFloat)
+    val corpus = Seq((3L, evalVec), (100L, para), (200L, backg))
+      .toDF("vec_id", "embedding")
+    val evalRow = corpus.filter($"vec_id" === 3L)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
+      .agg(array_sort(collect_list(struct($"centroid_id", $"ce"))).as("evals"))
+    val out = corpus.crossJoin(broadcast(evalRow))
+      .select($"vec_id", GraftFunctions.nearestCosine($"embedding", $"evals").as("nc"))
+      .select($"vec_id", $"nc.id".as("nearest_eval_id"),
+        ($"nc.sim" >= Similarity.SemThreshold).cast("long").as("contaminated"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(3L) == (3L, 1L), "eval member must self-flag at cosine 1.0")
+    assert(out(100L) == (3L, 1L), s"paraphrase escaped the semantic gate: ${out(100L)}")
+    assert(out(200L)._2 == 0L, s"background vector wrongly flagged: ${out(200L)}")
+    // but the lexical gate (d09's normalized-content fingerprint) sees
+    // nothing: the paraphrase shares no text with anything
+    val texts = Seq((3L, "the quick brown fox jumps over the lazy dog"),
+                    (100L, "a speedy auburn vulpine leaps above an idle hound"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(regexp_replace(lower($"text"), "\\s+", " ")))
+    assert(texts.select("fp").distinct().count() == 2)
+  }
+
+  test("d27 plan is scan-local: one broadcast, corpus crosses no hash exchange") {
+    val df = SparkEntry.queries("d27_semantic_decontaminate")(spark, sfDir)
+    val planned = physical(df)
+    val txt = planned.toString
+    assert(txt.contains("nearest_cosine"), s"fused kernel missing from plan:\n$txt")
+    assert(txt.contains("BroadcastNestedLoopJoin") || txt.contains("BroadcastExchange"),
+      s"eval row must broadcast:\n$txt")
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // only the presentation orderBy (range) and the constant-capped eval-side
+    // gather into its one broadcast row (SinglePartition over |eval| rows) may
+    // shuffle; a HashPartitioning exchange would mean the CORPUS moved
+    assert(shuffles.forall(e =>
+      e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] ||
+      e.outputPartitioning == org.apache.spark.sql.catalyst.plans.physical.SinglePartition),
+      s"d27 verdict must not hash-shuffle the corpus:\n$planned")
+  }
 }

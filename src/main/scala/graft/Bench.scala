@@ -69,7 +69,11 @@ object Bench {
         val sf1Results = timeRoundRobin(spark, sf1Dir, headline, reps = 3)
         s""","sf1_headline":${toJsonObj(sf1Results)},"sf1_dir":"$sf1Dir""""
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJsonObj(results)},"failed":$failed,"sf":"$sfDir"$sf1Json}""")
+    // registry/oracle counts in the bench line so a silent registry or gate
+    // shrink (round 6's 132→100) is visible in every BENCH_r{N}.json diff
+    val nKeys = SparkEntry.queries.size
+    val nOracles = SparkEntry.oracleSql.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_keys":$nKeys,"n_oracles":$nOracles,"queries":${toJsonObj(results)},"failed":$failed,"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

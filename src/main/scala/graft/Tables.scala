@@ -12,22 +12,31 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized parquet
-    * reader rejects. Read nanos as long and floor-truncate to microseconds —
-    * exactly what DuckDB's reader does — so both engines see identical values.
+  /** events.parquet's `ts` physical type has shifted across driver/Spark
+    * versions — TIMESTAMP(NANOS) (read as raw long under `nanosAsLong`),
+    * then TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ
+    * by Spark ≥4's `inferTimestampNTZ`). Branch on the OBSERVED read schema,
+    * not on session confs: a conf can be set yet ignored by the running
+    * Spark (exactly the round-6 regression), while the schema can't lie.
     *
-    * INVARIANT: the session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (every graft entry point —
-    * Bench/Verify/Explain/TimeQuery/test harness — sets it at construction).
-    * It is NOT set here: a session-wide conf mutated as a read-time side
-    * effect would silently change every other nanos-parquet read mid-session.
+    * All branches normalize to session-zoned TimestampType with identical
+    * microsecond wall-clock values under the UTC session every graft entry
+    * point builds — the same values DuckDB's reader produces (nanos
+    * floor-truncate to micros; naive micros pass through untouched), so the
+    * oracle hash-compare sees byte-identical columns.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-      "spark.sql.legacy.parquet.nanosAsLong=true")
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType          => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType  => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType     => raw
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — expected LongType (nanos-as-long), " +
+        "TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

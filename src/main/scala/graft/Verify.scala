@@ -41,13 +41,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -67,5 +69,52 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+
+    // Staleness gate (round-5 verdict item 7; made urgent by round 6, where
+    // the correctness file silently shrank 132→100 rows because failed dumps
+    // only went to stderr). The dangerous failure mode is a gate that
+    // NARROWS without anyone noticing — so make every narrowing loud:
+    //   SparkEntry.queries ≡ SURVEY §2 rows ≡ dumps written ≡ oracle entries
+    // and exit non-zero on any mismatch (full runs only; partial runs are
+    // scratch-dir iteration and already warned above).
+    if (only.isEmpty) {
+      val keys = SparkEntry.queries.keySet
+      val noOracle = keys -- SparkEntry.oracleSql.keySet
+      val extraOracle = SparkEntry.oracleSql.keySet -- keys
+      val problems = scala.collection.mutable.ListBuffer[String]()
+      if (failed.nonEmpty)
+        problems += s"${failed.size} dump(s) FAILED: ${failed.sorted.mkString(", ")}"
+      if (extraOracle.nonEmpty)
+        problems += s"oracleSql keys missing from queries: ${extraOracle.toSeq.sorted.mkString(", ")}"
+      // cross-check against SURVEY §2: every inventory row must be a registry
+      // key and vice versa; a no-oracle key must be declared "rows" there.
+      Seq("SURVEY.md", "/root/repo/SURVEY.md").map(Paths.get(_)).find(Files.exists(_)) match {
+        case Some(p) =>
+          val sec2 = Files.readString(p).split("\n## ").find(_.startsWith("§2")).getOrElse("")
+          val row = """(?m)^\|\s*([qptdms]\d{2}_\w+)\s*\|[^|]*\|([^|]*)\|""".r
+          val surveyRows = row.findAllMatchIn(sec2).map(m => m.group(1) -> m.group(2)).toMap
+          val notInSurvey = keys -- surveyRows.keySet
+          val notInRegistry = surveyRows.keySet -- keys
+          if (notInSurvey.nonEmpty)
+            problems += s"registry keys absent from SURVEY §2: ${notInSurvey.toSeq.sorted.mkString(", ")}"
+          if (notInRegistry.nonEmpty)
+            problems += s"SURVEY §2 rows absent from registry: ${notInRegistry.toSeq.sorted.mkString(", ")}"
+          val undeclaredNoOracle = noOracle.filterNot(k => surveyRows.get(k).exists(_.contains("rows")))
+          if (undeclaredNoOracle.nonEmpty)
+            problems += "no-oracle keys not declared \"rows\" in SURVEY §2: " +
+              undeclaredNoOracle.toSeq.sorted.mkString(", ")
+          System.err.println(s"[verify] keys=${keys.size} survey_rows=${surveyRows.size} " +
+            s"dumps_ok=${keys.size - failed.size} oracles=${SparkEntry.oracleSql.size} " +
+            s"no_oracle=${noOracle.size} (${noOracle.toSeq.sorted.mkString(",")})")
+        case None =>
+          System.err.println(s"[verify] WARNING: SURVEY.md not found — skipping §2 cross-check")
+          System.err.println(s"[verify] keys=${keys.size} dumps_ok=${keys.size - failed.size} " +
+            s"oracles=${SparkEntry.oracleSql.size} no_oracle=${noOracle.size}")
+      }
+      if (problems.nonEmpty) {
+        problems.foreach(p => System.err.println(s"[verify] GATE FAILURE: $p"))
+        sys.exit(1)
+      }
+    }
   }
 }

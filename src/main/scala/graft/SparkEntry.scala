@@ -109,6 +109,7 @@ object SparkEntry {
     "t20_cms_heavy_hitters" -> (TextOps.cmsHeavyHitters _),
     "t21_contamination_score" -> (TextOps.contaminationScore _),
     "t22_cross_doc_repetition" -> (TextOps.crossDocRepetition _),
+    "t23_bpe_pairs"         -> (TextOps.bpePairs _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -215,7 +216,52 @@ object SparkEntry {
       |WHERE content_md5 NOT IN (SELECT content_md5 FROM e)
       |ORDER BY doc_id""".stripMargin
 
+  /** t23 oracle: replays TextOps.bpePairs level by level — the vocab →
+    * chr(31) symbol-stream encoding, each level's per-occurrence pair
+    * census (SUM weighted by word count), and the greedy left-to-right fuse
+    * of the level winner via list_reduce (the DuckDB twin of
+    * TextOps.bpeMergeFold: merging appends x undelimited so trailing `a`
+    * becomes a||b, and a fresh a||b can never re-match `a`). Built by loop
+    * so the level count can never drift from TextOps.BpeLevels.
+    */
+  private val BpeOracle: String = {
+    val levels = TextOps.BpeLevels
+    def census(i: Int) =
+      s"""p$i AS (
+         |  SELECT l[i] || chr(31) || l[i+1] AS pair, wc FROM (
+         |    SELECT string_split(s, chr(31)) AS l, wc FROM v${i - 1}),
+         |    unnest(generate_series(1, len(l) - 1)) AS t(i)),
+         |a$i AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq FROM p$i GROUP BY pair),
+         |r$i AS (SELECT $i AS level,
+         |          CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT) AS rank,
+         |          pair, freq
+         |        FROM a$i ORDER BY freq DESC, pair ASC LIMIT ${TextOps.BpeTopK})""".stripMargin
+    def fuse(i: Int) =
+      s"""b$i AS (SELECT string_split(pair, chr(31))[1] AS a,
+         |               string_split(pair, chr(31))[2] AS b FROM r$i WHERE rank = 1),
+         |v$i AS (
+         |  SELECT list_reduce(string_split(s, chr(31)), (acc, x) ->
+         |           CASE WHEN (acc = a OR ends_with(acc, chr(31) || a)) AND x = b
+         |                THEN acc || x ELSE acc || chr(31) || x END) AS s, wc
+         |  FROM v${i - 1}, b$i)""".stripMargin
+    val ctes = Seq(
+      """vocab AS (
+        |  SELECT term, COUNT(*) AS wc FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY term)""".stripMargin,
+      """v0 AS (
+        |  SELECT array_to_string(list_transform(generate_series(1, length(term)),
+        |           i -> substring(term, CAST(i AS INTEGER), 1)), chr(31)) AS s, wc
+        |  FROM vocab)""".stripMargin) ++
+      (1 to levels).flatMap(i => Seq(census(i)) ++ (if (i < levels) Seq(fuse(i)) else Nil))
+    val union = (1 to levels).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT CAST(level AS BIGINT) AS level, rank, replace(pair, chr(31), '+') AS pair, freq
+       |FROM ($union) ORDER BY level, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t23_bpe_pairs" -> BpeOracle,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

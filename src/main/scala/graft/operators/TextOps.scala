@@ -574,36 +574,80 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  /** t23: BPE merge-pair induction — the first merge step of training a
-    * byte-pair/WordPiece-style tokenizer: the most frequent adjacent
-    * character pairs across the corpus, each pair weighted by the frequency
-    * of the words containing it. The 100-TB shape is what makes this an
-    * engine op: the only corpus-sized work is the word-count aggregation
-    * (one hash exchange with map-side combine); the character-pair
-    * explosion and pair rollup run over the VOCABULARY (bounded, and
-    * shrinking in Zipf mass) — the corpus is never re-scanned per merge
-    * candidate. Top-k lands as TakeOrderedAndProject; rank is assigned on
-    * the k-row result. Deterministic tie-break (freq desc, pair asc).
+  /** t23: BPE merge induction — the first [[BpeLevels]] merge steps of
+    * training a byte-pair tokenizer, with the top-[[BpeTopK]] adjacent-pair
+    * census after each recount. Pair weighting is PER OCCURRENCE: a pair
+    * appearing k times inside a word contributes k x word_count ("aaa"
+    * counts (a,a) twice). Each level fuses its winning pair (freq desc,
+    * pair asc tie-break) everywhere by the classic greedy left-to-right
+    * single pass — the newly formed token never re-merges within the same
+    * pass — then recounts pairs over the merged symbol streams.
+    *
+    * 100-TB shape: the only corpus-sized work is the word-count aggregation
+    * (one hash exchange with map-side combine). Every merge level runs over
+    * the VOCABULARY (bounded, Zipf-shrinking): symbol streams are
+    * chr(31)-delimited strings (the delimiter cannot occur inside a
+    * whitespace-split term), the greedy fuse is one codegen'd aggregate()
+    * fold per term against the broadcast 1-row winner, and each level's
+    * census is a partial top-k (TakeOrderedAndProject over vocab pairs).
+    * The corpus is never re-scanned per merge. The DuckDB oracle replays
+    * the identical encoding and fold via list_reduce.
     */
-  val BpeTopK = 50
+  val BpeLevels = 3
+  val BpeTopK = 10
   def bpePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val vocab = Tables.documents(s, dir)
       .select(explode(split(lower(trim($"text")), "\\s+")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"term").agg(count(lit(1)).as("wc"))
-    val pairs = vocab.filter(length($"term") >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(term) - 1), i -> substring(term, i, 2))")).as("pair"),
+    var v = vocab.select(
+        expr("array_join(transform(sequence(1, length(term)), i -> substring(term, i, 1)), chr(31))").as("s"),
         $"wc")
-      .groupBy($"pair").agg(sum($"wc").as("freq"))
-      .orderBy($"freq".desc, $"pair".asc)
-      .limit(BpeTopK)
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"freq".desc, $"pair".asc)
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .select($"rank", $"pair", $"freq")
-      .orderBy($"rank")
+      .localCheckpoint(true)
+    val w = Window.orderBy($"freq".desc, $"pair".asc)
+    val levels = (1 to BpeLevels).map { lvl =>
+      // size >= 2 guard matters: Spark's sequence(1, 0) is DESCENDING
+      // [1, 0], and element_at(l, 0) throws — single-symbol terms carry no
+      // pairs and must never reach the transform
+      val pairs = v.select(expr("split(s, chr(31))").as("l"), $"wc")
+        .filter(size($"l") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), chr(31), element_at(l, i + 1)))")).as("pair"), $"wc")
+        .groupBy($"pair").agg(sum($"wc").as("freq"))
+      val top = pairs.orderBy($"freq".desc, $"pair".asc).limit(BpeTopK)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(lit(lvl.toLong).as("level"), $"rank", $"pair", $"freq")
+        .localCheckpoint(true)
+      if (lvl < BpeLevels) {
+        val best = top.filter($"rank" === 1)
+          .select(expr("element_at(split(pair, chr(31)), 1)").as("a"),
+                  expr("element_at(split(pair, chr(31)), 2)").as("b"))
+        v = v.crossJoin(broadcast(best))
+          .select(expr(bpeMergeFold).as("s"), $"wc")
+          .localCheckpoint(true)
+      }
+      top
+    }
+    levels.reduce(_.unionByName(_))
+      .select($"level", $"rank", expr("replace(pair, chr(31), '+')").as("pair"), $"freq")
+      .orderBy($"level", $"rank")
   }
+
+  /** Greedy left-to-right single-pass fuse of pair (a, b) over a
+    * chr(31)-delimited symbol string: merging appends x without a delimiter
+    * (the trailing symbol a becomes a||b), and because a freshly merged
+    * token a||b can never itself equal a (b is non-empty), the
+    * whole-trailing-symbol test makes re-merging within the pass
+    * impossible — exactly the classic BPE pass the oracle's list_reduce
+    * replays.
+    */
+  private[graft] val bpeMergeFold: String =
+    "aggregate(split(s, chr(31)), cast('' as string), (acc, x) -> " +
+      "CASE WHEN acc = '' THEN x " +
+      "WHEN (acc = a OR endswith(acc, concat(chr(31), a))) AND x = b THEN concat(acc, x) " +
+      "ELSE concat(acc, chr(31), x) END)"
 
   def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

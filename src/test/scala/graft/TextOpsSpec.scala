@@ -296,6 +296,32 @@ class TextOpsSpec extends SparkSpec {
     assert(diffW.isEmpty, "separator+1 word count must equal size(split)")
   }
 
+  test("t23 greedy fold: classic single-pass merge semantics, incl. chained same-char pairs") {
+    import spark.implicits._
+    // the fold's subtle contract: left-to-right, non-overlapping, and a
+    // freshly merged token never re-merges within the pass. "aaaaa" with
+    // pair (a,a) MUST give [aa, aa, a] — a naive delimited string-replace
+    // diverges here (it yields [aa, a, aa])
+    def fuse(term: String, a: String, b: String): String =
+      Seq((term, a, b)).toDF("term", "a", "b")
+        .select(expr("array_join(transform(sequence(1, length(term)), i -> substring(term, i, 1)), chr(31))").as("s"),
+                $"a", $"b")
+        .select(expr(operators.TextOps.bpeMergeFold).as("merged"))
+        .head().getString(0).split('\u001F').mkString("|")
+    assert(fuse("aaaaa", "a", "a") == "aa|aa|a")
+    assert(fuse("abab", "a", "b") == "ab|ab")
+    assert(fuse("aab", "a", "b") == "a|ab")
+    assert(fuse("x", "a", "b") == "x")
+    val df = SparkEntry.queries("t23_bpe_pairs")(spark, sfDir).cache()
+    assert(df.count() == operators.TextOps.BpeLevels.toLong * operators.TextOps.BpeTopK)
+    // per-level freq must be non-increasing in rank (the census is a top-k)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"level").orderBy($"rank")
+    assert(df.withColumn("prev", lag($"freq", 1).over(w))
+      .filter($"prev".isNotNull && $"freq" > $"prev").isEmpty,
+      "per-level census must be ordered by freq desc")
+    df.unpersist()
+  }
+
   test("t18 LM artifact: precomputed LM round-trips, corpus never shuffles on term") {
     import spark.implicits._
     // the 100-TB posture: the corpus LM is a precomputed artifact joined

@@ -84,7 +84,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val approx = Similarity.annLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.4, s"recall $recall too low for OR-amplified LSH")
+    val floor = Similarity.RecallFloors.toMap.apply("lsh")
+    assert(recall >= floor, s"recall $recall below lsh floor $floor")
     info(s"ann-lsh recall@10 = $recall")
   }
 
@@ -109,7 +110,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val ivf = Similarity.annIvf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.15, s"ivf recall $recall collapsed")
+    val floor = Similarity.RecallFloors.toMap.apply("ivf")
+    assert(recall >= floor, s"ivf recall $recall below floor $floor")
     info(s"ann-ivf recall@10 = $recall")
   }
 
@@ -395,7 +397,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pq.size == exact.size, "pq must return a full top-k per query")
     val recall = (exact & pq).size.toDouble / exact.size
-    assert(recall >= 0.1, s"pq recall $recall collapsed")
+    val floor = Similarity.RecallFloors.toMap.apply("pq")
+    assert(recall >= floor, s"pq recall $recall below floor $floor")
     info(s"ann-pq recall@10 = $recall")
   }
 

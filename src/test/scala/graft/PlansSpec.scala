@@ -73,22 +73,26 @@ class PlansSpec extends SparkSpec {
     }
   }
 
-  test("d12 pq plan: corpus moves through exactly one non-broadcast exchange") {
+  test("d12 pq plan: two capped window exchanges, re-rank rides broadcasts") {
     val planned = physical(operators.Similarity.annPq(spark, sfDir))
-    // the top-k window's shuffle is the only corpus-scale data movement;
-    // encode and scoring ride broadcasts (the one-row codebook and 5-row
-    // LUTs — their SinglePartition collects and the final presentation sort
-    // move a handful of rows)
+    // exactly two hash exchanges: (1) the compressed-scan shortlist window —
+    // its literal prank pre-cap keeps the WindowGroupLimit map-side limit on
+    // the corpus-sized input; (2) the exact re-rank top-k window over the
+    // fraction-sized shortlist. Encode, LUT scoring, and the shortlist's
+    // return trip into the second corpus scan all ride broadcasts.
     val corpusShuffles = planned.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
           if e.outputPartitioning
             .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
     }
-    assert(corpusShuffles.length == 1,
-      s"expected exactly 1 hash shuffle (top-k window), got ${corpusShuffles.length}:\n$planned")
+    assert(corpusShuffles.length == 2,
+      s"expected 2 hash shuffles (shortlist + re-rank windows), got ${corpusShuffles.length}:\n$planned")
     val s = planned.toString
     assert(s.contains("WindowGroupLimit"),
-      s"rank<=k must push a partial group limit below the window:\n$s")
+      s"literal rank caps must push partial group limits below the windows:\n$s")
+    // the full-precision re-rank join must be broadcast, never a corpus shuffle
+    assert(s.contains("BroadcastHashJoin"),
+      s"shortlist must broadcast back into the corpus scan:\n$s")
   }
 
   test("q31 custom aggregate partial-aggregates below the exchange and works from SQL") {

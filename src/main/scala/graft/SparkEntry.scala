@@ -158,6 +158,7 @@ object SparkEntry {
     "s13_stream_decontaminate" -> (graft.streaming.Streams.streamDeconBatch _),
     "s16_stream_quality_gate" -> (graft.streaming.Streams.streamQualityBatch _),
     "s15_window_heavy_hitters" -> (graft.streaming.Streams.windowHeavyHittersBatch _),
+    "s17_cdc_replay"   -> (graft.streaming.Streams.cdcReplayBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -262,6 +263,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "t23_bpe_pairs" -> BpeOracle,
+    // s17: the oracle is the GLOBAL latest-wins winner per key under the
+    // total order (ts, version, event_id) — hash-equality against Spark's
+    // 3-batch incremental fold proves the sink merge is associative
+    // (exactly-once: incremental state == from-scratch rebuild), and the
+    // `live` column pins tombstone retention.
+    "s17_cdc_replay" ->
+      """WITH w AS (SELECT user_id AS key, event_type AS op, value AS version, ts,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY ts DESC, value DESC, event_id DESC) AS rn
+        |           FROM events)
+        |SELECT key, op, version, ts, (op <> 'error') AS live
+        |FROM w WHERE rn = 1 ORDER BY key""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

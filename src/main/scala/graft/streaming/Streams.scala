@@ -346,26 +346,62 @@ object Streams {
     updates.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val incoming = batch.select(col("user_id").as("key"),
+        val incoming = batch.select(col("event_id"), col("user_id").as("key"),
           col("event_type").as("op"), col("value").as("version"), col("ts"))
-        val merged = (if (graft.Fs.exists(s, statePath))
-                        s.read.parquet(statePath).unionByName(incoming)
-                      else incoming)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("key"))
-              .orderBy(col("ts").desc, col("version").desc)))
-          .filter(col("rn") === 1)
-          .drop("rn")
-          .localCheckpoint(true)
-        merged.write.mode("overwrite").parquet(statePath)
+        val state = if (graft.Fs.exists(s, statePath)) Some(s.read.parquet(statePath)) else None
+        cdcMerge(state, incoming).localCheckpoint(true)
+          .write.mode("overwrite").parquet(statePath)
         ()
       }
       .start()
   }
 
+  /** The CDC merge fold — ONE body shared by the streaming sink and the
+    * s17 oracled replay: latest op per key wins under the TOTAL order
+    * (ts, version, event_id) — event_id is the unique LSN-style tiebreak
+    * that makes the fold deterministic (and with it associative: keep-max
+    * per key over a total order gives the same winner for any batch
+    * partitioning of the input — the exactly-once contract the s17 oracle
+    * hash-checks). Tombstones ride along like any op and stay in state.
+    */
+  private[graft] def cdcMerge(state: Option[DataFrame], incoming: DataFrame): DataFrame =
+    state.map(_.unionByName(incoming)).getOrElse(incoming)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key"))
+          .orderBy(col("ts").desc, col("version").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
   /** Live (tombstone-filtered) view of a [[cdcSink]] state table. */
   def cdcLiveState(s: SparkSession, statePath: String): DataFrame =
     s.read.parquet(statePath).filter(col("op") =!= "error")
+
+  /** s17: multi-batch CDC replay as an oracled key — the [[cdcSink]] merge
+    * fold (the reference StateManager's persistence loop,
+    * state_manager.py:84-102) run over [[CdcReplayBatches]] deterministic
+    * micro-batches with state MATERIALIZED between folds, exactly as
+    * foreachBatch does (localCheckpoint stands in for the parquet
+    * round-trip). Batches split by event_id mod, so late-arriving older
+    * ops land in later batches and must lose to retained state — incl.
+    * tombstones, which stay in state and mask every older op. The DuckDB
+    * oracle computes the GLOBAL latest-wins winner per key in one window:
+    * hash-equality proves the incremental fold reaches the same state as
+    * a from-scratch rebuild — the associativity/exactly-once contract.
+    */
+  val CdcReplayBatches = 3
+  def cdcReplayBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id".as("key"),
+      $"event_type".as("op"), $"value".as("version"), $"ts")
+    var state: Option[DataFrame] = None
+    for (b <- 0 until CdcReplayBatches) {
+      val batch = ev.filter(pmod($"event_id", lit(CdcReplayBatches.toLong)) === b)
+      state = Some(cdcMerge(state, batch).localCheckpoint(true))
+    }
+    state.get
+      .select($"key", $"op", $"version", $"ts", ($"op" =!= "error").as("live"))
+      .orderBy($"key")
+  }
 
   /** Batch dedup query (driver contract key s03_stream_dedup): deterministic
     * first-row-per-event_id via the same shape as the streaming state store.

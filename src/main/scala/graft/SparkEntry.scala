@@ -1415,7 +1415,19 @@ object SparkEntry {
     // the oracle's working set (fine at sf0.01); list_cosine_similarity on
     // FLOAT[] accumulates in double like kernels.cosineF (d05's full-rank
     // compare proves the pair bit-identical), and the (sim DESC, eid ASC)
-    // row_number mirrors nearest_cosine's strict-> lowest-id tie-break
+    // row_number mirrors nearest_cosine's strict-> lowest-id tie-break.
+    //
+    // Documented degenerate-case divergences (never reached on generated
+    // data, both spec-guarded in DedupSimilaritySpec):
+    //  - EMPTY eval set: Spark's nearest_cosine throws fail-fast
+    //    (IllegalArgumentException, the nearest_centroid precedent), while
+    //    this SQL silently returns zero rows. The eval predicate is
+    //    data-independent (vec_id mod), so emptiness means a broken corpus
+    //    read — loud beats empty.
+    //  - ZERO-NORM vector: kernels.cosineF defines sim = 0.0, DuckDB's
+    //    list_cosine_similarity yields NaN (which its ORDER BY sim DESC
+    //    sorts HIGHEST, while Spark's strict > never selects it) — the
+    //    spec asserts no zero-norm embeddings exist at any SF.
     "d27_semantic_decontaminate" ->
       s"""WITH ev AS (SELECT vec_id AS eid, embedding AS ee FROM embeddings
          |            WHERE vec_id % ${Similarity.SemEvalEvery} = ${Similarity.SemEvalResidue}

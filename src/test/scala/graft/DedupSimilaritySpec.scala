@@ -115,6 +115,22 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"ann-ivf recall@10 = $recall")
   }
 
+  test("d27 degenerate-case guards: eval set non-empty, no zero-norm embeddings") {
+    import spark.implicits._
+    // the two documented d27 oracle divergences (empty eval -> Spark throws
+    // vs DuckDB returns empty; zero-norm -> cosineF 0.0 vs DuckDB NaN) are
+    // only safe while these data facts hold — keep them loud
+    val emb = Tables.embeddings(spark, sfDir)
+    val evalN = emb.filter($"vec_id" % Similarity.SemEvalEvery === Similarity.SemEvalResidue &&
+                           $"vec_id" < Similarity.SemEvalCap).count()
+    assert(evalN > 0, "d27 eval reference set is empty: nearest_cosine would fail-fast " +
+      "while the DuckDB oracle returns zero rows")
+    val zeroNorm = emb.filter(
+      expr("aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * x) = 0.0D")).count()
+    assert(zeroNorm == 0, s"$zeroNorm zero-norm embeddings: cosineF(=0.0) and DuckDB " +
+      "list_cosine_similarity(=NaN, sorts highest) would diverge")
+  }
+
   test("d10 clustering converges: both ends of every candidate edge share a cluster") {
     import spark.implicits._
     val labels = SparkEntry.queries("d10_neardup_clusters")(spark, sfDir).cache()

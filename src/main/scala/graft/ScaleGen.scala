@@ -69,8 +69,8 @@ object ScaleGen {
     replicate("part", Seq("p_partkey"))
     replicate("orders", Seq("o_orderkey", "o_custkey"))
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    // events.parquet ts stays a raw long (nanos) end to end — Tables.events
-    // converts at read time
+    // events.parquet ts keeps whatever physical type the source has (nanos
+    // long or micros NTZ) — Tables.events adapts to the read schema
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d

@@ -148,11 +148,22 @@ object Similarity {
     ivfSearch(emb, sampledCentroids(emb))
   }
 
-  /** Deterministic sampled codebook (the k-means stand-in), constant-capped. */
+  /** Deterministic sampled codebook (the k-means stand-in), constant-capped.
+    * Selection is UNBIASED by id: a hash-mod rate filter (|corpus|/25
+    * expected) then a hash-ranked limit as the absolute bound — a partial
+    * per-partition top-k (TakeOrderedAndProject), one scan at any corpus
+    * size. The previous `vec_id < 25*4096` prefix cap sampled only the
+    * LOWEST-id shard once the corpus outgrew it — at 10x that meant a
+    * replica-0-only codebook while the corpus mass sat elsewhere, and d17's
+    * sampled cohesion margin went negative (the exact stale-codebook
+    * failure a 100-TB deployment would hit with "first N rows" sampling).
+    */
   private[graft] def sampledCentroids(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    emb.filter($"vec_id" % IvfCentroidEvery === 0 &&
-               $"vec_id" < IvfCentroidEvery.toLong * IvfMaxCentroids)
+    val h = graft.SampleHash.column($"vec_id")
+    emb.filter(pmod(h, lit(IvfCentroidEvery.toLong)) === 0L)
+      .orderBy(h, $"vec_id")
+      .limit(IvfMaxCentroids)
       .select($"vec_id".as("centroid_id"), $"embedding".as("ce"))
   }
 
@@ -302,9 +313,14 @@ object Similarity {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-    // deterministic codebook: 16 sampled vectors -> one row holding
-    // cbs[m][c] = subvector m of sample c (code ids ordered by sample id)
-    val cb = emb.filter($"vec_id" % 29 === 0 && $"vec_id" < 29 * PqCodebookSize)
+    // deterministic codebook: hash-sampled vectors (unbiased by id — see
+    // sampledCentroids on why a low-id prefix cap goes stale at scale) ->
+    // one row holding cbs[m][c] = subvector m of sample c (code ids
+    // ordered by sample id)
+    val cbHash = graft.SampleHash.column($"vec_id")
+    val cb = emb.filter(pmod(cbHash, lit(29L)) === 0L)
+      .orderBy(cbHash, $"vec_id")
+      .limit(PqCodebookSize)
       .agg(array_sort(collect_list(struct($"vec_id", $"embedding"))).as("entries"))
       .select(expr(
         s"""transform(sequence(0, ${PqSubspaces - 1}),

@@ -157,13 +157,14 @@ class PlansSpec extends SparkSpec {
     val assigned = operators.Similarity.assignCells(
       emb, operators.Similarity.collapseCodebook(operators.Similarity.sampledCentroids(emb)))
     val planned = physical(assigned)
-    // the only shuffle allowed is the SinglePartition collect that collapses
-    // the constant-capped codebook to one broadcastable row; the corpus side
-    // must go scan -> project with no exchange and no window
+    // the only shuffle allowed is a SinglePartition collapse of the
+    // constant-capped codebook (and the hash-ranked sampling's
+    // TakeOrderedAndProject collapses it with NO exchange at all); the
+    // corpus side must go scan -> project with no exchange and no window
     val exchanges = planned.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.nonEmpty && exchanges.forall(_.outputPartitioning ==
+    assert(exchanges.forall(_.outputPartitioning ==
              org.apache.spark.sql.catalyst.plans.physical.SinglePartition),
       s"assignment may only shuffle the codebook collapse (SinglePartition):\n$planned")
     val s = planned.toString

@@ -80,41 +80,58 @@ object Verify {
     if (only.isEmpty) {
       val keys = SparkEntry.queries.keySet
       val noOracle = keys -- SparkEntry.oracleSql.keySet
-      val extraOracle = SparkEntry.oracleSql.keySet -- keys
-      val problems = scala.collection.mutable.ListBuffer[String]()
-      if (failed.nonEmpty)
-        problems += s"${failed.size} dump(s) FAILED: ${failed.sorted.mkString(", ")}"
-      if (extraOracle.nonEmpty)
-        problems += s"oracleSql keys missing from queries: ${extraOracle.toSeq.sorted.mkString(", ")}"
-      // cross-check against SURVEY §2: every inventory row must be a registry
-      // key and vice versa; a no-oracle key must be declared "rows" there.
-      Seq("SURVEY.md", "/root/repo/SURVEY.md").map(Paths.get(_)).find(Files.exists(_)) match {
-        case Some(p) =>
-          val sec2 = Files.readString(p).split("\n## ").find(_.startsWith("§2")).getOrElse("")
-          val row = """(?m)^\|\s*([qptdms]\d{2}_\w+)\s*\|[^|]*\|([^|]*)\|""".r
-          val surveyRows = row.findAllMatchIn(sec2).map(m => m.group(1) -> m.group(2)).toMap
-          val notInSurvey = keys -- surveyRows.keySet
-          val notInRegistry = surveyRows.keySet -- keys
-          if (notInSurvey.nonEmpty)
-            problems += s"registry keys absent from SURVEY §2: ${notInSurvey.toSeq.sorted.mkString(", ")}"
-          if (notInRegistry.nonEmpty)
-            problems += s"SURVEY §2 rows absent from registry: ${notInRegistry.toSeq.sorted.mkString(", ")}"
-          val undeclaredNoOracle = noOracle.filterNot(k => surveyRows.get(k).exists(_.contains("rows")))
-          if (undeclaredNoOracle.nonEmpty)
-            problems += "no-oracle keys not declared \"rows\" in SURVEY §2: " +
-              undeclaredNoOracle.toSeq.sorted.mkString(", ")
-          System.err.println(s"[verify] keys=${keys.size} survey_rows=${surveyRows.size} " +
-            s"dumps_ok=${keys.size - failed.size} oracles=${SparkEntry.oracleSql.size} " +
-            s"no_oracle=${noOracle.size} (${noOracle.toSeq.sorted.mkString(",")})")
-        case None =>
-          System.err.println(s"[verify] WARNING: SURVEY.md not found — skipping §2 cross-check")
-          System.err.println(s"[verify] keys=${keys.size} dumps_ok=${keys.size - failed.size} " +
-            s"oracles=${SparkEntry.oracleSql.size} no_oracle=${noOracle.size}")
-      }
+      val surveyText = Seq("SURVEY.md", "/root/repo/SURVEY.md").map(Paths.get(_))
+        .find(Files.exists(_)).map(Files.readString(_))
+      if (surveyText.isEmpty)
+        System.err.println(s"[verify] WARNING: SURVEY.md not found — skipping §2 cross-check")
+      System.err.println(s"[verify] keys=${keys.size} " +
+        surveyText.map(t => s"survey_rows=${surveyRows(t).size} ").getOrElse("") +
+        s"dumps_ok=${keys.size - failed.size} oracles=${SparkEntry.oracleSql.size} " +
+        s"no_oracle=${noOracle.size} (${noOracle.toSeq.sorted.mkString(",")})")
+      val problems = gateProblems(failed.toSeq, surveyText)
       if (problems.nonEmpty) {
         problems.foreach(p => System.err.println(s"[verify] GATE FAILURE: $p"))
         sys.exit(1)
       }
     }
+  }
+
+  /** SURVEY §2 inventory rows: key -> check column. */
+  private[graft] def surveyRows(surveyText: String): Map[String, String] = {
+    val sec2 = surveyText.split("\n## ").find(_.startsWith("§2")).getOrElse("")
+    val row = """(?m)^\|\s*([qptdms]\d{2}_\w+)\s*\|[^|]*\|([^|]*)\|""".r
+    row.findAllMatchIn(sec2).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** The staleness gate, pure so the spec can prove each trigger: every
+    * narrowing of (registry ≡ SURVEY §2 rows ≡ dumps ≡ oracles) must
+    * surface as a problem string — an empty result is the only green state.
+    */
+  private[graft] def gateProblems(failedDumps: Seq[String],
+                                  surveyText: Option[String]): Seq[String] = {
+    val keys = SparkEntry.queries.keySet
+    val noOracle = keys -- SparkEntry.oracleSql.keySet
+    val extraOracle = SparkEntry.oracleSql.keySet -- keys
+    val problems = scala.collection.mutable.ListBuffer[String]()
+    if (failedDumps.nonEmpty)
+      problems += s"${failedDumps.size} dump(s) FAILED: ${failedDumps.sorted.mkString(", ")}"
+    if (extraOracle.nonEmpty)
+      problems += s"oracleSql keys missing from queries: ${extraOracle.toSeq.sorted.mkString(", ")}"
+    // cross-check against SURVEY §2: every inventory row must be a registry
+    // key and vice versa; a no-oracle key must be declared "rows" there.
+    surveyText.foreach { t =>
+      val rows = surveyRows(t)
+      val notInSurvey = keys -- rows.keySet
+      val notInRegistry = rows.keySet -- keys
+      if (notInSurvey.nonEmpty)
+        problems += s"registry keys absent from SURVEY §2: ${notInSurvey.toSeq.sorted.mkString(", ")}"
+      if (notInRegistry.nonEmpty)
+        problems += s"SURVEY §2 rows absent from registry: ${notInRegistry.toSeq.sorted.mkString(", ")}"
+      val undeclaredNoOracle = noOracle.filterNot(k => rows.get(k).exists(_.contains("rows")))
+      if (undeclaredNoOracle.nonEmpty)
+        problems += "no-oracle keys not declared \"rows\" in SURVEY §2: " +
+          undeclaredNoOracle.toSeq.sorted.mkString(", ")
+    }
+    problems.toSeq
   }
 }

@@ -131,6 +131,23 @@ class DedupSimilaritySpec extends SparkSpec {
       "list_cosine_similarity(=NaN, sorts highest) would diverge")
   }
 
+  test("d10 cluster table round-trips as a persisted artifact") {
+    import spark.implicits._
+    // the 100-TB contract d22/d26 rely on: labels materialize once, persist,
+    // and any consumer joining the read-back table gets bit-identical
+    // cluster assignments to the inline derivation
+    val path = java.nio.file.Files.createTempDirectory("graft_cl").toString + "/clusters"
+    operators.Dedup.clusterLabels(spark, sfDir).write.mode("overwrite").parquet(path)
+    val readBack = spark.read.parquet(path)
+      .select($"doc_id".as("l_doc"), $"cluster_id")
+    val viaArtifact = Tables.documents(spark, sfDir)
+      .join(readBack, $"doc_id" === $"l_doc", "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    val inline = SparkEntry.queries("d10_neardup_clusters")(spark, sfDir)
+    assert(viaArtifact.exceptAll(inline).isEmpty && inline.exceptAll(viaArtifact).isEmpty,
+      "artifact-joined cluster ids must equal the inline derivation")
+  }
+
   test("d10 clustering converges: both ends of every candidate edge share a cluster") {
     import spark.implicits._
     val labels = SparkEntry.queries("d10_neardup_clusters")(spark, sfDir).cache()

@@ -42,6 +42,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // NTZ casts are TZ-sensitive
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see Tables.events
       .config("spark.ui.enabled", "false")
       .getOrCreate()

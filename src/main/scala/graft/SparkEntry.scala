@@ -110,6 +110,7 @@ object SparkEntry {
     "t21_contamination_score" -> (TextOps.contaminationScore _),
     "t22_cross_doc_repetition" -> (TextOps.crossDocRepetition _),
     "t23_bpe_pairs"         -> (TextOps.bpePairs _),
+    "t24_exact_substr"      -> (TextOps.exactSubstrSpans _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -727,6 +728,28 @@ object SparkEntry {
          |       CAST(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0
          |            ELSE p.flagged * 1000 // p.n_grams END AS BIGINT) AS boiler_permille
          |FROM g LEFT JOIN p ON g.doc_id = p.doc_id ORDER BY g.doc_id""".stripMargin,
+    // t24: maximal cross-doc exact duplicate spans — K-token windows,
+    // duplicated when >= 2 distinct docs share one, islands merged while
+    // consecutive starts are <= K apart (contiguous/overlapping coverage).
+    // Replays the Spark plan: same 1-based slice, same lag-based islands.
+    "t24_exact_substr" -> {
+      val k = TextOps.SubstrK
+      s"""WITH toks AS (SELECT doc_id,
+         |                regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |win AS (SELECT doc_id, i, array_to_string(t[i:i+${k - 1}], ' ') AS w
+         |        FROM toks, unnest(range(1, len(t) - ${k - 2})) AS u(i)
+         |        WHERE len(t) >= $k),
+         |dupw AS (SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, i FROM win WHERE w IN (SELECT w FROM dupw)),
+         |brks AS (SELECT doc_id, i,
+         |           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $k
+         |                THEN 0 ELSE 1 END AS brk FROM hits),
+         |isl AS (SELECT doc_id, i,
+         |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM brks)
+         |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+         |       CAST(MAX(i) - MIN(i) + $k AS BIGINT) AS span_tokens
+         |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
+    },
     // t19: chunking — chunk 64 / overlap 16 / stride 48; chunk count
     // 1 + (max(n-17,0) // 48) mirrors the Spark sequence() bound exactly
     "t19_chunk_overlap" ->

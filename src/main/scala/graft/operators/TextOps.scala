@@ -667,4 +667,67 @@ object TextOps {
           .as("chunk_text"))
       .orderBy($"doc_id", $"chunk_id")
   }
+
+  /** t24: exact-substring duplicate spans — for every document, the maximal
+    * token ranges whose every [[SubstrK]]-token window also occurs verbatim
+    * in at least one OTHER document. This is the span-level exact
+    * deduplication of training-corpus curation (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": remove the
+    * repeated substring, keep the rest of the document) — disjoint from
+    * d01 (whole-doc exact dup), d02 (whole-doc near-dup), t13 (repetition
+    * WITHIN a doc) and t22 (per-source gram-DF boilerplate score, no spans).
+    *
+    * Windows are K-token hops at every position; a window is duplicated
+    * when >= 2 DISTINCT documents contain it; duplicated window starts in a
+    * doc merge into one span while consecutive starts are <= K apart (i.e.
+    * their token coverage is contiguous or overlapping). Output is one row
+    * per (doc, span): (doc_id, span_start [1-based token index],
+    * span_tokens).
+    *
+    * Shape at 100 TB: window generation is a pure per-row transform (no
+    * exchange). The ONE corpus-sized movement is the window-frequency
+    * aggregation — hash-partitioned with a map-side partial distinct, the
+    * analogue of the suffix-array build the reference curation literature
+    * uses, but expressed as an aggregation Spark parallelizes freely. The
+    * duplicated-window set is small by definition after doc-level dedup
+    * (dups are the tail), so it broadcasts back and the corpus side never
+    * reshuffles for the match; the island merge then exchanges only the HIT
+    * rows on doc_id. At 100 TB the group key would be a 128-bit hash of the
+    * window instead of the window text (collision-safe at corpus scale,
+    * 8x narrower shuffle rows); the text key here keeps the DuckDB oracle
+    * byte-identical.
+    */
+  private[graft] val SubstrK = 8
+  def exactSubstrSpans(s: SparkSession, dir: String): DataFrame =
+    exactSubstrSpansOf(Tables.documents(s, dir))
+
+  private[graft] def exactSubstrSpansOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstrK
+    val wins = docs
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
+      .filter(size($"t") >= k)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> struct(i as i, array_join(slice(t, i, $k), ' ') as w))")).as("x"))
+      .select($"doc_id", $"x.i".as("i"), $"x.w".as("w"))
+    val dup = wins.groupBy($"w")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"w")
+    val hits = wins.join(broadcast(dup), Seq("w"), "left_semi")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"i")
+    hits
+      // lag is null on the first hit of a doc -> the <= test is null -> 1:
+      // every doc opens a fresh island, exactly the oracle's CASE
+      .withColumn("brk", when($"i" - lag($"i", 1).over(byDoc) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("g", sum($"brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"g")
+      .agg(min($"i").cast("long").as("span_start"),
+           (max($"i") - min($"i") + k).cast("long").as("span_tokens"))
+      .select($"doc_id", $"span_start", $"span_tokens")
+      .orderBy($"doc_id", $"span_start")
+  }
 }

@@ -254,6 +254,42 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "flagged-set join must broadcast")
   }
 
+  test("t24 exact-substring spans: cross-doc windows merge into maximal islands") {
+    import spark.implicits._
+    val sA = (1 to 10).map("s" + _).mkString(" ") // 10-token shared run
+    val sB = (1 to 8).map("z" + _).mkString(" ")  // exactly one window
+    val sX = (1 to 8).map("x" + _).mkString(" ")
+    val sY = (1 to 8).map("y" + _).mkString(" ")
+    val docs = Seq(
+      // doc 1: sA at 5-14 (starts 5..7), filler, sB at 25-32 (start 25);
+      // gap 25-7=18 > K keeps the two islands separate
+      (1L, s"a1 a2 a3 a4 $sA ${(1 to 10).map("f" + _).mkString(" ")} $sB t1 t2", "src"),
+      (2L, s"b1 b2 $sA b3", "src"),                 // sA at 3-12 -> span (3, 10)
+      (3L, s"c1 $sB c2 c3", "src"),                 // sB at 2-9 -> span (2, 8)
+      (4L, "d1 d2 d3 d4 d5 d6 d7", "src"),          // < K tokens: no windows
+      // doc 5: the SAME window twice inside ONE doc and nowhere else —
+      // intra-doc repetition is t13's job, not a cross-doc duplicate
+      (5L, s"${(1 to 8).map("r" + _).mkString(" ")} q ${(1 to 8).map("r" + _).mkString(" ")}", "src"),
+      // docs 6/7: X and Y adjacent in 6 (starts 1 and 9, gap == K -> MERGE),
+      // split by two tokens in 7 (starts 1 and 11, gap > K -> two spans)
+      (6L, s"$sX $sY", "src"),
+      (7L, s"$sX g1 g2 $sY", "src"),
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextOps.exactSubstrSpansOf(docs)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set(
+      (1L, 5L, 10L), (1L, 25L, 8L),
+      (2L, 3L, 10L),
+      (3L, 2L, 8L),
+      (6L, 1L, 16L),
+      (7L, 1L, 8L), (7L, 11L, 8L)), s"got $r")
+    // plan shape: the small duplicated-window set must come BACK as a
+    // broadcast — the corpus side never reshuffles for the match
+    val plan = graft.operators.TextOps.exactSubstrSpansOf(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dup-window set join must broadcast")
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

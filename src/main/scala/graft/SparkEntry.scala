@@ -143,6 +143,7 @@ object SparkEntry {
     "d25_token_budget_mix" -> (Dedup.tokenBudgetMix _),
     "d26_cluster_split" -> (Dedup.clusterSplit _),
     "d27_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
+    "d28_semdedup"        -> (Similarity.semDedup _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1466,6 +1467,34 @@ object SparkEntry {
          |       CAST(CASE WHEN sim >= ${Similarity.SemThreshold} THEN 1 ELSE 0 END AS BIGINT)
          |         AS contaminated
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // d28: full chain replayed — sampled codebook, argmax-cosine cell
+    // assignment (sim DESC, centroid_id ASC = the kernel's strict-> walk
+    // over the id-sorted codebook; d27 precedent), within-cell lower-id
+    // witness at the gap threshold (see Similarity.SemDedupThreshold).
+    "d28_semdedup" ->
+      s"""WITH cb AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+         |  WHERE ${graft.SampleHash.sql("vec_id")} % ${Similarity.IvfCentroidEvery} = 0
+         |  ORDER BY ${graft.SampleHash.sql("vec_id")}, vec_id
+         |  LIMIT ${Similarity.IvfMaxCentroids}),
+         |asg AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, cb.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_cosine_similarity(e.embedding, cb.ce) DESC,
+         |                      cb.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cb) t WHERE rn = 1),
+         |dup AS (
+         |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+         |  FROM asg a JOIN asg b
+         |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+         |  WHERE list_cosine_similarity(a.embedding, b.embedding)
+         |          >= ${Similarity.SemDedupThreshold}
+         |  GROUP BY a.vec_id)
+         |SELECT a.vec_id, a.centroid_id, d.dup_of,
+         |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM asg a LEFT JOIN dup d USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

@@ -131,6 +131,52 @@ class DedupSimilaritySpec extends SparkSpec {
       "list_cosine_similarity(=NaN, sorts highest) would diverge")
   }
 
+  test("d28 semdedup flags synthetic near-dups within a cell, min-id witness") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // id 0 passes the SampleHash centroid predicate (h(0)%25==0), so the
+    // sampled codebook is exactly {0} and every vector lands in cell 0 —
+    // the within-cell test then sees all pairs. 1 and 3 are perturbed
+    // copies of 0 (cosine ~0.9996 > 0.764); 2 is orthogonal (cosine 0).
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    def perturb(eps: Float) = base.zipWithIndex.map { case (v, i) => v + (if (i % 2 == 0) eps else -eps) }
+    val ortho = Array.tabulate(64)(i => if (i % 2 == 0) base(i + 1) else -base(i - 1))
+    val emb = Seq(
+      (0L, base), (1L, perturb(0.01f)), (2L, ortho), (3L, perturb(0.02f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupOn(emb).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong), r.getAs[Long]("kept")))
+    assert(out.toSeq == Seq(
+      (0L, None, 1L),        // survivor of its own ball
+      (1L, Some(0L), 0L),    // near-copy of 0
+      (2L, None, 1L),        // orthogonal — kept
+      (3L, Some(0L), 0L)))   // two witnesses (0 and 1) — MIN names 0
+  }
+
+  test("d28 invariants on real data: verdict total, witness below id, no planned broadcast of the witness side") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val out = SparkEntry.queries("d28_semdedup")(spark, sfDir).cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() == n, "every vector gets a verdict row")
+    assert(out.filter(($"kept" === 1) =!= $"dup_of".isNull).isEmpty,
+      "kept <=> no witness")
+    assert(out.filter($"dup_of" >= $"vec_id").isEmpty, "witness must be lower-id")
+    // driver SFs sit far below the threshold gap by design (see
+    // SemDedupThreshold): zero dups here, structure only at the 10x scale
+    assert(out.filter($"kept" === 0).isEmpty,
+      "driver-SF corpus has no pair above the 0.764 gap threshold")
+    out.unpersist()
+    // the verdict-attach join must not be broadcast-PLANNED (witness side
+    // is |duplicates|-sized only by luck of the data; AQE may convert at
+    // runtime, the plan must not bake it in)
+    val broadcastLeftOuter = physical(SparkEntry.queries("d28_semdedup")(spark, sfDir)).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
+    }
+    assert(broadcastLeftOuter.isEmpty, "verdict attach was broadcast-planned")
+  }
+
   test("d10 cluster table round-trips as a persisted artifact") {
     import spark.implicits._
     // the 100-TB contract d22/d26 rely on: labels materialize once, persist,

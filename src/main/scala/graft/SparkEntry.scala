@@ -111,6 +111,7 @@ object SparkEntry {
     "t22_cross_doc_repetition" -> (TextOps.crossDocRepetition _),
     "t23_bpe_pairs"         -> (TextOps.bpePairs _),
     "t24_exact_substr"      -> (TextOps.exactSubstrSpans _),
+    "t25_substr_removal"    -> (TextOps.substrRemoval _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -750,6 +751,37 @@ object SparkEntry {
          |SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
          |       CAST(MAX(i) - MIN(i) + $k AS BIGINT) AS span_tokens
          |FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start""".stripMargin
+    },
+    // t25: t24's span chain, then the excision — 1-based lambda index in
+    // DuckDB matches Spark's 0-based j via j+1 on the Spark side.
+    "t25_substr_removal" -> {
+      val k = TextOps.SubstrK
+      s"""WITH toks AS (SELECT doc_id,
+         |                regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |win AS (SELECT doc_id, i, array_to_string(t[i:i+${k - 1}], ' ') AS w
+         |        FROM toks, unnest(range(1, len(t) - ${k - 2})) AS u(i)
+         |        WHERE len(t) >= $k),
+         |dupw AS (SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, i FROM win WHERE w IN (SELECT w FROM dupw)),
+         |brks AS (SELECT doc_id, i,
+         |           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= $k
+         |                THEN 0 ELSE 1 END AS brk FROM hits),
+         |isl AS (SELECT doc_id, i,
+         |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM brks),
+         |spn AS (SELECT doc_id, CAST(MIN(i) AS BIGINT) AS s,
+         |               CAST(MAX(i) - MIN(i) + $k AS BIGINT) AS n
+         |        FROM isl GROUP BY doc_id, g),
+         |spl AS (SELECT doc_id, list(struct_pack(s := s, n := n)) AS sps,
+         |               CAST(SUM(n) AS BIGINT) AS removed
+         |        FROM spn GROUP BY doc_id)
+         |SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+         |       COALESCE(sl.removed, 0) AS removed_tokens,
+         |       COALESCE(array_to_string(list_filter(tk.t, (x, j) ->
+         |         sl.sps IS NULL OR
+         |         len(list_filter(sl.sps, sp -> j >= sp.s AND j < sp.s + sp.n)) = 0),
+         |         ' '), '') AS clean_text
+         |FROM toks tk LEFT JOIN spl sl USING (doc_id)
+         |ORDER BY tk.doc_id""".stripMargin
     },
     // t19: chunking — chunk 64 / overlap 16 / stride 48; chunk count
     // 1 + (max(n-17,0) // 48) mirrors the Spark sequence() bound exactly

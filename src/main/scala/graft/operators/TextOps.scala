@@ -730,4 +730,43 @@ object TextOps {
       .select($"doc_id", $"span_start", $"span_tokens")
       .orderBy($"doc_id", $"span_start")
   }
+
+  /** t25: the REMOVAL step of Lee et al. 2021's ExactSubstr dedup — t24
+    * names the maximal duplicated spans; this key actually produces the
+    * deduplicated corpus: every duplicated span is excised from every
+    * document (the paper's all-occurrence removal; choosing ONE canonical
+    * copy to keep is whole-doc survivorship territory — d01/d02 — not a
+    * span decision), with per-doc token accounting so a curator sees the
+    * mass the pass reclaims.
+    *
+    * Shape on top of t24's window-frequency exchange: the island spans per
+    * doc collapse to ONE array column (tiny — only docs with hits), joined
+    * back on doc_id (one corpus exchange, deliberately not broadcast-hinted:
+    * on a boilerplate-heavy crawl most docs carry spans, so the span table
+    * is corpus-sized — AQE may still convert when a run measures small).
+    * Excision itself is a scan-local higher-order filter over the token
+    * array (positions covered by a span drop out, order preserved); no
+    * per-token rows ever materialize.
+    */
+  def substrRemoval(s: SparkSession, dir: String): DataFrame =
+    substrRemovalOf(Tables.documents(s, dir))
+
+  private[graft] def substrRemovalOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val spans = exactSubstrSpansOf(docs)
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"span_start".as("s"), $"span_tokens".as("n")))).as("sps"),
+           sum($"span_tokens").as("removed"))
+    docs.select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        coalesce($"removed", lit(0L)).as("removed_tokens"),
+        array_join(expr(
+          "filter(t, (x, j) -> sps is null or !exists(sps, sp -> j+1 >= sp.s and j+1 < sp.s + sp.n))"),
+          " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
 }

@@ -290,6 +290,34 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "dup-window set join must broadcast")
   }
 
+  test("t25 substring removal excises every t24 span, empty string when all-dup") {
+    import spark.implicits._
+    val sA = (1 to 10).map("s" + _).mkString(" ")
+    val sB = (1 to 8).map("z" + _).mkString(" ")
+    val sX = (1 to 8).map("x" + _).mkString(" ")
+    val sY = (1 to 8).map("y" + _).mkString(" ")
+    // same fixture as the t24 spec above — known spans per doc
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $sA ${(1 to 10).map("f" + _).mkString(" ")} $sB t1 t2", "src"),
+      (2L, s"b1 b2 $sA b3", "src"),
+      (3L, s"c1 $sB c2 c3", "src"),
+      (4L, "d1 d2 d3 d4 d5 d6 d7", "src"),
+      (5L, s"${(1 to 8).map("r" + _).mkString(" ")} q ${(1 to 8).map("r" + _).mkString(" ")}", "src"),
+      (6L, s"$sX $sY", "src"),
+      (7L, s"$sX g1 g2 $sY", "src"),
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextOps.substrRemovalOf(docs)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((34L, 18L, "a1 a2 a3 a4 " + (1 to 10).map("f" + _).mkString(" ") + " t1 t2")))
+    assert(r(2L) == ((13L, 10L, "b1 b2 b3")))
+    assert(r(3L) == ((11L, 8L, "c1 c2 c3")))
+    assert(r(4L) == ((7L, 0L, "d1 d2 d3 d4 d5 d6 d7")), "span-free doc passes through intact")
+    assert(r(5L)._2 == 0L, "intra-doc repeat is not a cross-doc span")
+    assert(r(6L) == ((16L, 16L, "")), "fully-duplicated doc excises to the empty string, not NULL")
+    assert(r(7L) == ((18L, 16L, "g1 g2")), "both spans excised, interior survivors keep order")
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L), "every doc emits a row")
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

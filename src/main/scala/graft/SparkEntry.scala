@@ -145,6 +145,7 @@ object SparkEntry {
     "d26_cluster_split" -> (Dedup.clusterSplit _),
     "d27_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
     "d28_semdedup"        -> (Similarity.semDedup _),
+    "d29_quality_survivor" -> ((s, d) => Dedup.qualitySurvivor(s, d)),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -201,6 +202,22 @@ object SparkEntry {
       |       tf_spark + tf_vector + tf_stream AS score
       |FROM c WHERE tf_spark > 0 AND tf_vector > 0 AND tf_stream > 0
       |ORDER BY score DESC, doc_id""".stripMargin
+
+  /** The d10 connected-component closure (simhash edges → min-label
+    * clusters) as a WITH RECURSIVE body — shared by every oracle that
+    * replays the cluster artifact (d22, d26, d29) so the closure semantics
+    * can never drift between them. Yields `cl(doc_id, cluster_id)` over
+    * ALL docs (singletons carry their own id).
+    */
+  private val ClusterClosureCtes: String =
+    s"""${CrossHashSql.simhashCtes},
+       |e AS (SELECT doc_a AS ea, doc_b AS eb FROM cand WHERE hamming <= 3
+       |      UNION ALL
+       |      SELECT doc_b AS ea, doc_a AS eb FROM cand WHERE hamming <= 3),
+       |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+       |          UNION
+       |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea),
+       |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   /** The t06 quality formula (see TextOps.qualityCol) — shared so t06 and
     * d21 can never drift apart.
@@ -1437,14 +1454,7 @@ object SparkEntry {
     // d22: cluster-size histogram over the same reachability closure
     "d22_dedup_survivorship" ->
       s"""WITH RECURSIVE
-         |${CrossHashSql.simhashCtes},
-         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM cand WHERE hamming <= 3
-         |      UNION ALL
-         |      SELECT doc_b AS ea, doc_a AS eb FROM cand WHERE hamming <= 3),
-         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
-         |          UNION
-         |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea),
-         |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+         |$ClusterClosureCtes,
          |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
          |SELECT cluster_size, COUNT(*) AS n_clusters,
          |       CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
@@ -1454,14 +1464,7 @@ object SparkEntry {
     // the SampleHash mirror makes the bucket arithmetic engine-identical
     "d26_cluster_split" ->
       s"""WITH RECURSIVE
-         |${CrossHashSql.simhashCtes},
-         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM cand WHERE hamming <= 3
-         |      UNION ALL
-         |      SELECT doc_b AS ea, doc_a AS eb FROM cand WHERE hamming <= 3),
-         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
-         |          UNION
-         |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea),
-         |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+         |$ClusterClosureCtes
          |SELECT doc_id, cluster_id,
          |       CASE WHEN ${SampleHash.sql("cluster_id")} % 100 < 90 THEN 'train'
          |            WHEN ${SampleHash.sql("cluster_id")} % 100 < 95 THEN 'val'
@@ -1527,6 +1530,24 @@ object SparkEntry {
          |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM asg a LEFT JOIN dup d USING (vec_id)
          |ORDER BY a.vec_id""".stripMargin,
+    // d29: the shared closure filtered to true clusters (size >= 2 — the
+    // artifact only labels edge endpoints), quality via the shared t06
+    // formula, survivor = FIRST_VALUE under (quality DESC, doc_id ASC) —
+    // the same total order the Spark window elects under.
+    "d29_quality_survivor" ->
+      s"""WITH RECURSIVE
+         |$ClusterClosureCtes,
+         |lab AS (SELECT doc_id, cluster_id FROM cl
+         |        WHERE cluster_id IN (SELECT cluster_id FROM cl
+         |                             GROUP BY 1 HAVING COUNT(*) >= 2)),
+         |q AS (SELECT doc_id, $QualitySql AS quality FROM documents),
+         |r AS (SELECT l.doc_id, l.cluster_id, q.quality,
+         |             FIRST_VALUE(l.doc_id) OVER (PARTITION BY l.cluster_id
+         |               ORDER BY q.quality DESC, l.doc_id ASC) AS survivor_id
+         |      FROM lab l JOIN q USING (doc_id))
+         |SELECT doc_id, cluster_id, quality, survivor_id,
+         |       doc_id = survivor_id AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

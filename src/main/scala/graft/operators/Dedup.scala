@@ -181,6 +181,42 @@ object Dedup {
       .orderBy($"cluster_size")
   }
 
+  /** d29: quality-aware survivorship — for each near-dup cluster keep the
+    * HIGHEST-t06-quality member (quality DESC, doc_id ASC tie-break), not
+    * the min-id: min-id survivorship (d01/d22) is arbitrary about WHICH
+    * near-duplicate survives, while a curator wants the cleanest copy of
+    * each duplicated text to be the one that trains. One verdict row per
+    * clustered doc (singletons are untouched by definition — they appear
+    * in no cluster and need no verdict).
+    *
+    * Scale shape: consumes the materialized cluster artifact
+    * ([[clusterLabels]], d22/d26 pattern) so the clustering never re-runs;
+    * quality is projected scan-locally BEFORE the join, so only narrow
+    * (doc_id, quality) pairs cross the exchange — never text. Two
+    * exchanges total over the labeled subset (the doc_id join, the
+    * cluster_id window); the election itself is one window pass whose
+    * default frame already exposes the partition's top row to every member
+    * (no second survivor join). No broadcast hint on the label side: on a
+    * boilerplate-heavy crawl most docs are clustered, so labels is
+    * corpus-sized (the d28 small-table-that-isn't trap) — AQE converts
+    * when a run measures small.
+    */
+  def qualitySurvivor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = clusterLabels(s, dir)
+    val w = Window.partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .select($"doc_id", TextOps.qualityCol.as("quality"))
+      .join(labels, Seq("doc_id"))
+      .select($"doc_id", $"cluster_id", $"quality",
+              // default window frame (UNBOUNDED PRECEDING .. CURRENT ROW)
+              // contains the rank-1 row for every member, so first() IS the
+              // elected survivor — no explicit full-partition frame needed
+              first($"doc_id").over(w).as("survivor_id"))
+      .withColumn("kept", $"doc_id" === $"survivor_id")
+      .orderBy($"doc_id")
+  }
+
   /** s14 micro-batch body: sign + band the incoming docs, refuse any doc
     * that collides with the persisted signature index at >= threshold
     * agreement (the d20 verdict, applied at ingest), and append the

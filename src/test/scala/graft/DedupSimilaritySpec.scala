@@ -424,6 +424,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("d29 elects exactly one max-quality survivor per cluster, agreeing with d10") {
+    import spark.implicits._
+    val df = SparkEntry.queries("d29_quality_survivor")(spark, sfDir).cache()
+    // membership = the cluster artifact (edge endpoints only; no singletons)
+    val labels = operators.Dedup.clusterLabels(spark, sfDir)
+    assert(df.count() == labels.count(), "one verdict row per clustered doc")
+    assert(df.select($"doc_id", $"cluster_id").except(labels).isEmpty &&
+           labels.except(df.select($"doc_id", $"cluster_id")).isEmpty,
+      "membership must be exactly d10's clusters")
+    assert(df.groupBy($"cluster_id").agg(sum(when($"kept", 1L).otherwise(0L)).as("k"))
+      .filter($"k" =!= 1L).isEmpty, "exactly one survivor per cluster")
+    // the election law: nobody in the cluster beats the survivor under
+    // (quality DESC, doc_id ASC)
+    val sv = df.filter($"kept")
+      .select($"cluster_id", $"doc_id".as("sid"), $"quality".as("sq"))
+    assert(df.join(sv, "cluster_id")
+      .filter($"quality" > $"sq" || ($"quality" === $"sq" && $"doc_id" < $"sid"))
+      .isEmpty, "a cluster member outranks its elected survivor")
+    assert(df.filter($"kept" =!= ($"doc_id" === $"survivor_id")).isEmpty,
+      "kept must be exactly the survivor identity")
+    // quality is the shared t06 formula — spot-agree against the t06 key
+    val t06 = SparkEntry.queries("t06_quality_score")(spark, sfDir)
+      .select($"doc_id", $"quality".as("q6"))
+    assert(df.join(t06, "doc_id").filter($"quality" =!= $"q6").isEmpty,
+      "d29 quality drifted from t06's formula")
+    df.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

@@ -163,6 +163,7 @@ object SparkEntry {
     "s16_stream_quality_gate" -> (graft.streaming.Streams.streamQualityBatch _),
     "s15_window_heavy_hitters" -> (graft.streaming.Streams.windowHeavyHittersBatch _),
     "s17_cdc_replay"   -> (graft.streaming.Streams.cdcReplayBatch _),
+    "s18_budget_admission" -> (graft.streaming.Streams.budgetAdmissionBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -295,6 +296,26 @@ object SparkEntry {
         |           FROM events)
         |SELECT key, op, version, ts, (op <> 'error') AS live
         |FROM w WHERE rn = 1 ORDER BY key""".stripMargin,
+    // s18: soft-cap admission — admitted from the ALL-previous cumsum,
+    // spent_before re-summed over admitted-only rows (the streaming fold's
+    // frozen counter); budget constant mirrors Streams.SourceTokenBudget
+    "s18_budget_admission" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS BIGINT)
+         |               AS n_tokens
+         |           FROM documents),
+         |a AS (SELECT *,
+         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          < ${graft.streaming.Streams.SourceTokenBudget} AS admitted
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |       CAST(COALESCE(SUM(CASE WHEN admitted THEN n_tokens END)
+         |         OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |         AS spent_before,
+         |       admitted
+         |FROM a ORDER BY doc_id""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

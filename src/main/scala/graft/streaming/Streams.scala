@@ -17,6 +17,13 @@ case class Session(user_id: Long, session_start: Timestamp, session_end: Timesta
 /** Accumulating per-user session state. */
 case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+/** One document as consumed by the s18 budget-admission fold. */
+case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long)
+
+/** Per-doc admission verdict under the s18 per-source token budget. */
+case class BudgetVerdict(doc_id: Long, source: String, n_tokens: Long,
+                         spent_before: Long, admitted: Boolean)
+
 /** Streaming operators — SURVEY.md §2.E.
   *
   * Each transform is written against an input DataFrame, not a source, so the
@@ -501,5 +508,72 @@ object Streams {
            sum(when($"quality" > $"cutoff", 1L).otherwise(0L)).as("n_admitted"),
            sum(when($"quality" > $"cutoff", 0L).otherwise(1L)).as("n_blocked"))
       .orderBy($"source")
+  }
+
+  /** s18: per-source token budget for the admission window (soft cap —
+    * the doc that crosses the line is admitted; everything after is
+    * refused). Sized so both verdict classes exist at every SF (min
+    * per-source mass is ~1.3k tokens at the smallest SF).
+    */
+  val SourceTokenBudget: Long = 800L
+
+  /** s18 streaming fold: d25's token-budget contract applied at INGEST —
+    * a live feed admits docs per source until the source's budget is
+    * spent, then refuses. State is ONE long per source (tokens spent),
+    * so state-store size is |sources| regardless of stream length — the
+    * constant-state shape every unbounded-ingest gate here shares (s13/
+    * s16 are stateless; this one genuinely needs memory: "how much did I
+    * already admit" is not computable from the current row).
+    *
+    * Soft-cap semantics (admit iff spent-so-far < budget, THEN add) make
+    * the fold prefix-stable: refusals never change `spent`, so the
+    * verdict stream is identical to the batch window twin below —
+    * [[budgetAdmissionBatch]] — which the spec proves by driving the
+    * same rows through 3 micro-batches. Within a batch, per-source rows
+    * are folded in doc_id order (the deterministic arrival order the
+    * spec and oracle replay).
+    */
+  def budgetAdmissionStream(docs: Dataset[BudgetDoc]): Dataset[BudgetVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[BudgetDoc], state: GroupState[Long]) =>
+          var spent = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val v = BudgetVerdict(d.doc_id, source, d.n_tokens, spent,
+                                  spent < SourceTokenBudget)
+            if (v.admitted) spent += d.n_tokens
+            v
+          }
+          state.update(spent)
+          out.iterator
+      }
+  }
+
+  /** s18's batch twin (the oracled key): the same soft-cap admission as
+    * one window pass. `admitted` is decidable from the ALL-previous
+    * cumsum (before the budget line every prior doc was admitted, after
+    * it the verdict is refused either way), and `spent_before` then
+    * re-sums the admitted-only mass — two stacked frames over ONE
+    * (source, doc_id) sort, so the corpus crosses a single exchange.
+    * Token count is t04's ws_tokens via the codegen'd regex_count kernel
+    * (provably equal to size(split(trim, \s+)) — see qualityCol).
+    */
+  def budgetAdmissionBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.regexCountDirect
+    val wPrev = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+              (regexCountDirect(trim($"text"), lit("\\s+")) + lit(1L))
+                .cast("long").as("n_tokens"))
+      .withColumn("admitted",
+        coalesce(sum($"n_tokens").over(wPrev), lit(0L)) < lit(SourceTokenBudget))
+      .withColumn("spent_before",
+        coalesce(sum(when($"admitted", $"n_tokens")).over(wPrev), lit(0L)))
+      .select($"doc_id", $"source", $"n_tokens", $"spent_before", $"admitted")
+      .orderBy($"doc_id")
   }
 }

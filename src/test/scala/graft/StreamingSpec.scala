@@ -403,6 +403,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s18 soft-cap boundary: the crossing doc admits, everything after refuses") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.BudgetDoc
+    val input = MemoryStream[BudgetDoc]
+    val q = Streams.budgetAdmissionStream(input.toDS())
+      .writeStream.format("memory").queryName("s18_fix").outputMode("append").start()
+    try {
+      // budget 800: 700 admits (spent 0), 200 CROSSES but admits (700<800),
+      // then the counter is frozen at 900 — 50 and even a 1-token doc refuse
+      input.addData(
+        BudgetDoc(1, "srcA", 700), BudgetDoc(2, "srcA", 200),
+        BudgetDoc(3, "srcA", 50))
+      q.processAllAvailable()
+      input.addData(BudgetDoc(4, "srcA", 1), BudgetDoc(5, "srcB", 900))
+      q.processAllAvailable()
+      val r = s.table("s18_fix")
+        .collect().map(x => x.getLong(0) -> ((x.getLong(3), x.getBoolean(4)))).toMap
+      assert(r(1L) == ((0L, true)))
+      assert(r(2L) == ((700L, true)), "the crossing doc is admitted (soft cap)")
+      assert(r(3L) == ((900L, false)), "after the line the counter is frozen")
+      assert(r(4L) == ((900L, false)), "refusal is permanent across micro-batches")
+      assert(r(5L) == ((0L, true)), "a fresh source starts at zero spent")
+    } finally q.stop()
+  }
+
+  test("s18 streaming fold over 3 micro-batches equals the batch window twin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.{BudgetDoc, BudgetVerdict}
+    val batch = SparkEntry.queries("s18_budget_admission")(spark, sfDir).cache()
+    val docs = batch.select($"doc_id", $"source", $"n_tokens").as[BudgetDoc]
+      .collect().sortBy(_.doc_id)
+    assert(docs.length > 100)
+    val input = MemoryStream[BudgetDoc]
+    val q = Streams.budgetAdmissionStream(input.toDS())
+      .writeStream.format("memory").queryName("s18_out").outputMode("append").start()
+    try {
+      // 3 micro-batches in doc_id order — the deterministic arrival order
+      // the oracle replays; state must carry spent across the batch cuts
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = s.table("s18_out").as[BudgetVerdict].collect()
+        .map(v => (v.doc_id, v.source, v.n_tokens, v.spent_before, v.admitted)).toSet
+      val fromBatch = batch.collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3), x.getBoolean(4))).toSet
+      assert(streamed == fromBatch,
+        "incremental fold must equal the global window rebuild")
+      // both verdict classes genuinely exercised
+      assert(fromBatch.exists(_._5) && fromBatch.exists(!_._5))
+    } finally { q.stop(); batch.unpersist() }
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

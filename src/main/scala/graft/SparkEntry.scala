@@ -146,6 +146,7 @@ object SparkEntry {
     "d27_semantic_decontaminate" -> (Similarity.semanticDecontaminate _),
     "d28_semdedup"        -> (Similarity.semDedup _),
     "d29_quality_survivor" -> ((s, d) => Dedup.qualitySurvivor(s, d)),
+    "d30_knn_label_purity" -> (Similarity.knnLabelPurity _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1569,6 +1570,26 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, quality, survivor_id,
          |       doc_id = survivor_id AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
+    // d30: the full |queries| x |corpus| score matrix replayed (d27
+    // precedent), rank under (sim DESC, neighbor_id ASC) = the Spark
+    // window's total order; n_agree cast to BIGINT before the exact /10
+    "d30_knn_label_purity" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+         |           FROM embeddings
+         |           WHERE vec_id % ${Similarity.KnnEvalEvery} = ${Similarity.KnnEvalResidue}
+         |             AND vec_id < ${Similarity.KnnEvalCap}),
+         |c AS (SELECT query_id, q_label, e.vec_id AS nid, e.label AS n_label,
+         |             list_cosine_similarity(qe, e.embedding) AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                   ORDER BY sim DESC, nid) AS rank
+         |      FROM c)
+         |SELECT query_id AS vec_id, q_label AS label,
+         |       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_agree,
+         |       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         |         / ${Similarity.K}.0 AS knn_purity
+         |FROM r WHERE rank <= ${Similarity.K} GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

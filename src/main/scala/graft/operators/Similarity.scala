@@ -613,4 +613,51 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rank")
       .orderBy($"query_id", $"rank")
   }
+
+  /** d30 eval-query sample: deterministic and capped, so the oracle's
+    * |queries| × |corpus| replay stays bounded at every SF (d27 pattern).
+    */
+  val KnnEvalEvery = 20
+  val KnnEvalResidue = 1
+  val KnnEvalCap = 2000L
+
+  /** d30: k-NN label purity — the intrinsic embedding-quality metric over
+    * the so-far-unused `label` column: for each sampled query vector, the
+    * fraction of its k=10 exact nearest neighbors (cosine, full corpus,
+    * self excluded) sharing its label. This is the standard kNN-classifier
+    * leave-one-out readout: purity near 1 means the space separates the
+    * classes; purity at 1/|classes| means the labels carry no geometry.
+    *
+    * Scale shape: the capped query sample broadcasts with its labels, so
+    * the corpus crosses ZERO exchanges before the rank limit — neighbor
+    * labels ride the corpus scan (no join-back), the rank filter compiles
+    * to WindowGroupLimit (each partition keeps ≤ k rows per query), and
+    * the purity agg runs over |queries| × k rows. At 100 TB the same agg
+    * consumes ANN neighbor lists (d06/d08/d12) instead of the exact scan —
+    * d13 gates how much purity that approximation costs.
+    */
+  def knnLabelPurity(s: SparkSession, dir: String): DataFrame =
+    knnLabelPurityOf(Tables.embeddings(s, dir))
+
+  private[graft] def knnLabelPurityOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val q = emb
+      .filter($"vec_id" % KnnEvalEvery === KnnEvalResidue && $"vec_id" < KnnEvalCap)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"neighbor_id".asc)
+    emb
+      .crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"q_label", $"vec_id".as("neighbor_id"),
+              $"label".as("n_label"), cosineSim($"qe", $"embedding").as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= K)
+      .groupBy($"query_id", $"q_label")
+      .agg(sum(when($"n_label" === $"q_label", 1L).otherwise(0L)).as("n_agree"))
+      .select($"query_id".as("vec_id"), $"q_label".as("label"),
+              $"n_agree", ($"n_agree" / lit(K.toDouble)).as("knn_purity"))
+      .orderBy($"vec_id")
+  }
 }

@@ -452,6 +452,33 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("d30 purity is 1 on separable clusters and internally consistent on real data") {
+    import spark.implicits._
+    // two orthogonal 16-member clusters: every query's 10 nearest live in
+    // its own cluster, so purity must be exactly 1.0 for both sampled
+    // queries (ids 1 and 21 under the %20==1 sample)
+    val a = Array.tabulate(64)(i => (math.cos(i) * 0.5).toFloat)
+    val b = Array.tabulate(64)(i => if (i % 2 == 0) a(i + 1) else -a(i - 1)) // orthogonal
+    def jitter(v: Array[Float], j: Int) =
+      v.zipWithIndex.map { case (x, i) => x + (if (i == j % 64) 0.001f * (j + 1) else 0f) }
+    val emb = (
+      (0 until 16).map(i => (i.toLong, jitter(a, i), 0)) ++
+      (0 until 16).map(i => (20L + i, jitter(b, i), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val fix = Similarity.knnLabelPurityOf(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(fix.toSeq == Seq((1L, 0, 10L, 1.0), (21L, 1, 10L, 1.0)), s"got ${fix.toSeq}")
+    // real corpus: one row per sampled query, purity = n_agree/k in [0,1]
+    val df = SparkEntry.queries("d30_knn_label_purity")(spark, sfDir).cache()
+    val expectedQ = Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % Similarity.KnnEvalEvery === Similarity.KnnEvalResidue &&
+              $"vec_id" < Similarity.KnnEvalCap).count()
+    assert(df.count() == expectedQ, "one purity row per sampled query")
+    assert(df.filter($"knn_purity" < 0.0 || $"knn_purity" > 1.0).isEmpty)
+    assert(df.filter($"n_agree" =!= ($"knn_purity" * Similarity.K).cast("long")).isEmpty)
+    df.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

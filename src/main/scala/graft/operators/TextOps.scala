@@ -713,9 +713,13 @@ object TextOps {
         s"transform(sequence(1, size(t) - ${k - 1}), " +
           s"i -> struct(i as i, array_join(slice(t, i, $k), ' ') as w))")).as("x"))
       .select($"doc_id", $"x.i".as("i"), $"x.w".as("w"))
+    // "appears in >= 2 distinct docs" as min != max: countDistinct plans a
+    // two-exchange partial-distinct aggregate, while min/max are single-pass
+    // partial aggs — one exchange over the window-keyed corpus, half the
+    // shuffle of the distinct form, same predicate for the >= 2 case
     val dup = wins.groupBy($"w")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2)
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .filter($"lo" =!= $"hi")
       .select($"w")
     val hits = wins.join(broadcast(dup), Seq("w"), "left_semi")
     val byDoc = Window.partitionBy($"doc_id").orderBy($"i")

@@ -147,6 +147,7 @@ object SparkEntry {
     "d28_semdedup"        -> (Similarity.semDedup _),
     "d29_quality_survivor" -> ((s, d) => Dedup.qualitySurvivor(s, d)),
     "d30_knn_label_purity" -> (Similarity.knnLabelPurity _),
+    "d31_containment"     -> (Dedup.containmentPairs _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1590,6 +1591,30 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
          |         / ${Similarity.K}.0 AS knn_purity
          |FROM r WHERE rank <= ${Similarity.K} GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // d31: d02's band collisions UNGATED (no est_jaccard cut — containment
+    // pairs are low-Jaccard by construction), distinct 3-gram sets joined
+    // back, directional containment with the empty-set=1.0 d04 convention
+    "d31_containment" ->
+      s"""WITH
+         |${CrossHashSql.minhashCtes(3)},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM band a JOIN band b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND a.doc_id < b.doc_id),
+         |gd AS (SELECT doc_id, list_distinct(grams) AS grams FROM g),
+         |j AS (SELECT doc_a, doc_b,
+         |        CASE WHEN len(ga.grams) = 0 THEN 1.0
+         |             ELSE FLOOR(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+         |                        / len(ga.grams) * 10000 + 0.5) / 10000 END AS contain_a_in_b,
+         |        CASE WHEN len(gb.grams) = 0 THEN 1.0
+         |             ELSE FLOOR(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+         |                        / len(gb.grams) * 10000 + 0.5) / 10000 END AS contain_b_in_a
+         |      FROM cand JOIN gd ga ON ga.doc_id = cand.doc_a
+         |                JOIN gd gb ON gb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, contain_a_in_b, contain_b_in_a,
+         |       GREATEST(contain_a_in_b, contain_b_in_a) AS max_containment,
+         |       GREATEST(contain_a_in_b, contain_b_in_a) >= 0.8 AS is_contained
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

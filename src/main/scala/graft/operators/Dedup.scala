@@ -676,6 +676,54 @@ object Dedup {
     * Grams are word-bigram STRINGS (not hashes) so the DuckDB oracle computes
     * the identical sets with string_split + list_intersect/list_distinct.
     */
+  /** d31: asymmetric n-gram CONTAINMENT over the LSH candidate pairs —
+    * quote / sub-document copy detection. containment(A in B) =
+    * |grams(A) ∩ grams(B)| / |grams(A)| stays at 1.0 when a small doc is
+    * copied wholesale into a large host, exactly where symmetric Jaccard
+    * (d04) dilutes toward zero as the host grows — so this is the gate
+    * that catches quotation farms and page-merge copies Jaccard misses.
+    * Empty gram sets are contained by convention (1.0, the d04 precedent).
+    *
+    * Candidates are the d02 band collisions WITHOUT the Jaccard gate (a
+    * contained-pair's est_jaccard is low by construction — gating on it
+    * would throw away the very pairs this operator exists for); exact
+    * distinct-gram arrays then join back for candidate pairs only. The
+    * corpus-sized gram table shuffles on doc_id; the pair side is
+    * collision-sized. At 100 TB the principled candidate source is an
+    * LSH-Ensemble / containment-minhash index — the band join here is the
+    * same bucket-local shape with the threshold pushed to the verifier.
+    */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(s, dir))
+
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val banded = bandSignatures(signaturesOf(docs))
+    val pa = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"))
+    val pb = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"))
+    val pairs = pa.join(pb, Seq("band_id", "band_key"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val grams = docs
+      .select($"doc_id",
+        array_distinct(shingleStrings(split(lower(trim($"text")), "\\s+"), lit(3))).as("grams"))
+    val inter = size(array_intersect($"grams_a", $"grams_b")).cast("double")
+    def contain(base: org.apache.spark.sql.Column) =
+      when(size(base) === 0, 1.0)
+        .otherwise(floor(inter / size(base).cast("double") * 10000.0 + 0.5) / 10000.0)
+    pairs
+      .join(grams.select($"doc_id".as("doc_a"), $"grams".as("grams_a")), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"grams".as("grams_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        contain($"grams_a").as("contain_a_in_b"),
+        contain($"grams_b").as("contain_b_in_a"))
+      .withColumn("max_containment", greatest($"contain_a_in_b", $"contain_b_in_a"))
+      .withColumn("is_contained", $"max_containment" >= 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)

@@ -479,6 +479,41 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("d31 containment is 1.0 for a doc copied into a host, and supersets d02") {
+    import spark.implicits._
+    // doc 1 verbatim inside doc 2 (plus host-only tail): containment of 1
+    // in 2 must be exactly 1.0 while 2-in-1 is strictly smaller — the
+    // asymmetry Jaccard can't express; docs 3/4 identical -> 1.0 both ways
+    val small = (1 to 12).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " extra tail tokens here"),
+      (3L, (1 to 10).map("q" + _).mkString(" ")),
+      (4L, (1 to 10).map("q" + _).mkString(" ")),
+    ).toDF("doc_id", "text")
+    val fix = operators.Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(5)))).toMap
+    assert(fix.contains((1L, 2L)), s"subset pair must band-collide; got ${fix.keySet}")
+    val (c12, c21, flag12) = fix((1L, 2L))
+    assert(c12 == 1.0, "the contained doc scores exactly 1.0 into its host")
+    assert(c21 < 1.0 && c21 > 0.0, s"host-into-subset must be partial, got $c21")
+    assert(flag12, "subset copy must be flagged contained")
+    assert(fix((3L, 4L)) == ((1.0, 1.0, true)), "identical docs contain both ways")
+    // real corpus: d31's ungated candidates must superset d02's gated pairs
+    val d31 = SparkEntry.queries("d31_containment")(spark, sfDir).cache()
+    val d02 = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    assert(d02.except(d31.select($"doc_a", $"doc_b")).isEmpty,
+      "every Jaccard-gated d02 pair must appear among d31's ungated candidates")
+    assert(d31.filter($"contain_a_in_b" < 0.0 || $"contain_a_in_b" > 1.0 ||
+                      $"contain_b_in_a" < 0.0 || $"contain_b_in_a" > 1.0).isEmpty)
+    assert(d31.filter($"max_containment" =!=
+      greatest($"contain_a_in_b", $"contain_b_in_a")).isEmpty)
+    assert(d31.filter($"is_contained" =!= ($"max_containment" >= 0.8)).isEmpty)
+    d31.unpersist()
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

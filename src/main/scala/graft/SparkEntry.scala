@@ -153,6 +153,7 @@ object SparkEntry {
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
     "m04_attachment_dedup" -> (Multimodal.attachmentDedup _),
     "m05_blob_chunks"      -> (Multimodal.blobChunks _),
+    "m06_shard_manifest"   -> (Multimodal.shardManifest _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -1710,6 +1711,25 @@ object SparkEntry {
         |       LEAST(256, byte_len - chunk_idx * 256) AS chunk_len,
         |       md5(substring(payload, CAST(chunk_idx*256 + 1 AS BIGINT), 256)) AS chunk_md5
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // m06: per-source fixed-boundary packing from the exclusive byte
+    // cumsum; ordered string_agg mirrors the Spark side's array_sort over
+    // (doc_id, md5) structs — both digest member md5s in doc_id order
+    "m06_shard_manifest" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+         |             md5('IMG0' || text) AS blob_md5
+         |           FROM documents),
+         |c AS (SELECT *,
+         |        COALESCE(SUM(byte_len) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          // ${Multimodal.ShardBytes} AS shard_idx
+         |      FROM b)
+         |SELECT source, CAST(shard_idx AS BIGINT) AS shard_idx,
+         |       COUNT(*) AS n_blobs,
+         |       CAST(SUM(byte_len) AS BIGINT) AS shard_bytes,
+         |       MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi,
+         |       md5(string_agg(blob_md5, ',' ORDER BY doc_id)) AS manifest_md5
+         |FROM c GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin,
     "m02_frame_sample" ->
       """WITH v AS (SELECT doc_id,
         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

@@ -137,6 +137,50 @@ object Multimodal {
       .orderBy($"content_md5")
   }
 
+  /** m06 shard byte budget — sized so every SF yields multiple shards per
+    * source AND multi-blob shards (blobs are ~250 B here; production uses
+    * ~100 MB-1 GB tar shards with the same arithmetic).
+    */
+  val ShardBytes = 2048L
+
+  /** m06: training-shard manifest — the WebDataset/tar-shard layout step: blobs
+    * pack in deterministic (source, doc_id) order into ~ShardBytes shards,
+    * and each shard row carries the member count, byte mass, id range and an
+    * order-sensitive digest of member md5s (what an ingest job checks after
+    * writing the tar). Packing is fixed-boundary: a blob starting before a
+    * boundary joins the earlier shard (bounded overshoot, never a split
+    * blob — the p26 token-packing convention on bytes).
+    *
+    * Scale shape: sharding is PER SOURCE (the d25/s18 pattern) — one window
+    * exchange keyed on source, every source packs in parallel, no global
+    * running sum (a single global cumsum would serialize the corpus through
+    * one partition; per-source boundaries are also what a curator ships).
+    * Blob bytes never shuffle: only (byte_len, md5) projections cross the
+    * exchange, and the digest aggregates |shard|-sized md5 lists.
+    */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        concat(lit("IMG0"), $"text").cast("binary").as("blob"))
+      .select($"doc_id", $"source",
+        length($"blob").cast("long").as("byte_len"), md5($"blob").as("blob_md5"))
+      .withColumn("shard_idx",
+        floor(coalesce(sum($"byte_len").over(wPrev), lit(0L)) / lit(ShardBytes))
+          .cast("long"))
+      .groupBy($"source", $"shard_idx")
+      .agg(count(lit(1)).as("n_blobs"),
+           sum($"byte_len").as("shard_bytes"),
+           min($"doc_id").as("doc_lo"),
+           max($"doc_id").as("doc_hi"),
+           expr("md5(array_join(transform(array_sort(collect_list(struct(doc_id, blob_md5))), x -> x.blob_md5), ','))")
+             .as("manifest_md5"))
+      .orderBy($"source", $"shard_idx")
+  }
+
   /** Batched metadata extraction over the binary column. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

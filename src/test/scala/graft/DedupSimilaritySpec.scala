@@ -599,6 +599,44 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("m06 shards conserve the store, pack contiguously, and bound overshoot") {
+    import spark.implicits._
+    val df = SparkEntry.queries("m06_shard_manifest")(spark, sfDir).cache()
+    val store = operators.Multimodal.withBlob(spark, sfDir)
+      .agg(count(lit(1)).as("n"), sum(length($"blob")).as("bytes")).head()
+    // conservation: every blob lands in exactly one shard, no bytes lost
+    assert(df.agg(sum($"n_blobs")).head().getLong(0) == store.getLong(0))
+    assert(df.agg(sum($"shard_bytes")).head().getLong(0) == store.getLong(1))
+    // shard ids are contiguous from 0 within a source (fixed-boundary
+    // packing can't skip a boundary: every boundary has a crossing blob)
+    assert(df.groupBy($"source")
+      .agg(min($"shard_idx").as("lo"), max($"shard_idx").as("hi"),
+           count(lit(1)).as("n"))
+      .filter($"lo" =!= 0L || $"n" =!= $"hi" + 1).isEmpty,
+      "per-source shard indices must be 0..n-1 with no gaps")
+    // fixed-boundary bound: a shard's first blob starts within max_blob of
+    // its boundary (the crossing blob ends just past the line), so every
+    // non-final shard's byte mass lies in (B - max_blob, B + max_blob)
+    val maxBlob = operators.Multimodal.withBlob(spark, sfDir)
+      .agg(max(length($"blob")).cast("long")).head().getLong(0)
+    val lastIdx = df.groupBy($"source").agg(max($"shard_idx").as("last_idx"))
+    val nonFinal = df.join(lastIdx, "source").filter($"shard_idx" < $"last_idx")
+    assert(nonFinal.filter(
+      $"shard_bytes" <= operators.Multimodal.ShardBytes - maxBlob ||
+      $"shard_bytes" >= operators.Multimodal.ShardBytes + maxBlob).isEmpty,
+      s"non-final shard mass must sit within one blob of the $maxBlob-byte budget line")
+    // doc ranges are disjoint and ordered across consecutive shards
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"shard_idx")
+    assert(df.withColumn("prev_hi", lag($"doc_hi", 1).over(w))
+      .filter($"prev_hi".isNotNull && $"doc_lo" <= $"prev_hi").isEmpty,
+      "shards must partition the doc_id order")
+    // multi-shard sources and multi-blob shards both exist at every SF
+    assert(df.filter($"shard_idx" > 0).count() > 0)
+    assert(df.filter($"n_blobs" > 1).count() > 0)
+    df.unpersist()
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

@@ -154,6 +154,8 @@ object SparkEntry {
     "m04_attachment_dedup" -> (Multimodal.attachmentDedup _),
     "m05_blob_chunks"      -> (Multimodal.blobChunks _),
     "m06_shard_manifest"   -> (Multimodal.shardManifest _),
+    "m07_feature_extract"  -> (Multimodal.featureExtract _),
+    "m08_resize"           -> (Multimodal.resizeBlobs _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -1730,6 +1732,36 @@ object SparkEntry {
          |       MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi,
          |       md5(string_agg(blob_md5, ',' ORDER BY doc_id)) AS manifest_md5
          |FROM c GROUP BY 1, 2 ORDER BY source, shard_idx""".stripMargin,
+    // m07: stripe boundaries replay the integer floor division; per-byte
+    // ord() over the ASCII payload rebuilds each stripe sum exactly
+    "m07_feature_extract" ->
+      """WITH b AS (SELECT doc_id, 'IMG0' || text AS payload,
+        |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |           FROM documents),
+        |st AS (SELECT doc_id, payload, n, unnest(range(0, 8)) AS stripe FROM b),
+        |rg AS (SELECT doc_id, stripe, payload,
+        |              (stripe * n) // 8 AS lo, ((stripe + 1) * n) // 8 AS hi
+        |       FROM st),
+        |s2 AS (SELECT doc_id, stripe, hi - lo AS cnt,
+        |         CAST(COALESCE(list_sum(list_transform(range(lo + 1, hi + 1),
+        |           i -> ord(substring(payload, CAST(i AS BIGINT), 1)))), 0) AS BIGINT)
+        |           AS byte_sum
+        |       FROM rg)
+        |SELECT doc_id, CAST(stripe AS BIGINT) AS stripe, byte_sum,
+        |       CASE WHEN cnt = 0 THEN 0.0
+        |            ELSE FLOOR(CAST(byte_sum AS DOUBLE) / cnt * 10000 + 0.5) / 10000
+        |       END AS byte_mean
+        |FROM s2 ORDER BY doc_id, stripe""".stripMargin,
+    // m08: the stride-4 subsample rebuilt byte-for-byte, digest compared
+    "m08_resize" ->
+      """WITH b AS (SELECT doc_id, 'IMG0' || text AS payload,
+        |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
+        |           FROM documents),
+        |e AS (SELECT doc_id, n, i, substring(payload, CAST(i AS BIGINT), 1) AS ch
+        |      FROM b, unnest(range(1, n + 1, 4)) AS t(i))
+        |SELECT doc_id, n AS orig_len, (n + 3) // 4 AS resized_len,
+        |       md5(string_agg(ch, '' ORDER BY i)) AS resized_md5
+        |FROM e GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "m02_frame_sample" ->
       """WITH v AS (SELECT doc_id,
         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

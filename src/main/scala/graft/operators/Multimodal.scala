@@ -7,6 +7,12 @@ import graft.Tables
 /** Input row for the batched media-metadata extraction. */
 case class MediaBlob(doc_id: Long, blob: Array[Byte])
 
+/** One stripe of the m07 feature vector (long format — array-free schema). */
+case class FeatureRow(doc_id: Long, stripe: Long, byte_sum: Long, byte_mean: Double)
+
+/** m08 resize verdict: the downsampled blob's size and content digest. */
+case class ResizedBlob(doc_id: Long, orig_len: Long, resized_len: Long, resized_md5: String)
+
 /** Typed metadata extracted per blob. */
 case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, format: String)
 
@@ -195,6 +201,72 @@ object Multimodal {
             width = 64L + (m.doc_id * 37L) % 1857L,
             height = 64L + (m.doc_id * 53L) % 1016L,
             format = if (m.doc_id % 3 == 0) "png" else "jpeg")
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  /** m07: batched feature extraction over the binary column — the
+    * embed-the-image step of a multimodal pipeline. Each blob yields an
+    * 8-stripe feature vector (per-stripe byte sum + mean) in LONG format
+    * (doc_id, stripe, ...) so the schema stays array-free and shard-able.
+    * STUB: a real model would consume the batch iterator (ONNX/JNI session
+    * per partition — exactly this mapPartitions shape, one session per
+    * task, not per row); the stripe arithmetic stands in deterministically
+    * so the oracle can replay every value byte-for-byte. Narrow per-row
+    * fan-out (8 rows/blob), zero pre-sort exchanges.
+    */
+  def featureExtract(s: SparkSession, dir: String): DataFrame =
+    featureExtractOf(withBlob(s, dir))
+
+  private[graft] def featureExtractOf(withBlobs: DataFrame): DataFrame = {
+    val s = withBlobs.sparkSession
+    import s.implicits._
+    withBlobs.as[MediaBlob]
+      .mapPartitions { blobs =>
+        blobs.flatMap { m =>
+          val n = m.blob.length
+          (0 until 8).iterator.map { j =>
+            val lo = j * n / 8
+            val hi = (j + 1) * n / 8
+            var sum = 0L
+            var i = lo
+            while (i < hi) { sum += (m.blob(i) & 0xff); i += 1 }
+            val cnt = hi - lo
+            val mean = if (cnt == 0) 0.0
+                       else math.floor(sum.toDouble / cnt * 10000.0 + 0.5) / 10000.0
+            FeatureRow(m.doc_id, j.toLong, sum, mean)
+          }
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id", $"stripe")
+  }
+
+  /** m08: resize over the binary column — nearest-neighbor downsample
+    * analogue: keep every 4th byte of the blob (stride subsample), report
+    * the resized size and content digest. STUB for a real image resize
+    * (the codec would consume/produce the batch in the same mapPartitions
+    * shape, with the digest as the sink integrity check); the stride rule
+    * is deterministic so the oracle rebuilds the resized bytes and their
+    * md5 exactly. Scan-local per-row work, no shuffle before the output
+    * sort.
+    */
+  def resizeBlobs(s: SparkSession, dir: String): DataFrame =
+    resizeBlobsOf(withBlob(s, dir))
+
+  private[graft] def resizeBlobsOf(withBlobs: DataFrame): DataFrame = {
+    val s = withBlobs.sparkSession
+    import s.implicits._
+    withBlobs.as[MediaBlob]
+      .mapPartitions { blobs =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        blobs.map { m =>
+          val small = m.blob.indices.collect { case i if i % 4 == 0 => m.blob(i) }.toArray
+          md.reset()
+          val hex = md.digest(small).map("%02x".format(_)).mkString
+          ResizedBlob(m.doc_id, m.blob.length.toLong, small.length.toLong, hex)
         }
       }
       .toDF()

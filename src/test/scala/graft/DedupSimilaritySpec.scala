@@ -637,6 +637,38 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("m07/m08 codec stubs: stripe sums and stride digest match hand-computed bytes") {
+    import spark.implicits._
+    // blob = "IMG0AAAA BBBB" (13 bytes): stripe boundaries j*13/8 give
+    // [0,1)[1,3)[3,4)[4,6)[6,8)[8,9)[9,11)[11,13) — sums hand-computed
+    val fixture = Seq((7L, "IMG0AAAA BBBB".getBytes("UTF-8")))
+      .toDF("doc_id", "blob")
+    val feats = operators.Multimodal.featureExtractOf(fixture).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(feats.map(x => (x._1, x._2)).toSeq ==
+      Seq((0L, 73L), (1L, 148L), (2L, 48L), (3L, 130L),
+          (4L, 130L), (5L, 32L), (6L, 132L), (7L, 132L)), s"got ${feats.toSeq}")
+    val counts = Seq(1, 2, 1, 2, 2, 1, 2, 2)
+    feats.zip(counts).foreach { case ((_, sum, mean), cnt) =>
+      assert(mean == math.floor(sum.toDouble / cnt * 10000.0 + 0.5) / 10000.0,
+        s"stripe mean must be sum/count rounded 1e-4 (sum=$sum cnt=$cnt mean=$mean)")
+    }
+    // stride-4 subsample of the same blob keeps positions 0,4,8,12 = "IA B"
+    val rs = operators.Multimodal.resizeBlobsOf(fixture).head()
+    assert(rs.getLong(1) == 13L && rs.getLong(2) == 4L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("IA B".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rs.getString(3) == expected, "digest must equal md5 of the literal subsample")
+    // real corpus: 8 stripes per doc, stripe sums conserve nothing negative
+    val m07 = SparkEntry.queries("m07_feature_extract")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(m07.count() == docs * 8)
+    assert(m07.filter($"byte_sum" < 0L).isEmpty)
+    val m08 = SparkEntry.queries("m08_resize")(spark, sfDir)
+    assert(m08.count() == docs)
+    assert(m08.filter($"resized_len" =!= floor(($"orig_len" + 3) / 4)).isEmpty)
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

@@ -169,6 +169,7 @@ object SparkEntry {
     "s15_window_heavy_hitters" -> (graft.streaming.Streams.windowHeavyHittersBatch _),
     "s17_cdc_replay"   -> (graft.streaming.Streams.cdcReplayBatch _),
     "s18_budget_admission" -> (graft.streaming.Streams.budgetAdmissionBatch _),
+    "s19_shard_assign" -> (graft.streaming.Streams.shardAssignBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -321,6 +322,17 @@ object SparkEntry {
          |         AS spent_before,
          |       admitted
          |FROM a ORDER BY doc_id""".stripMargin,
+    // s19: m06's fixed-boundary rule per blob — exclusive byte cumsum over
+    // (source, doc_id) floor-divided by the shard budget
+    "s19_shard_assign" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len
+         |           FROM documents)
+         |SELECT doc_id, source, byte_len,
+         |       CAST(COALESCE(SUM(byte_len) OVER (PARTITION BY source ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |         // ${graft.operators.Multimodal.ShardBytes} AS BIGINT) AS shard_idx
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

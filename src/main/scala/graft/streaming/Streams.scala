@@ -24,6 +24,12 @@ case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long)
 case class BudgetVerdict(doc_id: Long, source: String, n_tokens: Long,
                          spent_before: Long, admitted: Boolean)
 
+/** One incoming blob for the s19 shard-assignment fold. */
+case class ShardDoc(doc_id: Long, source: String, byte_len: Long)
+
+/** s19 per-blob verdict: which shard of its source the blob lands in. */
+case class ShardAssign(doc_id: Long, source: String, byte_len: Long, shard_idx: Long)
+
 /** Streaming operators — SURVEY.md §2.E.
   *
   * Each transform is written against an input DataFrame, not a source, so the
@@ -574,6 +580,54 @@ object Streams {
       .withColumn("spent_before",
         coalesce(sum(when($"admitted", $"n_tokens")).over(wPrev), lit(0L)))
       .select($"doc_id", $"source", $"n_tokens", $"spent_before", $"admitted")
+      .orderBy($"doc_id")
+  }
+
+  /** s19 streaming fold: m06's shard layout maintained at INGEST — each
+    * arriving blob is assigned its (source, shard_idx) slot from a running
+    * per-source byte counter (fixed-boundary rule: shard = exclusive
+    * byte-prefix / ShardBytes, identical to the batch manifest's window
+    * arithmetic), so a live feed can append to the CURRENT tar shard and
+    * roll to the next one exactly where a batch re-layout would. State is
+    * ONE long per source (bytes seen) — the s18 constant-state shape; the
+    * assignment is total (no refusals), so unlike s18 the counter always
+    * advances and the fold is a plain prefix sum, trivially equal to the
+    * batch window twin under per-source arrival order (spec-proven across
+    * micro-batches).
+    */
+  def shardAssignStream(docs: Dataset[ShardDoc]): Dataset[ShardAssign] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, ShardAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[ShardDoc], state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val v = ShardAssign(d.doc_id, source, d.byte_len,
+                                seen / graft.operators.Multimodal.ShardBytes)
+            seen += d.byte_len
+            v
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** s19's batch twin (the oracled key): per-blob shard assignment as the
+    * m06 exclusive-cumsum window — one source-keyed exchange; re-aggregating
+    * this by (source, shard_idx) IS the m06 manifest (spec-asserted).
+    */
+  def shardAssignBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wPrev = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+              // byte length, matching m06's length(blob) (octet, not chars)
+              (octet_length($"text") + lit(4L)).cast("long").as("byte_len"))
+      .withColumn("shard_idx",
+        floor(coalesce(sum($"byte_len").over(wPrev), lit(0L))
+          / lit(graft.operators.Multimodal.ShardBytes)).cast("long"))
       .orderBy($"doc_id")
   }
 }

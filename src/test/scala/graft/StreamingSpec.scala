@@ -460,6 +460,41 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); batch.unpersist() }
   }
 
+  test("s19 streaming shard assignment equals the batch twin and re-aggregates to m06") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.{ShardAssign, ShardDoc}
+    val batch = SparkEntry.queries("s19_shard_assign")(spark, sfDir).cache()
+    val docs = batch.select($"doc_id", $"source", $"byte_len").as[ShardDoc]
+      .collect().sortBy(_.doc_id)
+    val input = MemoryStream[ShardDoc]
+    val q = Streams.shardAssignStream(input.toDS())
+      .writeStream.format("memory").queryName("s19_out").outputMode("append").start()
+    try {
+      docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = s.table("s19_out").as[ShardAssign].collect()
+        .map(v => (v.doc_id, v.source, v.byte_len, v.shard_idx)).toSet
+      val fromBatch = batch.collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3))).toSet
+      assert(streamed == fromBatch,
+        "per-source byte counter across micro-batches must equal the window rebuild")
+      // the per-blob assignment re-aggregates to exactly the m06 manifest
+      // (counts, byte masses, id ranges — the digest needs the blobs)
+      val reagg = batch.groupBy($"source", $"shard_idx")
+        .agg(count(lit(1)).as("n_blobs"), sum($"byte_len").as("shard_bytes"),
+             min($"doc_id").as("doc_lo"), max($"doc_id").as("doc_hi"))
+      val manifest = SparkEntry.queries("m06_shard_manifest")(spark, sfDir)
+        .select($"source", $"shard_idx", $"n_blobs", $"shard_bytes", $"doc_lo", $"doc_hi")
+      assert(reagg.except(manifest).isEmpty && manifest.except(reagg).isEmpty,
+        "s19 assignments must re-aggregate to the m06 manifest")
+      assert(fromBatch.exists(_._4 > 0), "multi-shard sources must exist")
+    } finally { q.stop(); batch.unpersist() }
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

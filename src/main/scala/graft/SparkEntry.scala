@@ -112,6 +112,7 @@ object SparkEntry {
     "t23_bpe_pairs"         -> (TextOps.bpePairs _),
     "t24_exact_substr"      -> (TextOps.exactSubstrSpans _),
     "t25_substr_removal"    -> (TextOps.substrRemoval _),
+    "t26_bpe_encode"        -> (TextOps.bpeEncode _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
@@ -252,44 +253,83 @@ object SparkEntry {
     * becomes a||b, and a fresh a||b can never re-match `a`). Built by loop
     * so the level count can never drift from TextOps.BpeLevels.
     */
+  private def bpeCensusCte(i: Int): String =
+    s"""p$i AS (
+       |  SELECT l[i] || chr(31) || l[i+1] AS pair, wc FROM (
+       |    SELECT string_split(s, chr(31)) AS l, wc FROM v${i - 1}),
+       |    unnest(generate_series(1, len(l) - 1)) AS t(i)),
+       |a$i AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq FROM p$i GROUP BY pair),
+       |r$i AS (SELECT $i AS level,
+       |          CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT) AS rank,
+       |          pair, freq
+       |        FROM a$i ORDER BY freq DESC, pair ASC LIMIT ${TextOps.BpeTopK})""".stripMargin
+
+  private def bpeFuseCte(i: Int): String =
+    s"""b$i AS (SELECT string_split(pair, chr(31))[1] AS a,
+       |               string_split(pair, chr(31))[2] AS b FROM r$i WHERE rank = 1),
+       |v$i AS (
+       |  SELECT list_reduce(string_split(s, chr(31)), (acc, x) ->
+       |           CASE WHEN (acc = a OR ends_with(acc, chr(31) || a)) AND x = b
+       |                THEN acc || x ELSE acc || chr(31) || x END) AS s, wc
+       |  FROM v${i - 1}, b$i)""".stripMargin
+
+  private val BpeBaseCtes: Seq[String] = Seq(
+    """vocab AS (
+      |  SELECT term, COUNT(*) AS wc FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents)
+      |  WHERE term <> '' GROUP BY term)""".stripMargin,
+    """v0 AS (
+      |  SELECT array_to_string(list_transform(generate_series(1, length(term)),
+      |           i -> substring(term, CAST(i AS INTEGER), 1)), chr(31)) AS s, wc
+      |  FROM vocab)""".stripMargin)
+
   private val BpeOracle: String = {
     val levels = TextOps.BpeLevels
-    def census(i: Int) =
-      s"""p$i AS (
-         |  SELECT l[i] || chr(31) || l[i+1] AS pair, wc FROM (
-         |    SELECT string_split(s, chr(31)) AS l, wc FROM v${i - 1}),
-         |    unnest(generate_series(1, len(l) - 1)) AS t(i)),
-         |a$i AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq FROM p$i GROUP BY pair),
-         |r$i AS (SELECT $i AS level,
-         |          CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, pair ASC) AS BIGINT) AS rank,
-         |          pair, freq
-         |        FROM a$i ORDER BY freq DESC, pair ASC LIMIT ${TextOps.BpeTopK})""".stripMargin
-    def fuse(i: Int) =
-      s"""b$i AS (SELECT string_split(pair, chr(31))[1] AS a,
-         |               string_split(pair, chr(31))[2] AS b FROM r$i WHERE rank = 1),
-         |v$i AS (
-         |  SELECT list_reduce(string_split(s, chr(31)), (acc, x) ->
-         |           CASE WHEN (acc = a OR ends_with(acc, chr(31) || a)) AND x = b
-         |                THEN acc || x ELSE acc || chr(31) || x END) AS s, wc
-         |  FROM v${i - 1}, b$i)""".stripMargin
-    val ctes = Seq(
-      """vocab AS (
-        |  SELECT term, COUNT(*) AS wc FROM (
-        |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term FROM documents)
-        |  WHERE term <> '' GROUP BY term)""".stripMargin,
-      """v0 AS (
-        |  SELECT array_to_string(list_transform(generate_series(1, length(term)),
-        |           i -> substring(term, CAST(i AS INTEGER), 1)), chr(31)) AS s, wc
-        |  FROM vocab)""".stripMargin) ++
-      (1 to levels).flatMap(i => Seq(census(i)) ++ (if (i < levels) Seq(fuse(i)) else Nil))
+    val ctes = BpeBaseCtes ++
+      (1 to levels).flatMap(i => Seq(bpeCensusCte(i)) ++ (if (i < levels) Seq(bpeFuseCte(i)) else Nil))
     val union = (1 to levels).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
     s"""WITH ${ctes.mkString(",\n")}
        |SELECT CAST(level AS BIGINT) AS level, rank, replace(pair, chr(31), '+') AS pair, freq
        |FROM ($union) ORDER BY level, rank""".stripMargin
   }
 
+  /** t26: the same learned merges (b1..bN from the shared census/fuse
+    * chain) applied per TERM, then doc word occurrences join the encoded
+    * vocabulary — replaying bpeEncode's vocabulary-level application.
+    */
+  private val BpeEncodeOracle: String = {
+    val levels = TextOps.BpeLevels
+    def encCte(i: Int) =
+      s"""e$i AS (
+         |  SELECT term, list_reduce(string_split(s, chr(31)), (acc, x) ->
+         |           CASE WHEN (acc = a OR ends_with(acc, chr(31) || a)) AND x = b
+         |                THEN acc || x ELSE acc || chr(31) || x END) AS s
+         |  FROM e${i - 1}, b$i)""".stripMargin
+    val ctes = BpeBaseCtes ++
+      (1 to levels).flatMap(i => Seq(bpeCensusCte(i), bpeFuseCte(i))) ++
+      Seq("""e0 AS (
+            |  SELECT term, array_to_string(list_transform(generate_series(1, length(term)),
+            |           i -> substring(term, CAST(i AS INTEGER), 1)), chr(31)) AS s
+            |  FROM vocab)""".stripMargin) ++
+      (1 to levels).map(encCte)
+    s"""WITH ${ctes.mkString(",\n")},
+       |et AS (SELECT term, CAST(length(term) AS BIGINT) AS n_chr,
+       |              CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_sym
+       |       FROM e$levels),
+       |dw AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+       |       FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |       CAST(SUM(n_chr) AS BIGINT) AS n_char_symbols,
+       |       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |       FLOOR(CAST(SUM(n_chr) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
+       |             * 10000 + 0.5) / 10000 AS compression
+       |FROM dw JOIN et USING (term) WHERE term <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "t23_bpe_pairs" -> BpeOracle,
+    "t26_bpe_encode" -> BpeEncodeOracle,
     // s17: the oracle is the GLOBAL latest-wins winner per key under the
     // total order (ts, version, event_id) — hash-equality against Spark's
     // 3-batch incremental fold proves the sink merge is associative

@@ -595,27 +595,43 @@ object TextOps {
     */
   val BpeLevels = 3
   val BpeTopK = 10
-  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Per-occurrence-weighted adjacent-pair census over a chr(31)-delimited
+    * symbol frame (s, wc) — the shared t23/t26 step, factored so the merge
+    * induction and the encoder can never learn different merges.
+    * The size >= 2 guard matters: Spark's sequence(1, 0) is DESCENDING
+    * [1, 0], and element_at(l, 0) throws — single-symbol terms carry no
+    * pairs and must never reach the transform.
+    */
+  private def bpePairCensus(v: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
+    v.select(expr("split(s, chr(31))").as("l"), $"wc")
+      .filter(size($"l") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), chr(31), element_at(l, i + 1)))")).as("pair"), $"wc")
+      .groupBy($"pair").agg(sum($"wc").as("freq"))
+  }
+
+  /** Initial symbol form: one chr(31)-delimited character string per term. */
+  private val bpeCharSplit: String =
+    "array_join(transform(sequence(1, length(term)), i -> substring(term, i, 1)), chr(31))"
+
+  private[graft] def bpeVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val vocab = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(explode(split(lower(trim($"text")), "\\s+")).as("term"))
       .filter($"term" =!= "")
       .groupBy($"term").agg(count(lit(1)).as("wc"))
-    var v = vocab.select(
-        expr("array_join(transform(sequence(1, length(term)), i -> substring(term, i, 1)), chr(31))").as("s"),
-        $"wc")
+  }
+
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = bpeVocab(s, dir)
+    var v = vocab.select(expr(bpeCharSplit).as("s"), $"wc")
       .localCheckpoint(true)
     val w = Window.orderBy($"freq".desc, $"pair".asc)
     val levels = (1 to BpeLevels).map { lvl =>
-      // size >= 2 guard matters: Spark's sequence(1, 0) is DESCENDING
-      // [1, 0], and element_at(l, 0) throws — single-symbol terms carry no
-      // pairs and must never reach the transform
-      val pairs = v.select(expr("split(s, chr(31))").as("l"), $"wc")
-        .filter(size($"l") >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), chr(31), element_at(l, i + 1)))")).as("pair"), $"wc")
-        .groupBy($"pair").agg(sum($"wc").as("freq"))
+      val pairs = bpePairCensus(v)
       val top = pairs.orderBy($"freq".desc, $"pair".asc).limit(BpeTopK)
         .withColumn("rank", row_number().over(w).cast("long"))
         .select(lit(lvl.toLong).as("level"), $"rank", $"pair", $"freq")
@@ -633,6 +649,51 @@ object TextOps {
     levels.reduce(_.unionByName(_))
       .select($"level", $"rank", expr("replace(pair, chr(31), '+')").as("pair"), $"freq")
       .orderBy($"level", $"rank")
+  }
+
+  /** t26: APPLY the t23-learned tokenizer — encode every document with the
+    * [[BpeLevels]] greedily-induced merges and report the per-doc token
+    * economics a trainer provisions by: word count, character-symbol count
+    * (the pre-merge token cost) and post-merge BPE token count, plus the
+    * compression ratio the merges bought. This is the tokenize-the-corpus
+    * step that follows tokenizer training in every LLM data pipeline.
+    *
+    * Scale shape: merges are learned and applied on the VOCABULARY (one
+    * word-count exchange — the corpus-sized work), never per occurrence:
+    * each merge level is a broadcast 1-row winner + scan-local fold over
+    * |vocab| rows, and the corpus then joins the tiny (term, counts)
+    * encoding table back on the exploded term key (the t15 TF-IDF join
+    * shape). Encoding N occurrences of a word costs one vocabulary row.
+    */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = bpeVocab(s, dir)
+    var v = vocab.select($"term", expr(bpeCharSplit).as("s"), $"wc")
+      .localCheckpoint(true)
+    for (_ <- 1 to BpeLevels) {
+      val best = bpePairCensus(v)
+        .orderBy($"freq".desc, $"pair".asc).limit(1)
+        .select(expr("element_at(split(pair, chr(31)), 1)").as("a"),
+                expr("element_at(split(pair, chr(31)), 2)").as("b"))
+      v = v.crossJoin(broadcast(best))
+        .select($"term", expr(bpeMergeFold).as("s"), $"wc")
+        .localCheckpoint(true)
+    }
+    val encoded = v.select($"term",
+      length($"term").cast("long").as("n_chr"),
+      expr("size(split(s, chr(31)))").cast("long").as("n_sym"))
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+      .join(encoded, Seq("term"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+           sum($"n_chr").as("n_char_symbols"),
+           sum($"n_sym").as("n_bpe_tokens"))
+      .select($"doc_id", $"n_words", $"n_char_symbols", $"n_bpe_tokens",
+        (floor($"n_char_symbols".cast("double") / $"n_bpe_tokens".cast("double")
+           * 10000.0 + 0.5) / 10000.0).as("compression"))
+      .orderBy($"doc_id")
   }
 
   /** Greedy left-to-right single-pass fuse of pair (a, b) over a

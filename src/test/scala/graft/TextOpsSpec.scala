@@ -318,6 +318,34 @@ class TextOpsSpec extends SparkSpec {
     assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L), "every doc emits a row")
   }
 
+  test("t26 BPE encoding brackets token counts and strictly compresses the corpus") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t26_bpe_encode")(spark, sfDir).cache()
+    // every doc with >= 1 word emits a row
+    val nDocs = Tables.documents(spark, sfDir)
+      .filter(size(split(trim(lower($"text")), "\\s+")) >= 1 && trim($"text") =!= "")
+      .count()
+    assert(df.count() == nDocs)
+    // brackets: a word encodes to at least 1 and at most length(word) symbols
+    assert(df.filter($"n_bpe_tokens" > $"n_char_symbols").isEmpty,
+      "merging can never increase symbol count")
+    assert(df.filter($"n_bpe_tokens" < $"n_words").isEmpty,
+      "a word never encodes below one token")
+    assert(df.filter($"compression" < 1.0).isEmpty)
+    // the merges must actually bite: corpus-wide BPE mass strictly below
+    // the character-symbol mass (3 greedy merges over this vocab always
+    // fuse something — if not, induction or application broke)
+    val (chars, bpe) = df.agg(sum($"n_char_symbols"), sum($"n_bpe_tokens"))
+      .as[(Long, Long)].head()
+    assert(bpe < chars, s"no merge ever applied: $bpe !< $chars")
+    // conservation: word occurrences match a direct corpus count
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("t"))
+      .filter($"t" =!= "").count()
+    assert(df.agg(sum($"n_words")).head().getLong(0) == words)
+    df.unpersist()
+  }
+
   test("t09 redaction removes every email and phone and counts them") {
     import spark.implicits._
     val df = SparkEntry.queries("t09_pii_redact")(spark, sfDir).cache()

@@ -115,6 +115,7 @@ object SparkEntry {
     "t26_bpe_encode"        -> (TextOps.bpeEncode _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
+    "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
@@ -924,6 +925,28 @@ object SparkEntry {
         |SELECT e.e_id, e.user_id, e.e_ts, p.p_id, p.p_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts <= p.p_ts
         |ORDER BY e_id""".stripMargin,
+    // p29: both one-sided ASOF joins composed, verdict by microsecond
+    // distance with ties to backward — mirrors asofJoinNearest's pickBack
+    "p29_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts AS p_ts, MAX(event_id) AS p_id
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |e AS (SELECT user_id, ts AS e_ts, event_id AS e_id
+        |      FROM events WHERE event_type = 'error'),
+        |b AS (SELECT e.e_id, e.user_id, e.e_ts, p.p_id AS b_id, p.p_ts AS b_ts
+        |      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts >= p.p_ts),
+        |f AS (SELECT e.e_id, p.p_id AS f_id, p.p_ts AS f_ts
+        |      FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.e_ts <= p.p_ts),
+        |j AS (SELECT b.*, f.f_id, f.f_ts,
+        |        (f_id IS NULL OR (b_id IS NOT NULL AND
+        |           epoch_us(e_ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(e_ts)))
+        |          AS pick_back
+        |      FROM b JOIN f USING (e_id))
+        |SELECT e_id, user_id, e_ts,
+        |       CASE WHEN pick_back THEN b_id ELSE f_id END AS p_id,
+        |       CASE WHEN pick_back THEN b_ts ELSE f_ts END AS p_ts,
+        |       CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+        |            WHEN pick_back THEN 'backward' ELSE 'forward' END AS direction
+        |FROM j ORDER BY e_id""".stripMargin,
     "q35_multiset_ops" ->
       """WITH e AS (SELECT user_id, event_type, event_id % 2 = 0 AS even FROM events),
         |a AS (SELECT user_id, event_type FROM e WHERE even),

@@ -73,6 +73,53 @@ object AsOf {
       .orderBy($"e_id")
   }
 
+  /** p29: NEAREST as-of — for every 'error' event, the closest 'purchase'
+    * by the same user in EITHER direction (|Δt| minimized, ties to the
+    * backward match: "what state was I in" beats "what happened next" at
+    * equal distance). Completes the as-of triad (backward p13/p15, forward
+    * p24) — the sensor-alignment direction both one-sided joins miss when
+    * the nearest reading sits on the other side of the probe.
+    *
+    * ONE union, ONE exchange on the key: the backward and forward carries
+    * are two window passes over opposite orderings of the same partition —
+    * the second Window re-sorts within partitions but never reshuffles.
+    * The verdict is a scan-local projection comparing the two candidates'
+    * microsecond distances.
+    */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame =
+    asofJoinNearestOf(Tables.events(s, dir))
+
+  private[graft] def asofJoinNearestOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("p_id"))
+      .select($"user_id", $"ts", $"p_id", lit(0).as("tag"),
+              lit(null).cast("long").as("e_id"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", lit(null).cast("long").as("p_id"), lit(1).as("tag"),
+              $"event_id".as("e_id"))
+    val wb = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"user_id").orderBy($"ts".desc, $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pStruct = when($"tag" === 0, struct($"ts".as("p_ts"), $"p_id"))
+    val both = purchases.union(errors)
+      .withColumn("prev_p", last(pStruct, ignoreNulls = true).over(wb))
+      .withColumn("next_p", last(pStruct, ignoreNulls = true).over(wf))
+      .filter($"tag" === 1)
+    val dBack = unix_micros($"ts") - unix_micros($"prev_p.p_ts")
+    val dFwd  = unix_micros($"next_p.p_ts") - unix_micros($"ts")
+    val pickBack = $"next_p".isNull || ($"prev_p".isNotNull && dBack <= dFwd)
+    both.select($"e_id", $"user_id", $"ts".as("e_ts"),
+        when(pickBack, $"prev_p.p_id").otherwise($"next_p.p_id").as("p_id"),
+        when(pickBack, $"prev_p.p_ts").otherwise($"next_p.p_ts").as("p_ts"),
+        when($"prev_p".isNull && $"next_p".isNull, lit(null).cast("string"))
+          .when(pickBack, lit("backward")).otherwise(lit("forward")).as("direction"))
+      .orderBy($"e_id")
+  }
+
   /** For every 'error' event, the latest preceding (or simultaneous)
     * 'purchase' by the same user.
     */

@@ -17,6 +17,35 @@ class PlansSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("p29 nearest as-of picks the closer side, ties backward, nulls when no match") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+    // user 1: error at 100 with purchases at 90 (d=10) and 105 (d=5) -> forward;
+    //         error at 200 with purchases at 195/205 (d=5 both) -> tie -> backward
+    // user 2: error at 50, only a LATER purchase at 60 -> forward (backward-only
+    //         as-of would return null here)
+    // user 3: error at 10, only an EARLIER purchase at 4 -> backward
+    // user 4: error with no purchases at all -> null verdict
+    val ev = Seq(
+      (1L, ts(90), 1L, "purchase", 1.0), (2L, ts(105), 1L, "purchase", 1.0),
+      (3L, ts(100), 1L, "error", 0.0),
+      (4L, ts(195), 1L, "purchase", 1.0), (5L, ts(205), 1L, "purchase", 1.0),
+      (6L, ts(200), 1L, "error", 0.0),
+      (7L, ts(60), 2L, "purchase", 1.0), (8L, ts(50), 2L, "error", 0.0),
+      (9L, ts(4), 3L, "purchase", 1.0), (10L, ts(10), 3L, "error", 0.0),
+      (11L, ts(0), 4L, "error", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = AsOf.asofJoinNearestOf(ev).collect()
+      .map(x => x.getLong(0) ->
+        ((Option(x.get(3)).map(_.asInstanceOf[Long]), x.getString(5)))).toMap
+    assert(r(3L) == ((Some(2L), "forward")), "closer forward purchase wins")
+    assert(r(6L) == ((Some(4L), "backward")), "equal distance ties to backward")
+    assert(r(8L) == ((Some(7L), "forward")), "forward-only match found")
+    assert(r(10L) == ((Some(9L), "backward")), "backward-only match found")
+    assert(r(11L)._1.isEmpty && r(11L)._2 == null, "no purchase -> null verdict")
+  }
+
   test("physical plan uses AsOfJoinExec with one exchange per side and no window") {
     val df = AsOf.asofJoinNative(spark, sfDir)
     val planned = df.queryExecution.executedPlan

@@ -61,6 +61,7 @@ object SparkEntry {
     "q38_interval_sweep"  -> (Relational.intervalSweep _),
     "q39_funnel"          -> (Relational.funnel _),
     "q40_retention"       -> (Relational.retentionCohorts _),
+    "q41_transitions"     -> (Relational.transitions _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -1047,6 +1048,20 @@ object SparkEntry {
         |       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
         |       r.n_active * 1000 // sz.cohort_size AS retention_permille
         |FROM r JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin,
+    // q41: lead() under the same (ts, event_id) timeline tiebreak, permille
+    // via integer division (q40 convention); row-total SUM window is
+    // HUGEINT in DuckDB -> cast the divided result
+    "q41_transitions" ->
+      """WITH t AS (SELECT event_type,
+        |             LEAD(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS next_type
+        |           FROM events),
+        |m AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+        |      FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n * 1000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |         AS p_permille
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

@@ -796,6 +796,34 @@ object Relational {
       .orderBy($"cohort", $"week_offset")
   }
 
+  /** q41: user-journey transition matrix — the behavioral-model input next
+    * to q39's fixed funnel and q40's cohort grid: for every consecutive
+    * event pair within a user's timeline, count (from_type -> to_type) and
+    * its probability within the from-state (the first-order Markov row).
+    * Integer permille (n * 1000 div row total) keeps it engine-exact, the
+    * q40 convention.
+    *
+    * One key exchange for the lead() window (user timeline order by
+    * (ts, event_id) — the deterministic tiebreak every events window here
+    * uses), then the matrix itself is a |types|² aggregate: the row-total
+    * normalization runs as a window over those few rows, never touching
+    * the corpus again.
+    */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRow = Window.partitionBy($"from_type")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_permille", expr("n * 1000 div sum(n) over (partition by from_type)"))
+      .select($"from_type", $"to_type", $"n", $"p_permille")
+      .orderBy($"from_type", $"to_type")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -346,6 +346,27 @@ class RelationalSpec extends SparkSpec {
       s"retention must join anchors by key:\n$p")
   }
 
+  test("q41 transitions conserve consecutive pairs and normalize each Markov row") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q41_transitions")(spark, sfDir).cache()
+    // conservation: matrix mass == (events - distinct users): every user
+    // timeline of length k contributes exactly k-1 transitions
+    val ev = Tables.events(spark, sfDir)
+    val expected = ev.count() - ev.select($"user_id").distinct().count()
+    assert(df.agg(sum($"n")).head().getLong(0) == expected,
+      "every consecutive pair must appear exactly once")
+    // per-row law: permille = n * 1000 div row total; row sums land within
+    // integer-division undershoot of 1000
+    val wRow = org.apache.spark.sql.expressions.Window.partitionBy($"from_type")
+    assert(df.withColumn("tot", sum($"n").over(wRow))
+      .filter($"p_permille" =!= expr("n * 1000 div tot")).isEmpty)
+    val rows = df.groupBy($"from_type")
+      .agg(sum($"p_permille").as("s"), count(lit(1)).as("k"))
+    assert(rows.filter($"s" > 1000 || $"s" <= lit(1000) - $"k").isEmpty,
+      "a Markov row must sum to 1000 minus at most one permille per cell")
+    df.unpersist()
+  }
+
   test("q39 funnel: conversions bounded by signups, latency only from converters") {
     import spark.implicits._
     val df = SparkEntry.queries("q39_funnel")(spark, sfDir).cache()

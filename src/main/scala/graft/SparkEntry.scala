@@ -62,6 +62,7 @@ object SparkEntry {
     "q39_funnel"          -> (Relational.funnel _),
     "q40_retention"       -> (Relational.retentionCohorts _),
     "q41_transitions"     -> (Relational.transitions _),
+    "q42_sketch_reagg"    -> (Relational.sketchReagg _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -151,6 +152,7 @@ object SparkEntry {
     "d29_quality_survivor" -> ((s, d) => Dedup.qualitySurvivor(s, d)),
     "d30_knn_label_purity" -> (Similarity.knnLabelPurity _),
     "d31_containment"     -> (Dedup.containmentPairs _),
+    "d32_soft_dedup"      -> ((s, d) => Dedup.softDedupWeights(s, d)),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -173,6 +175,7 @@ object SparkEntry {
     "s17_cdc_replay"   -> (graft.streaming.Streams.cdcReplayBatch _),
     "s18_budget_admission" -> (graft.streaming.Streams.budgetAdmissionBatch _),
     "s19_shard_assign" -> (graft.streaming.Streams.shardAssignBatch _),
+    "s20_sketch_fold"  -> (graft.streaming.Streams.sketchFoldBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -344,6 +347,14 @@ object SparkEntry {
         |           FROM events)
         |SELECT key, op, version, ts, (op <> 'error') AS live
         |FROM w WHERE rn = 1 ORDER BY key""".stripMargin,
+    // s20: the folded sketch estimate is engine-specific; the oracle pins
+    // the exact distinct count and asserts the fold's error-bound claim
+    // TRUE (q24/q42 pattern) — a broken merge (double-count or drop) lands
+    // far outside max(5%, 2) and fails the hash.
+    "s20_sketch_fold" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS fold_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // s18: soft-cap admission — admitted from the ALL-previous cumsum,
     // spent_before re-summed over admitted-only rows (the streaming fold's
     // frozen counter); budget constant mirrors Streams.SourceTokenBudget
@@ -1062,6 +1073,16 @@ object SparkEntry {
         |       CAST(n * 1000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
         |         AS p_permille
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // q42: the sketch estimate is engine-specific; the checkable contract is
+    // the cube geometry (n_days = distinct daily cells merged per type), the
+    // exact count, and the re-agg error-bound claim asserted TRUE (q24
+    // pattern) — Spark sketch drift outside max(5%, 2) fails the hash.
+    "q42_sketch_reagg" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS reagg_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (
@@ -1664,6 +1685,17 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, quality, survivor_id,
          |       doc_id = survivor_id AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
+    // d32: degree = closure-cluster size (cl covers EVERY doc — singletons
+    // carry their own id, so COUNT(*) per cluster_id is 1 for them and the
+    // join needs no COALESCE); weight in integer ppm, `//` on BIGINT
+    // truncates exactly like Spark's `div` (both operands positive here).
+    "d32_soft_dedup" ->
+      s"""WITH RECURSIVE
+         |$ClusterClosureCtes,
+         |sz AS (SELECT cluster_id, COUNT(*) AS dup_degree FROM cl GROUP BY cluster_id)
+         |SELECT cl.doc_id, CAST(sz.dup_degree AS BIGINT) AS dup_degree,
+         |       CAST(1000000 // sz.dup_degree AS BIGINT) AS weight_ppm
+         |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
     // d30: the full |queries| x |corpus| score matrix replayed (d27
     // precedent), rank under (sim DESC, neighbor_id ASC) = the Spark
     // window's total order; n_agree cast to BIGINT before the exact /10

@@ -217,6 +217,40 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** d32: duplication-aware soft dedup — keep EVERY doc and attach a
+    * training weight inversely proportional to its duplication degree, so
+    * a text duplicated k times contributes ~one document's worth of
+    * gradient in aggregate. This is the down-weighting alternative to
+    * survivorship removal (d01/d22/d29): a curator reaches for it when
+    * duplicates carry distribution signal worth preserving (popular
+    * boilerplate SHOULD weigh more than a one-off — just not k× more).
+    * Degree = size of the doc's near-dup cluster from the materialized
+    * artifact ([[clusterLabels]]; exact copies have identical simhash, so
+    * every band collides and exact-dup edges are a subset of the near-dup
+    * graph). Unclustered docs have degree 1 and full weight. Weights are
+    * emitted in integer ppm (1e6 div degree) so the verdict hashes exactly
+    * across engines.
+    *
+    * Scale shape: degree is one narrow agg over the label artifact (edge
+    * endpoints only — never the corpus); the corpus-side attach is a
+    * single doc_id join of (doc_id, degree) pairs — at 100 TB a bucketed
+    * join against the persisted cluster table, zero text movement, zero
+    * clustering rebuild. The weight column then rides the corpus scan
+    * into whatever mix (d14/d19/d25) consumes it.
+    */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = clusterLabels(s, dir)
+    val degrees = labels.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+    val perDoc = labels.join(degrees, Seq("cluster_id")).select($"doc_id", $"sz")
+    Tables.documents(s, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_degree", coalesce($"sz", lit(1L)))
+      .select($"doc_id", $"dup_degree",
+        expr("1000000 div dup_degree").as("weight_ppm"))
+      .orderBy($"doc_id")
+  }
+
   /** s14 micro-batch body: sign + band the incoming docs, refuse any doc
     * that collides with the persisted signature index at >= threshold
     * agreement (the d20 verdict, applied at ingest), and append the

@@ -824,6 +824,42 @@ object Relational {
       .orderBy($"from_type", $"to_type")
   }
 
+  /** q42: mergeable-sketch re-aggregation — the materialized-cube pattern
+    * for COUNT(DISTINCT) at 100 TB. Exact distinct counts are not
+    * algebraic: a per-day exact cube cannot answer per-type distincts,
+    * because the same user repeats across days — so every new grain means
+    * another full pass over raw events. HLL sketches ARE mergeable: store
+    * one small sketch per (event_type, day) cell — |types| × |days| rows
+    * regardless of corpus size — and answer ANY coarser grain by unioning
+    * sketches, never re-touching the raw table. This key materializes the
+    * daily sketch cube, re-aggregates it to per-type estimates
+    * (hll_union_agg over the stored sketches), and verdicts each estimate
+    * against the exact count. The exact pass exists here only to CHECK the
+    * sketch path; at scale it is precisely the pass this pattern deletes.
+    * Estimate is engine-specific, so the oracle asserts the error-bound
+    * claim as TRUE (the q24 pattern); lgConfigK=12 gives ~1.6% typical
+    * error against the 5% gate. s20 is the ingest-time twin: the same
+    * sketches folded incrementally per micro-batch.
+    */
+  def sketchReagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sketch"))
+    val reagg = daily
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+           hll_sketch_estimate(hll_union_agg($"sketch")).as("reagg_users"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    reagg.join(exact, Seq("event_type"))
+      .select($"event_type", $"n_days", $"exact_users",
+        (abs($"reagg_users" - $"exact_users") <=
+          greatest($"exact_users" * 0.05, lit(2.0))).as("reagg_within_bound"))
+      .orderBy($"event_type")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -452,6 +452,32 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("d32 soft-dedup weights: full coverage, artifact agreement, near-unit cluster mass") {
+    import spark.implicits._
+    val df = SparkEntry.queries("d32_soft_dedup")(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(df.count() == docs.count() &&
+           df.select($"doc_id").distinct().count() == docs.count(),
+      "every doc gets exactly one weight row")
+    // weight law holds on every row
+    assert(df.filter($"weight_ppm" =!= expr("1000000 div dup_degree")).isEmpty)
+    // degree agrees with the materialized artifact; unclustered docs = 1
+    val labels = operators.Dedup.clusterLabels(spark, sfDir)
+    val sz = labels.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+    val expected = labels.join(sz, "cluster_id").select($"doc_id", $"sz")
+    assert(df.join(expected, Seq("doc_id"), "left")
+      .filter($"dup_degree" =!= coalesce($"sz", lit(1L))).isEmpty,
+      "dup_degree must be the artifact cluster size (1 when unclustered)")
+    // soft-dedup contract: each cluster's aggregate weight is ~one doc —
+    // k * (1e6 div k) lands in (1e6 - k, 1e6]
+    val mass = df.join(labels, "doc_id")
+      .groupBy($"cluster_id")
+      .agg(sum($"weight_ppm").as("w"), count(lit(1)).as("k"))
+    assert(mass.filter($"w" > 1000000L || $"w" <= lit(1000000L) - $"k").isEmpty,
+      "a duplicated text must contribute ~one document of aggregate weight")
+    df.unpersist()
+  }
+
   test("d30 purity is 1 on separable clusters and internally consistent on real data") {
     import spark.implicits._
     // two orthogonal 16-member clusters: every query's 10 nearest live in

@@ -367,6 +367,33 @@ class RelationalSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("q42 sketch re-agg: mergeability law and verdict columns") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q42_sketch_reagg")(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    // verdict columns recompute exactly
+    val truth = ev.groupBy($"event_type")
+      .agg(countDistinct(to_date($"ts")).as("td"), countDistinct($"user_id").as("tu"))
+    assert(df.join(truth, Seq("event_type"))
+      .filter($"n_days" =!= $"td" || $"exact_users" =!= $"tu").isEmpty)
+    assert(df.filter(!$"reagg_within_bound").isEmpty,
+      "re-aggregated estimate must sit inside the q24 error gate")
+    // mergeability: unioning per-day sketches and unioning per-(event_id mod 3)
+    // sketches are different partitionings of the same rows — the merged
+    // registers are identical, so the estimates must agree EXACTLY
+    def unionEst(part: org.apache.spark.sql.Column) = ev
+      .groupBy($"event_type", part.as("cell"))
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val a = unionEst(to_date($"ts"))
+    val b = unionEst(pmod($"event_id", lit(3L)))
+    assert(a.join(b.withColumnRenamed("est", "est2"), Seq("event_type"))
+      .filter($"est" =!= $"est2").isEmpty,
+      "sketch union must be partitioning-invariant")
+    df.unpersist()
+  }
+
   test("q39 funnel: conversions bounded by signups, latency only from converters") {
     import spark.implicits._
     val df = SparkEntry.queries("q39_funnel")(spark, sfDir).cache()

@@ -195,6 +195,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s20 sketch sink: per-type state, batch-split invariance, exact on small sets") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_hll").toString + "/st"
+    val input = MemoryStream[Event]
+    val q = Streams.sketchSink(input.toDF(), statePath)
+    try {
+      // three micro-batches; users overlap across batches so a broken merge
+      // (double-count) would overshoot the exact distinct
+      input.addData(Event(1, ts(0), 1, "view", 0), Event(2, ts(1), 2, "view", 0),
+                    Event(3, ts(2), 1, "click", 0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(3), 1, "view", 0), Event(5, ts(4), 3, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(6, ts(5), 2, "view", 0), Event(7, ts(6), 4, "click", 0))
+      q.processAllAvailable()
+      val state = s.read.parquet(statePath)
+      assert(state.count() == 2, "state must hold ONE sketch row per event_type")
+      val est = state.select($"event_type", hll_sketch_estimate($"sketch").as("e"))
+        .as[(String, Double)].collect().toMap
+      // tiny cardinalities sit in the sketch's exact range: view {1,2,3},
+      // click {1,4}
+      assert(est("view") == 3.0 && est("click") == 2.0,
+        s"folded estimates drifted from exact: $est")
+      // batch-split invariance: the same rows folded as ONE batch reach the
+      // same estimates (union registers are partitioning-invariant)
+      val all = Seq((1L, "view"), (2L, "view"), (1L, "click"), (1L, "view"),
+                    (3L, "view"), (2L, "view"), (4L, "click"))
+        .toDF("user_id", "event_type")
+      val oneShot = Streams.sketchMerge(None, all)
+        .select($"event_type", hll_sketch_estimate($"sketch").as("e"))
+        .as[(String, Double)].collect().toMap
+      assert(oneShot == est, s"fold must be batch-split invariant: $oneShot vs $est")
+    } finally q.stop()
+  }
+
   test("s08 custom topk_agg merges through the streaming state store") {
     val s = spark
     import s.implicits._

@@ -161,6 +161,7 @@ object SparkEntry {
     "m06_shard_manifest"   -> (Multimodal.shardManifest _),
     "m07_feature_extract"  -> (Multimodal.featureExtract _),
     "m08_resize"           -> (Multimodal.resizeBlobs _),
+    "m09_phash_neardup"    -> ((s, d) => Multimodal.phashNeardup(s, d)),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -1884,6 +1885,32 @@ object SparkEntry {
         |SELECT doc_id, n AS orig_len, (n + 3) // 4 AS resized_len,
         |       md5(string_agg(ch, '' ORDER BY i)) AS resized_md5
         |FROM e GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // m09: the 60-bit bigram-profile hash replayed over the ASCII payload
+    // (byte offsets = char offsets, m05-verified), d03's band layout and
+    // pigeonhole (verdict gate ≤ 2 is stricter than the ≤ 3 recall bound,
+    // so banding loses no qualifying pair); all arithmetic in plain BIGINT
+    "m09_phash_neardup" ->
+      """WITH p AS (SELECT doc_id, 'IMG0' || text AS pay FROM documents),
+        |c AS (SELECT doc_id,
+        |        list_transform(list_filter(regexp_split_to_array(pay, ''), x -> x <> ''),
+        |                       ch -> CAST(ord(ch) AS BIGINT)) AS bytes
+        |      FROM p),
+        |bg AS (SELECT doc_id,
+        |         list_transform(range(1, len(bytes)), i -> (bytes[i]*131 + bytes[i+1]) % 60) AS buckets,
+        |         CAST(len(bytes) - 1 AS BIGINT) AS n
+        |       FROM c),
+        |ph AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN CAST(len(list_filter(buckets, v -> v = j)) AS BIGINT) * 60 > n
+        |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS phash
+        |       FROM bg, UNNEST(range(0, 60)) r(j) GROUP BY doc_id),
+        |band AS (SELECT doc_id, phash, b AS band_id, (phash >> (b*15)) & 32767 AS band_bits
+        |         FROM ph, UNNEST(range(0, 4)) t2(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |         FROM band a JOIN band b
+        |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "m02_frame_sample" ->
       """WITH v AS (SELECT doc_id,
         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

@@ -16,6 +16,9 @@ case class ResizedBlob(doc_id: Long, orig_len: Long, resized_len: Long, resized_
 /** Typed metadata extracted per blob. */
 case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, format: String)
 
+/** m09: one 60-bit perceptual hash per blob. */
+case class PHashRow(doc_id: Long, phash: Long)
+
 /** Multimodal-column plumbing — SURVEY.md §2.D m01.
   *
   * Media payloads are opaque `binary` columns with typed metadata alongside;
@@ -255,6 +258,78 @@ object Multimodal {
     */
   def resizeBlobs(s: SparkSession, dir: String): DataFrame =
     resizeBlobsOf(withBlob(s, dir))
+
+  /** m09: perceptual-hash near-dup over the binary column — the IMAGE face
+    * of near-dup detection, next to m04's exact content-address dedup:
+    * re-encoded / lightly-edited copies of the same picture share no md5
+    * but DO share a content profile. Each blob is "decoded" to a 60-cell
+    * profile and aHash'd: bit j = cell j over-occupied vs uniform (integer
+    * cross-multiplied, so both engines compare exactly). The profile here
+    * is a byte-bigram histogram — shift-invariant, which is the property a
+    * real pHash's DCT cells buy on pictures (a stripe-mean thumbnail was
+    * measured alignment-brittle on these byte payloads: one inserted byte
+    * shifts every later stripe). A real decode+DCT drops into the same
+    * [[phashOf]] codec seam without touching this plan. Candidates come
+    * from the d03 band layout (4 × 15-bit bands — pigeonhole: hamming ≤ 3
+    * guarantees an equal band; the ≤ 2 verdict gate is stricter than the
+    * recall bound, so the pair set is exact) joined bucket-locally, then
+    * exact hamming gates the verdict. Blob bytes never shuffle: only
+    * (doc_id, 60-bit hash) pairs cross the exchange, so the banding join
+    * over a 100-TB image store moves a few GB of hashes. Like d02, the
+    * PAIR view saturates where profiles densify — the labeling/artifact
+    * path (d10/d20 shapes) is the production consumer at scale.
+    */
+  def phashNeardup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+    import s.implicits._
+    val hashed = phashOf(withBlob(s, dir))
+    val banded = hashed.select($"doc_id", $"phash",
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> struct(b AS band_id, shiftright(phash, b*15) & 32767 AS band_bits))")).as("band"))
+      .select($"doc_id", $"phash", $"band.band_id", $"band.band_bits")
+    val a = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_a"), $"phash".as("ph_a"))
+    val b = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_b"), $"phash".as("ph_b"))
+    a.join(b, Seq("band_id", "band_bits"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+              bit_count($"ph_a".bitwiseXOR($"ph_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The 60-bit profile-hash kernel: bucket every adjacent byte pair into
+    * one of 60 cells ((b1·131 + b2) mod 60), then set bit j iff cell j is
+    * over-occupied versus uniform — `count_j · 60 > n_pairs` keeps the
+    * comparison in exact 64-bit integers. One pass over the bytes, O(1)
+    * state. Runs in the mapPartitions codec seam: a real pipeline decodes
+    * the image batch and fills the cells from pixel blocks right here.
+    */
+  private[graft] def phashOf(withBlobs: DataFrame): DataFrame = {
+    val s = withBlobs.sparkSession
+    import s.implicits._
+    withBlobs.as[MediaBlob]
+      .mapPartitions { blobs =>
+        blobs.map { m =>
+          val counts = new Array[Long](60)
+          var i = 0
+          while (i < m.blob.length - 1) {
+            val b1 = m.blob(i) & 0xff
+            val b2 = m.blob(i + 1) & 0xff
+            counts((b1 * 131 + b2) % 60) += 1
+            i += 1
+          }
+          val n = (m.blob.length - 1).toLong
+          var ph = 0L
+          var j = 0
+          while (j < 60) {
+            if (counts(j) * 60L > n) ph |= (1L << j)
+            j += 1
+          }
+          PHashRow(m.doc_id, ph)
+        }
+      }
+      .toDF()
+  }
 
   private[graft] def resizeBlobsOf(withBlobs: DataFrame): DataFrame = {
     val s = withBlobs.sparkSession

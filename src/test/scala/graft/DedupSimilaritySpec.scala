@@ -695,6 +695,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m08.filter($"resized_len" =!= floor(($"orig_len" + 3) / 4)).isEmpty)
   }
 
+  test("m09 profile hash: hand-computed bits, shift invariance, gated pair view") {
+    import spark.implicits._
+    // "ABABAB": 5 adjacent pairs — (A,B)×3 → cell (65·131+66)%60 = 1,
+    // (B,A)×2 → cell (66·131+65)%60 = 11; both over-occupied vs 5/60 →
+    // phash = 2^1 + 2^11 = 2050
+    val ph = operators.Multimodal.phashOf(
+      Seq((1L, "ABABAB".getBytes("UTF-8")), (2L, "BABABA".getBytes("UTF-8")))
+        .toDF("doc_id", "blob")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) == 2050L, s"hand-computed hash mismatch: ${ph(1L)}")
+    // rotation keeps the bigram profile — the shift-invariance a stripe
+    // thumbnail lacks (one inserted byte would shift every later stripe)
+    assert(ph(2L) == ph(1L), "bigram profile must be shift-invariant")
+    // real corpus: pairs are canonical, gated, and hamming-consistent with
+    // the per-doc hashes
+    val df = SparkEntry.queries("m09_phash_neardup")(spark, sfDir).cache()
+    assert(df.count() > 0, "planted near-dups must collide")
+    assert(df.filter($"doc_a" >= $"doc_b" || $"hamming" > 2).isEmpty)
+    val hashes = operators.Multimodal.phashOf(
+      operators.Multimodal.withBlob(spark, sfDir))
+    val recomputed = df
+      .join(hashes.select($"doc_id".as("doc_a"), $"phash".as("pa")), "doc_a")
+      .join(hashes.select($"doc_id".as("doc_b"), $"phash".as("pb")), "doc_b")
+    assert(recomputed
+      .filter($"hamming" =!= bit_count($"pa".bitwiseXOR($"pb")).cast("long")).isEmpty,
+      "reported hamming must equal the xor popcount of the per-doc hashes")
+    df.unpersist()
+  }
+
   test("m01 multimodal metadata matches blob sizes") {
     val df = SparkEntry.queries("m01_multimodal_meta")(spark, sfDir)
     val docs = Tables.documents(spark, sfDir).count()

@@ -118,6 +118,7 @@ object SparkEntry {
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
+    "p30_global_index"      -> (PipelineOps.globalIndex _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
@@ -1009,6 +1010,13 @@ object SparkEntry {
         |FROM run GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // p28: staleness in whole hours vs the freshest feed; 7d window is
     // anchored to the global max so the report is reproducible
+    // p30: the two-phase enumeration must equal the one-reducer ROW_NUMBER
+    // it replaces, exactly and gap-free
+    "p30_global_index" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+        |         AS global_idx,
+        |       doc_id, source
+        |FROM documents ORDER BY global_idx""".stripMargin,
     "p28_freshness_report" ->
       """WITH pt AS (SELECT event_type, MAX(ts) AS last_seen, COUNT(*) AS n_events
         |            FROM events GROUP BY 1),

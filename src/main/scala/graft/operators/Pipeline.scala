@@ -376,6 +376,43 @@ object PipelineOps {
       .orderBy($"source", $"shard", $"seq_id")
   }
 
+  /** p30: global contiguous example numbering — the zipWithIndex problem at
+    * 100 TB. A training manifest wants every example to carry a stable,
+    * gap-free global index in a canonical order, but the naive
+    * `row_number() OVER (ORDER BY ...)` funnels the whole corpus through
+    * ONE reducer. The scale-correct shape is two-phase enumeration:
+    * range-partition on the canonical key and PIN the placement
+    * (localCheckpoint — the two phases must see the same partitioning, and
+    * a re-planned exchange could legally move boundary rows between runs),
+    * count rows per partition (a |partitions|-row aggregate), turn the
+    * counts into exclusive prefix offsets (driver-side over a few hundred
+    * longs — the documented tiny-collect exception: bounded by cluster
+    * partitioning, never by data), and add `offset(pid) + local rank` in a
+    * per-partition window that is fully partition-parallel. Range
+    * partitioning makes partition p's keys all precede partition p+1's, so
+    * local rank + offset IS the global row number — no corpus-wide sort,
+    * no single-reducer stage, one range exchange total.
+    */
+  def globalIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val placed = Tables.documents(s, dir)
+      .select($"doc_id", $"source")
+      .repartitionByRange(32, $"source", $"doc_id")
+      .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    val counts = placed.groupBy($"pid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offsetDf = s.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val w = Window.partitionBy($"pid").orderBy($"source", $"doc_id")
+    placed
+      .join(broadcast(offsetDf), Seq("pid"))
+      .select(($"offset" + row_number().over(w) - 1L).as("global_idx"),
+              $"doc_id", $"source")
+      .orderBy($"global_idx")
+  }
+
   /** Failure-tolerant ingestion — the one reference behavior with no query
     * analogue until now: the pipeline records per-page failures and CONTINUES
     * the run (/root/reference/master_script.py:222-609 catches per-page

@@ -204,6 +204,28 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p30 global index: gap-free, order-lawful, no single-reducer window") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p30_global_index")(spark, sfDir).cache()
+    val n = Tables.documents(spark, sfDir).count()
+    // contiguity: exactly [0, n) with no gaps or repeats
+    assert(df.count() == n && df.select($"global_idx").distinct().count() == n)
+    val mm = df.agg(min($"global_idx"), max($"global_idx")).head()
+    assert(mm.getLong(0) == 0L && mm.getLong(1) == n - 1)
+    // order law: index order IS (source, doc_id) order — lag under the
+    // canonical sort must always step by exactly 1
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"source", $"doc_id")
+    assert(df.withColumn("prev", lag($"global_idx", 1, -1L).over(w))
+      .filter($"global_idx" =!= $"prev" + 1L).isEmpty,
+      "global_idx must advance by 1 along the canonical order")
+    // the enumeration window itself is per-partition (pid), never a global
+    // single-reducer sort — only the presentation orderBy may range-exchange
+    val planStr = plan("p30_global_index")
+    assert(planStr.contains("[pid"),
+      "the rank window must partition by pid (partition-parallel)")
+    df.unpersist()
+  }
+
   test("p10 partitioned sink writes one directory per space") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sfDir).write.mode("overwrite")

@@ -178,6 +178,7 @@ object SparkEntry {
     "s18_budget_admission" -> (graft.streaming.Streams.budgetAdmissionBatch _),
     "s19_shard_assign" -> (graft.streaming.Streams.shardAssignBatch _),
     "s20_sketch_fold"  -> (graft.streaming.Streams.sketchFoldBatch _),
+    "s21_stream_join"  -> (graft.streaming.Streams.attributionJoinBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -357,6 +358,15 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS fold_within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // s21: the co-partitioned interval join replayed; lag in whole seconds
+    // via integer division (both engines truncate positive operands alike)
+    "s21_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_s
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
     // s18: soft-cap admission — admitted from the ALL-previous cumsum,
     // spent_before re-summed over admitted-only rows (the streaming fold's
     // frozen counter); budget constant mirrors Streams.SourceTokenBudget

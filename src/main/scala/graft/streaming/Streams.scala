@@ -479,6 +479,52 @@ object Streams {
       .orderBy($"event_type")
   }
 
+  /** s21 stream transform: watermarked STREAM-STREAM interval join — the
+    * conversion-attribution correlation (purchase within an hour of a
+    * click, same user) run over two live streams. Both sides carry event-
+    * time watermarks and the join carries the time-range constraint, which
+    * is what makes the state store FINITE: each side buffers only rows
+    * younger than (watermark − join horizon), so per-user state is bounded
+    * by the horizon's traffic, not the stream's history — the shape that
+    * lets two 100-TB/day streams correlate without unbounded state. Rows
+    * co-partition on user_id (one exchange per side); inner-join results
+    * emit as matches arrive (watermarks govern state eviction, not
+    * emission). The batch twin below is the oracled key; the spec drives
+    * identical rows through both and proves set equality.
+    */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"))
+    c.join(p, col("user_id") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+              expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+                .as("lag_s"))
+  }
+
+  /** s21 batch twin (driver key s21_stream_join): the same co-partitioned
+    * interval join over the static events table. */
+  def attributionJoinBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    c.join(p, Seq("user_id"))
+      .filter($"purchase_ts" >= $"click_ts" &&
+              $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"click_id", $"purchase_id",
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("lag_s"))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
   /** Batch dedup query (driver contract key s03_stream_dedup): deterministic
     * first-row-per-event_id via the same shape as the streaming state store.
     */

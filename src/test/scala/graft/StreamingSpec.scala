@@ -232,6 +232,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s21 stream-stream interval join equals the batch twin on identical rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.attributionStream(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("s21_out").outputMode("append").start()
+    try {
+      // user 1: purchase 30 min after click (match) and one 2 h later (no);
+      // user 2: purchase 10 min BEFORE the click (no) and at +60 min (match,
+      // boundary inclusive); user 3: click with no purchase
+      clicks.addData(Event(1, ts(0), 1, "click", 0), Event(2, ts(0), 2, "click", 0),
+                     Event(3, ts(5), 3, "click", 0))
+      purchases.addData(Event(10, ts(30), 1, "purchase", 0),
+                        Event(11, ts(120), 1, "purchase", 0))
+      q.processAllAvailable()
+      purchases.addData(Event(12, ts(-10), 2, "purchase", 0),
+                        Event(13, ts(60), 2, "purchase", 0))
+      q.processAllAvailable()
+      val got = s.table("s21_out")
+        .select($"user_id", $"click_id", $"purchase_id", $"lag_s")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 10L, 1800L), (2L, 2L, 13L, 3600L)),
+        s"stream join emitted $got")
+    } finally q.stop()
+    // batch twin on the real corpus: canonical pairs, lag within [0, 3600]
+    val df = SparkEntry.queries("s21_stream_join")(spark, sfDir)
+    assert(df.filter($"lag_s" < 0 || $"lag_s" > 3600).isEmpty,
+      "every attributed pair must convert within the window")
+  }
+
   test("s08 custom topk_agg merges through the streaming state store") {
     val s = spark
     import s.implicits._

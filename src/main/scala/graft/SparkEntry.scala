@@ -154,6 +154,8 @@ object SparkEntry {
     "d30_knn_label_purity" -> (Similarity.knnLabelPurity _),
     "d31_containment"     -> (Dedup.containmentPairs _),
     "d32_soft_dedup"      -> ((s, d) => Dedup.softDedupWeights(s, d)),
+    "d33_priority_sample" -> (Dedup.prioritySample _),
+    "d34_int8_quantize"   -> (Similarity.int8Quantize _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1715,6 +1717,53 @@ object SparkEntry {
          |SELECT cl.doc_id, CAST(sz.dup_degree AS BIGINT) AS dup_degree,
          |       CAST(1000000 // sz.dup_degree AS BIGINT) AS weight_ppm
          |FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    // d33: weighted priority sample — ORDER BY one IEEE double division of
+    // two exact BIGINTs (correctly rounded, so both engines rank
+    // identically; t18 precedent), doc_id tiebreak; GREATEST guards the
+    // zero-length doc the schema permits
+    "d33_priority_sample" ->
+      s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY CAST(${SampleHash.sql("doc_id")} AS DOUBLE)
+         |                      / GREATEST(n_chars, 1), doc_id) AS pick
+         |  FROM documents)
+         |WHERE pick <= ${operators.Dedup.PrioritySampleK}
+         |ORDER BY source, pick""".stripMargin,
+    // d34: the oracle replays the ENTIRE quantized vector (order-sensitive
+    // digests), not a summary — every step is exact integer math or one
+    // correctly-rounded IEEE double op, so codes are bit-identical across
+    // engines; list_sum types HUGEINT, hence the CASTs
+    "d34_int8_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, xd,
+        |             list_max(list_transform(xd, x -> abs(x))) AS maxabs FROM e),
+        |qq AS (SELECT vec_id, xd, maxabs,
+        |         CASE WHEN maxabs = 0
+        |              THEN list_transform(xd, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(xd,
+        |                     x -> CAST(FLOOR(x * 127 / maxabs + 0.5) AS BIGINT))
+        |         END AS q
+        |       FROM m),
+        |r AS (SELECT vec_id, maxabs, q,
+        |        CASE WHEN maxabs = 0 THEN 0.0
+        |             ELSE list_max(list_transform(list_zip(xd, q),
+        |                    s -> abs(s[1] * 127 / maxabs - s[2])))
+        |        END AS err
+        |      FROM qq)
+        |SELECT vec_id,
+        |       FLOOR(maxabs * 1000000 + 0.5) / 1000000 AS scale_max,
+        |       CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+        |       CAST(list_sum(list_transform(q,
+        |              x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat,
+        |       CAST(list_sum(list_transform(list_zip(q, range(1, len(q) + 1)),
+        |              s -> s[1] * s[2])) AS BIGINT) AS q_digest,
+        |       FLOOR(err * 10000 + 0.5) / 10000 AS round_err,
+        |       err <= 0.5 AS within_half_ulp
+        |FROM r ORDER BY vec_id""".stripMargin,
     // d30: the full |queries| x |corpus| score matrix replayed (d27
     // precedent), rank under (sim DESC, neighbor_id ASC) = the Spark
     // window's total order; n_agree cast to BIGINT before the exact /10

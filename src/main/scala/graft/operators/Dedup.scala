@@ -664,6 +664,35 @@ object Dedup {
       .orderBy($"source", $"pick")
   }
 
+  /** d33: weighted priority sampling (Duffield/Efraimidis–Spirakis shape) —
+    * d18 draws every doc with EQUAL probability, which under-represents the
+    * long documents that dominate token mass; a curator estimating token
+    * statistics wants inclusion probability ∝ length. Priority sampling
+    * gets that with the same single-window plan: each doc's priority is
+    * u/w (u = the shared Knuth selection hash in [0,P), w = n_chars), and
+    * the per-source sample is the k SMALLEST priorities — a doc's chance of
+    * ranking in the top k rises with its weight, the weighted reservoir.
+    * The priority is one IEEE double division of two exact integers
+    * (correctly rounded, so Spark and DuckDB order identically — t18's
+    * precedent), doc_id breaks the measure-zero ties, and the literal
+    * rank filter compiles to WindowGroupLimit: each map partition forwards
+    * at most k rows per source into the single exchange, a weighted
+    * reservoir that never sorts the corpus. n_chars rides along so the
+    * sample is self-describing for Horvitz–Thompson-style reweighting.
+    */
+  val PrioritySampleK = 20
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priority = graft.SampleHash.column($"doc_id").cast("double") /
+      greatest($"n_chars", lit(1L))
+    val w = Window.partitionBy($"source").orderBy(priority.asc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter($"pick" <= PrioritySampleK)
+      .select($"source", $"pick", $"doc_id", $"n_chars")
+      .orderBy($"source", $"pick")
+  }
+
   /** Per-source token budget for [[tokenBudgetMix]] — an absolute cap like
     * d18/d19's doc quotas, but in the unit a trainer actually provisions.
     */

@@ -660,4 +660,47 @@ object Similarity {
               $"n_agree", ($"n_agree" / lit(K.toDouble)).as("knn_purity"))
       .orderBy($"vec_id")
   }
+
+  /** d34: int8 embedding quantization — the standard serving/storage format
+    * for embedding stores (4× smaller than float32, SIMD int8 dot products;
+    * d12's PQ is the 8-64× lossy sibling). Per vector: symmetric max-abs
+    * scaling, q_i = round(127·x_i/maxabs) via floor(v+0.5) — every step is
+    * either exact integer math or ONE correctly-rounded IEEE double op, so
+    * Spark and DuckDB produce bit-identical codes and the oracle replays
+    * the full quantized vector through order-sensitive digests (sum, L1,
+    * position-weighted dot, saturation count) rather than trusting a
+    * lossy summary. round_err is the realized max |127·x/maxabs − q| —
+    * ≤ 0.5 by construction, asserted as a column so a rounding-convention
+    * drift on either engine fails the hash loudly. Scan-local per-row work
+    * (zero exchanges before the output sort); the higher-order lambdas run
+    * interpreted per element — if this ever sits on a 100-TB hot path the
+    * d12 pq_encode codegen-kernel precedent applies directly.
+    */
+  def int8Quantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = Tables.embeddings(s, dir)
+      .withColumn("xd", transform($"embedding", e => e.cast("double")))
+      .withColumn("maxabs", array_max(transform($"xd", e => abs(e))))
+      .withColumn("q",
+        when($"maxabs" === 0d, transform($"xd", _ => lit(0L)))
+          .otherwise(transform($"xd",
+            e => floor(e * lit(127d) / $"maxabs" + lit(0.5d)).cast("long"))))
+    val err = when($"maxabs" === 0d, lit(0.0)).otherwise(
+      array_max(zip_with($"xd", $"q",
+        (a, b) => abs(a * lit(127d) / $"maxabs" - b))))
+    val digest = aggregate(
+      zip_with($"q", sequence(lit(1), size($"q")), (a, b) => a * b),
+      lit(0L), (acc, e) => acc + e)
+    df.select(
+        $"vec_id",
+        (floor($"maxabs" * lit(1e6) + lit(0.5d)) / lit(1e6)).as("scale_max"),
+        aggregate($"q", lit(0L), (acc, e) => acc + e).as("q_sum"),
+        aggregate($"q", lit(0L), (acc, e) => acc + abs(e)).as("q_l1"),
+        aggregate($"q", lit(0L),
+          (acc, e) => acc + when(abs(e) === 127L, lit(1L)).otherwise(lit(0L))).as("n_sat"),
+        digest.as("q_digest"),
+        (floor(err * lit(1e4) + lit(0.5d)) / lit(1e4)).as("round_err"),
+        (err <= lit(0.5d)).as("within_half_ulp"))
+      .orderBy($"vec_id")
+  }
 }

@@ -826,4 +826,26 @@ class DedupSimilaritySpec extends SparkSpec {
       e.outputPartitioning == org.apache.spark.sql.catalyst.plans.physical.SinglePartition),
       s"d27 verdict must not hash-shuffle the corpus:\n$planned")
   }
+
+  test("d34 int8 codes are in range, saturate the max element, and stay scan-local") {
+    val df = SparkEntry.queries("d34_int8_quantize")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the ±maxabs element always quantizes to ±127 exactly, so a nonzero
+      // vector saturates at least once; rounding stays within half a code
+      assert(r.getAs[Boolean]("within_half_ulp"), s"rounding drifted: $r")
+      assert(r.getAs[Long]("n_sat") >= 1L, s"max element must saturate: $r")
+      assert(r.getAs[Long]("q_l1") <= 127L * 64, s"L1 exceeds saturation bound: $r")
+      assert(r.getAs[Double]("scale_max") > 0.0, s"zero-norm vector unexpected: $r")
+    }
+    // quantization is per-row: nothing may hash-shuffle the corpus
+    val planned = physical(df)
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(e => e.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"d34 must be scan-local before the output sort:\n$planned")
+  }
 }

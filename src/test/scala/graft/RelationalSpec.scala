@@ -282,6 +282,28 @@ class RelationalSpec extends SparkSpec {
       s"per-source reservoir must cap map output below the window:\n$p")
   }
 
+  test("d33 priority sample: weighted reservoir caps map output and skews long") {
+    val p = physical(SparkEntry.queries("d33_priority_sample")(spark, sfDir)).toString
+    assert(p.contains("WindowGroupLimit"),
+      s"weighted reservoir must cap map output below the window:\n$p")
+    val rows = SparkEntry.queries("d33_priority_sample")(spark, sfDir).collect()
+    val perSource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    val corpus = Tables.documents(spark, sfDir)
+    val counts = corpus.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      assert(n == math.min(operators.Dedup.PrioritySampleK.toLong, counts(src)),
+        s"$src drew $n")
+    }
+    // inclusion probability rises with n_chars: the weighted sample's mean
+    // length must exceed the corpus mean (deterministic under the fixed
+    // Knuth hash and the seed-42 testdata)
+    val sampledMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    val corpusMean = corpus.agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"length-weighted sample mean $sampledMean <= corpus mean $corpusMean")
+  }
+
   test("q25 deterministic sample is stable and ~10%") {
     val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq

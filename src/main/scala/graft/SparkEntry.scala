@@ -63,6 +63,7 @@ object SparkEntry {
     "q40_retention"       -> (Relational.retentionCohorts _),
     "q41_transitions"     -> (Relational.transitions _),
     "q42_sketch_reagg"    -> (Relational.sketchReagg _),
+    "q43_rfm_segments"    -> (Relational.rfmSegments _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -1104,6 +1105,45 @@ object SparkEntry {
         |       COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS reagg_within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q43: value-based quartiles (ties share a score — deterministic where
+    // ntile is not); cutoff rank all-integer ((N*t+3)//4), monetary through
+    // exact DECIMAL then floored to whole units (q14's value convention)
+    "q43_rfm_segments" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day, COUNT(*) AS frequency,
+        |         CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS monetary_units
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MAX(last_day) AS gmax FROM u),
+        |s AS (SELECT user_id,
+        |             CAST(date_diff('day', last_day, g.gmax) AS BIGINT) AS recency_days,
+        |             frequency, monetary_units FROM u, g),
+        |cr AS (SELECT MIN(CASE WHEN cum >= (nu*1+3)//4 THEN v END) AS r1,
+        |              MIN(CASE WHEN cum >= (nu*2+3)//4 THEN v END) AS r2,
+        |              MIN(CASE WHEN cum >= (nu*3+3)//4 THEN v END) AS r3
+        |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS nu
+        |             FROM (SELECT recency_days AS v, COUNT(*) AS c FROM s GROUP BY 1))),
+        |cf AS (SELECT MIN(CASE WHEN cum >= (nu*1+3)//4 THEN v END) AS f1,
+        |              MIN(CASE WHEN cum >= (nu*2+3)//4 THEN v END) AS f2,
+        |              MIN(CASE WHEN cum >= (nu*3+3)//4 THEN v END) AS f3
+        |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS nu
+        |             FROM (SELECT frequency AS v, COUNT(*) AS c FROM s GROUP BY 1))),
+        |cm AS (SELECT MIN(CASE WHEN cum >= (nu*1+3)//4 THEN v END) AS m1,
+        |              MIN(CASE WHEN cum >= (nu*2+3)//4 THEN v END) AS m2,
+        |              MIN(CASE WHEN cum >= (nu*3+3)//4 THEN v END) AS m3
+        |       FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS nu
+        |             FROM (SELECT monetary_units AS v, COUNT(*) AS c FROM s GROUP BY 1))),
+        |q AS (SELECT user_id, recency_days, frequency, monetary_units,
+        |        CAST(1 + (recency_days > r1)::INT + (recency_days > r2)::INT
+        |               + (recency_days > r3)::INT AS BIGINT) AS r_quartile,
+        |        CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+        |               + (frequency > f3)::INT AS BIGINT) AS f_quartile,
+        |        CAST(1 + (monetary_units > m1)::INT + (monetary_units > m2)::INT
+        |               + (monetary_units > m3)::INT AS BIGINT) AS m_quartile
+        |      FROM s, cr, cf, cm)
+        |SELECT user_id, recency_days, frequency, monetary_units,
+        |       r_quartile, f_quartile, m_quartile,
+        |       r_quartile * 100 + f_quartile * 10 + m_quartile AS segment
+        |FROM q ORDER BY user_id""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

@@ -860,6 +860,79 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** q43: RFM behavioral segmentation (recency / frequency / monetary) —
+    * the classic user-value grid marketing and retention teams run over the
+    * event stream. The naive form ntile(4)s each dimension over ALL users:
+    * an unpartitioned window, i.e. a single-reducer sort over |users| —
+    * exactly the shape p30 exists to avoid — and ntile splits ties
+    * arbitrarily, so it isn't even deterministic cross-engine. This runs
+    * the d24 histogram pattern per dimension instead: one user_id exchange
+    * builds the per-user (recency, frequency, monetary) row, ONE exploded
+    * (dim, value) histogram covers all three dimensions in a single bounded
+    * agg (days span, count range, whole currency units — none grows with
+    * |users|), a dim-parallel cumsum over histogram rows finds the exact
+    * quartile cutoffs c_t = min v with |{v' ≤ v}| ≥ ceil(N·t/4)
+    * (all-integer: (N·t+3) div 4), and scoring is a scan-local comparison
+    * against one broadcast pivoted cutoff row. Value-based quartiles give
+    * ties the SAME score — the deterministic semantics ntile lacks.
+    * Monetary sums through DECIMAL(18,6) (exact, order-independent) and
+    * floors to whole units so its histogram stays bounded and the output
+    * hashes exactly. The per-user aggregate is referenced by the anchor,
+    * histogram, and scoring branches — canonically identical shuffles that
+    * AQE's exchange reuse materializes once at runtime.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        max(to_date($"ts")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        floor(sum($"value".cast("decimal(18,6)"))).cast("long").as("monetary_units"))
+    val global = users.agg(max($"last_day").as("gmax"))
+    val scored = users.crossJoin(broadcast(global))
+      .select($"user_id",
+        datediff($"gmax", $"last_day").cast("long").as("recency_days"),
+        $"frequency", $"monetary_units")
+    // exact quartile cutoffs for ALL THREE dimensions from ONE histogram
+    // pass: explode each user row into (dim, value), aggregate the bounded
+    // (dim, value) histogram, and window per dim — the windows run over
+    // HISTOGRAM rows, never over users, and the cumsum is dim-parallel
+    val hist = scored
+      .select(explode(array(
+        struct(lit("recency_days").as("dim"), $"recency_days".as("v")),
+        struct(lit("frequency").as("dim"), $"frequency".as("v")),
+        struct(lit("monetary_units").as("dim"), $"monetary_units".as("v")))).as("dv"))
+      .select($"dv.dim", $"dv.v")
+      .groupBy($"dim", $"v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"dim").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"dim")
+    val cutsRow = hist
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("nu", sum($"c").over(wAll))
+      .groupBy($"dim").agg(
+        min(when($"cum" >= expr("(nu * 1 + 3) div 4"), $"v")).as("c1"),
+        min(when($"cum" >= expr("(nu * 2 + 3) div 4"), $"v")).as("c2"),
+        min(when($"cum" >= expr("(nu * 3 + 3) div 4"), $"v")).as("c3"))
+      .groupBy()
+      .pivot($"dim", Seq("recency_days", "frequency", "monetary_units"))
+      .agg(first($"c1").as("c1"), first($"c2").as("c2"), first($"c3").as("c3"))
+    def quartile(dim: String): Column =
+      lit(1L) + (col(dim) > col(s"${dim}_c1")).cast("long") +
+        (col(dim) > col(s"${dim}_c2")).cast("long") +
+        (col(dim) > col(s"${dim}_c3")).cast("long")
+    scored
+      .crossJoin(broadcast(cutsRow))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary_units",
+        quartile("recency_days").as("r_quartile"),
+        quartile("frequency").as("f_quartile"),
+        quartile("monetary_units").as("m_quartile"),
+        (quartile("recency_days") * 100 + quartile("frequency") * 10 +
+          quartile("monetary_units")).as("segment"))
+      .orderBy($"user_id")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

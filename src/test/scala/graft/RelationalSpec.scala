@@ -304,6 +304,26 @@ class RelationalSpec extends SparkSpec {
       s"length-weighted sample mean $sampledMean <= corpus mean $corpusMean")
   }
 
+  test("q43 RFM quartiles satisfy the exact cumulative rank law on every dimension") {
+    val rows = SparkEntry.queries("q43_rfm_segments")(spark, sfDir).collect()
+    val n = rows.length
+    assert(n > 0)
+    for (dim <- Seq("r_quartile", "f_quartile", "m_quartile")) {
+      val scores = rows.map(_.getAs[Long](dim))
+      assert(scores.forall(q => q >= 1 && q <= 4), s"$dim out of range")
+      // defining property of the value-based cutoff: at least ceil(N*t/4)
+      // users score <= t (ties can only push the count ABOVE the rank)
+      for (t <- 1 to 3) {
+        val atMost = scores.count(_ <= t)
+        assert(atMost >= (n.toLong * t + 3) / 4,
+          s"$dim: only $atMost of $n users score <= $t")
+      }
+    }
+    val seg = rows.map(r => (r.getAs[Long]("r_quartile"), r.getAs[Long]("f_quartile"),
+      r.getAs[Long]("m_quartile"), r.getAs[Long]("segment")))
+    assert(seg.forall { case (r, f, m, s) => s == r * 100 + f * 10 + m })
+  }
+
   test("q25 deterministic sample is stable and ~10%") {
     val a = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq
     val b = SparkEntry.queries("q25_det_sample")(spark, sfDir).collect().toSeq

@@ -120,6 +120,7 @@ object SparkEntry {
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
     "p30_global_index"      -> (PipelineOps.globalIndex _),
+    "p31_point_in_time"     -> (PipelineOps.pointInTime _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
@@ -1284,6 +1285,18 @@ object SparkEntry {
         |SELECT source, CAST(rank AS BIGINT) AS rank, term,
         |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // p31: closed-open validity intervals mean at most one row per key at
+    // any instant; anchor = global max ts − 15 days on both engines
+    "p31_point_in_time" ->
+      """WITH g AS (SELECT MAX(ts) - INTERVAL 15 DAY AS t0 FROM events),
+        |h AS (SELECT user_id, event_id, value, ts AS valid_from,
+        |             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |      FROM events WHERE event_type IN ('purchase', 'signup'))
+        |SELECT user_id, event_id AS version_event_id, value, valid_from,
+        |       g.t0 AS as_of
+        |FROM h, g
+        |WHERE valid_from <= g.t0 AND (valid_to IS NULL OR valid_to > g.t0)
+        |ORDER BY user_id""".stripMargin,
     "p22_state_history" ->
       """SELECT user_id, event_id, value, ts AS valid_from,
         |       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,

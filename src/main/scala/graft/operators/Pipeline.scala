@@ -295,6 +295,31 @@ object PipelineOps {
       .orderBy($"user_id", $"valid_from", $"event_id")
   }
 
+  /** p31: point-in-time state reconstruction — time travel over p22's SCD2
+    * history: "what did the state look like at time T?", the query a
+    * reproducible-training-run audit asks (which version of every page was
+    * live when the snapshot was cut). Version intervals are closed-open
+    * [valid_from, valid_to), so each key matches AT MOST ONE interval at
+    * any instant — the reconstruction is the history filtered against a
+    * broadcast one-row anchor (T = global max ts − 15 days, data-derived
+    * and scale-stable), a scan-local predicate after p22's one user_id
+    * window exchange. The StateManager kept only the latest version and
+    * could never answer this; the interval form answers it for ANY T
+    * without replaying the event log (p23's CDC fold would have to).
+    */
+  def pointInTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val anchor = Tables.events(s, dir)
+      .agg((max($"ts") - expr("INTERVAL 15 DAYS")).as("as_of"))
+    stateHistory(s, dir)
+      .crossJoin(broadcast(anchor))
+      .filter($"valid_from" <= $"as_of" &&
+              ($"valid_to".isNull || $"valid_to" > $"as_of"))
+      .select($"user_id", $"event_id".as("version_event_id"), $"value",
+              $"valid_from", $"as_of")
+      .orderBy($"user_id")
+  }
+
   /** p28: ingest freshness report — the ops dashboard behind the
     * reference's "updated in last N days" scan (p02 answers the query;
     * this audits the feed): per event type, last-seen timestamp, volume in

@@ -241,4 +241,29 @@ class PipelineSpec extends SparkSpec {
     pruned.collect()
     assert(pruned.count() == Tables.documents(spark, sfDir).filter(col("source") === "src3").count())
   }
+
+  test("p31 point-in-time returns exactly the latest version per key as of T") {
+    val rows = SparkEntry.queries("p31_point_in_time")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // at most one live interval per key at any instant
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    val asOf = rows.head.getAs[java.sql.Timestamp]("as_of")
+    // brute-force replay: the version at T is the max-(ts, event_id)
+    // qualifying event with ts <= T
+    val expected = operators.PipelineOps.stateHistory(spark, sfDir)
+      .filter(col("valid_from") <= lit(asOf))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, vs) =>
+        u -> vs.maxBy(r => (r.getAs[java.sql.Timestamp]("valid_from").getTime,
+                            r.getAs[Long]("event_id"))).getAs[Long]("event_id")
+      }
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(expected(u) == r.getAs[Long]("version_event_id"),
+        s"user $u: expected version ${expected(u)}, got $r")
+      assert(!r.getAs[java.sql.Timestamp]("valid_from").after(asOf))
+    }
+    assert(expected.size == rows.length, "a key with history before T went missing")
+  }
 }

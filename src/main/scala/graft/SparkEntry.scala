@@ -116,6 +116,7 @@ object SparkEntry {
     "t24_exact_substr"      -> (TextOps.exactSubstrSpans _),
     "t25_substr_removal"    -> (TextOps.substrRemoval _),
     "t26_bpe_encode"        -> (TextOps.bpeEncode _),
+    "t27_rule_gate"         -> (TextOps.ruleGate _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
@@ -342,6 +343,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "t23_bpe_pairs" -> BpeOracle,
     "t26_bpe_encode" -> BpeEncodeOracle,
+    // t27: all-integer rule arithmetic; regexp_replace needs the 'g' flag
+    // to match Spark's replace-all (verify-skill gotcha)
+    "t27_rule_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |         CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS w_chars
+         |  FROM documents),
+         |s AS (SELECT doc_id, source, w_chars,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |        CAST(list_contains(toks, 'the')::INT + list_contains(toks, 'a')::INT
+         |           + list_contains(toks, 'and')::INT + list_contains(toks, 'of')::INT
+         |           + list_contains(toks, 'to')::INT + list_contains(toks, 'in')::INT
+         |           + list_contains(toks, 'is')::INT AS BIGINT) AS n_stop_types
+         |      FROM t)
+         |SELECT doc_id, source, n_words, w_chars, n_distinct, n_stop_types,
+         |       (n_words BETWEEN ${operators.TextOps.RuleMinWords}
+         |                    AND ${operators.TextOps.RuleMaxWords}) AS rule_word_count,
+         |       (w_chars >= n_words * 3 AND w_chars <= n_words * 10) AS rule_mean_len,
+         |       (n_stop_types >= 2) AS rule_stopwords,
+         |       (n_distinct * 2 >= n_words) AS rule_diversity,
+         |       ((n_words BETWEEN ${operators.TextOps.RuleMinWords}
+         |                     AND ${operators.TextOps.RuleMaxWords})
+         |        AND (w_chars >= n_words * 3 AND w_chars <= n_words * 10)
+         |        AND (n_stop_types >= 2)
+         |        AND (n_distinct * 2 >= n_words)) AS pass
+         |FROM s ORDER BY doc_id""".stripMargin,
     // s17: the oracle is the GLOBAL latest-wins winner per key under the
     // total order (ts, version, event_id) — hash-equality against Spark's
     // 3-batch incremental fold proves the sink merge is associative

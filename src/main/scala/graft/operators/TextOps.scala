@@ -816,6 +816,45 @@ object TextOps {
   def substrRemoval(s: SparkSession, dir: String): DataFrame =
     substrRemovalOf(Tables.documents(s, dir))
 
+  /** t27: named-rule quality gate (the Gopher-rules shape, Rae et al. 2021
+    * §A1.1): where t06 emits a CONTINUOUS score for calibration (d21/d24
+    * pick the threshold), production filters also run a battery of named
+    * pass/fail rules whose verdicts must be auditable per rule — "why was
+    * this doc dropped" is an ops question a blended score can't answer.
+    * Four rules, each ALL-INTEGER so the verdict hashes exactly:
+    * word-count bounds; mean word length in [3,10] via cross-multiplied
+    * integers (3·words ≤ word_chars ≤ 10·words — no division); ≥ 2 distinct
+    * stopword TYPES present (token-exact, t06's stopword list); lexical
+    * diversity 2·distinct ≥ words (the unique-word floor behind Gopher's
+    * repetition family — t13 measures the ratio, this rules on it).
+    * Everything is scan-local column math inside codegen: zero exchanges
+    * before the output sort at any corpus size.
+    */
+  val RuleMinWords = 20L
+  val RuleMaxWords = 100000L
+  def ruleGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim(lower($"text")), "\\s+")
+    val df = Tables.documents(s, dir)
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("w_chars", length(regexp_replace($"text", "\\s+", "")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop_types",
+        Seq("the", "a", "and", "of", "to", "in", "is")
+          .map(t => when(array_contains(toks, t), 1L).otherwise(0L))
+          .reduce(_ + _))
+    val ruleWc   = $"n_words" >= RuleMinWords && $"n_words" <= RuleMaxWords
+    val ruleLen  = $"w_chars" >= $"n_words" * 3 && $"w_chars" <= $"n_words" * 10
+    val ruleStop = $"n_stop_types" >= 2
+    val ruleDiv  = $"n_distinct" * 2 >= $"n_words"
+    df.select($"doc_id", $"source", $"n_words", $"w_chars", $"n_distinct",
+        $"n_stop_types",
+        ruleWc.as("rule_word_count"), ruleLen.as("rule_mean_len"),
+        ruleStop.as("rule_stopwords"), ruleDiv.as("rule_diversity"),
+        (ruleWc && ruleLen && ruleStop && ruleDiv).as("pass"))
+      .orderBy($"doc_id")
+  }
+
   private[graft] def substrRemovalOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -442,4 +442,28 @@ class TextOpsSpec extends SparkSpec {
         s"$name plan shuffles the corpus token stream on term:\n$planned")
     }
   }
+
+  test("t27 rule gate: verdict is the AND of the rules, rules discriminate, scan-local") {
+    val df = SparkEntry.queries("t27_rule_gate")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getAs[Boolean]("rule_word_count") &&
+        r.getAs[Boolean]("rule_mean_len") &&
+        r.getAs[Boolean]("rule_stopwords") && r.getAs[Boolean]("rule_diversity")
+      assert(r.getAs[Boolean]("pass") == expected, s"pass != AND of rules: $r")
+    }
+    // a gate where every doc passes (or every doc fails) tests nothing:
+    // the 10-99-word corpus must exercise both sides of the word-count rule
+    val wc = rows.map(_.getAs[Boolean]("rule_word_count"))
+    assert(wc.exists(identity) && wc.exists(!_),
+      "word-count rule did not discriminate on this corpus")
+    val planned = physical(df)
+    val shuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.forall(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
+      s"t27 must be scan-local before the output sort:\n$planned")
+  }
 }

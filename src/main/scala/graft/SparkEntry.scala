@@ -184,6 +184,7 @@ object SparkEntry {
     "s19_shard_assign" -> (graft.streaming.Streams.shardAssignBatch _),
     "s20_sketch_fold"  -> (graft.streaming.Streams.sketchFoldBatch _),
     "s21_stream_join"  -> (graft.streaming.Streams.attributionJoinBatch _),
+    "s22_stream_index" -> (graft.streaming.Streams.indexReplayBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -391,6 +392,13 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS fold_within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // s22: one global window rebuilds the arrival-order numbering the fold
+    // assigns incrementally — hash equality proves gap-free + batch-monotone
+    "s22_stream_index" ->
+      """SELECT doc_id, source, CAST(doc_id % 3 AS BIGINT) AS batch_idx,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY doc_id % 3, source, doc_id) - 1
+        |            AS BIGINT) AS global_idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // s21: the co-partitioned interval join replayed; lag in whole seconds
     // via integer division (both engines truncate positive operands alike)
     "s21_stream_join" ->

@@ -420,22 +420,35 @@ object PipelineOps {
     */
   def globalIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val placed = Tables.documents(s, dir)
-      .select($"doc_id", $"source")
+    twoPhaseIndex(Tables.documents(s, dir).select($"doc_id", $"source"), 0L)
+      ._1.orderBy($"global_idx")
+  }
+
+  /** The two-phase enumeration core, shared by p30 (offset 0 over the whole
+    * corpus) and s22's ingest-time fold (offset = examples numbered so far):
+    * range-partition on the canonical key with placement pinned, exclusive
+    * prefix offsets over the |partitions|-row counts, per-partition window
+    * rank. Returns the assigned frame and the batch's row count (what the
+    * streaming fold carries as its single long of state).
+    */
+  private[graft] def twoPhaseIndex(rows: DataFrame, offset: Long): (DataFrame, Long) = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val placed = rows
       .repartitionByRange(32, $"source", $"doc_id")
       .withColumn("pid", spark_partition_id().cast("long"))
       .localCheckpoint(true)
     val counts = placed.groupBy($"pid").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      .zip(counts.map(_._2).scanLeft(offset)(_ + _).dropRight(1))
     val offsetDf = s.createDataFrame(offsets.toSeq).toDF("pid", "offset")
     val w = Window.partitionBy($"pid").orderBy($"source", $"doc_id")
-    placed
+    val assigned = placed
       .join(broadcast(offsetDf), Seq("pid"))
       .select(($"offset" + row_number().over(w) - 1L).as("global_idx"),
               $"doc_id", $"source")
-      .orderBy($"global_idx")
+    (assigned, counts.map(_._2).sum)
   }
 
   /** Failure-tolerant ingestion — the one reference behavior with no query

@@ -27,6 +27,9 @@ case class BudgetVerdict(doc_id: Long, source: String, n_tokens: Long,
 /** One incoming blob for the s19 shard-assignment fold. */
 case class ShardDoc(doc_id: Long, source: String, byte_len: Long)
 
+/** One incoming example for the s22 global-index fold. */
+case class IndexDoc(doc_id: Long, source: String)
+
 /** s19 per-blob verdict: which shard of its source the blob lands in. */
 case class ShardAssign(doc_id: Long, source: String, byte_len: Long, shard_idx: Long)
 
@@ -737,6 +740,59 @@ object Streams {
       .withColumn("shard_idx",
         floor(coalesce(sum($"byte_len").over(wPrev), lit(0L))
           / lit(graft.operators.Multimodal.ShardBytes)).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** s22: p30's global contiguous example numbering maintained at INGEST —
+    * each arriving micro-batch gets gap-free global indices continuing
+    * exactly where the previous batch stopped. Inside a batch the
+    * assignment is p30's two-phase shape (range-partition, per-partition
+    * counts, offsets, partition-parallel rank — NO single-reducer sort);
+    * ACROSS batches the only state is ONE long (the next offset), persisted
+    * like the s17/s20 sinks. A contiguous global sequence is inherently
+    * serial at the counter — this fold makes the serial part exactly one
+    * long per batch, never a row. Numbered rows append; re-numbering never
+    * happens, so an example's id is stable for the life of the corpus
+    * (what a training-manifest consumer requires).
+    */
+  def indexSink(docs: DataFrame,
+                statePath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val offset =
+          if (graft.Fs.exists(s, statePath)) s.read.parquet(statePath).head().getLong(0)
+          else 0L
+        val (assigned, n) = graft.operators.PipelineOps.twoPhaseIndex(
+          batch.select(col("doc_id"), col("source")), offset)
+        assigned.write.mode("append").parquet(statePath + ".rows")
+        s.range(1).select(lit(offset + n).as("next_offset"))
+          .write.mode("overwrite").parquet(statePath)
+        ()
+      }
+      .start()
+
+  /** s22's oracled replay: the indexSink fold over 3 deterministic batches
+    * (doc_id mod 3), offset carried between folds exactly as the sink
+    * persists it. The oracle rebuilds the same numbering in one window
+    * (ORDER BY batch, source, doc_id) — hash equality proves the
+    * incremental fold assigns precisely the numbers a from-scratch global
+    * enumeration in arrival order would, i.e. the fold is gap-free and
+    * batch-monotone (exactly-once, s17's associativity argument).
+    */
+  val IndexReplayBatches = 3
+  def indexReplayBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+    var offset = 0L
+    val parts = (0 until IndexReplayBatches).map { b =>
+      val batch = docs.filter(pmod($"doc_id", lit(IndexReplayBatches.toLong)) === b)
+      val (assigned, n) = graft.operators.PipelineOps.twoPhaseIndex(batch, offset)
+      offset += n
+      assigned.withColumn("batch_idx", lit(b.toLong)).localCheckpoint(true)
+    }
+    parts.reduce(_ unionByName _)
+      .select($"doc_id", $"source", $"batch_idx", $"global_idx")
       .orderBy($"doc_id")
   }
 }

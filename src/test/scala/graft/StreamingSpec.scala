@@ -195,6 +195,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s22 index sink: gap-free contiguous ids across micro-batches, one-long state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("graft_gidx").toString + "/st"
+    import graft.streaming.IndexDoc
+    val input = MemoryStream[IndexDoc]
+    val q = Streams.indexSink(input.toDF(), statePath)
+    try {
+      // batch sizes 3/2/2; ids arrive out of canonical order WITHIN batches
+      input.addData(IndexDoc(9, "b"), IndexDoc(4, "a"), IndexDoc(7, "a"))
+      q.processAllAvailable()
+      input.addData(IndexDoc(1, "b"), IndexDoc(2, "a"))
+      q.processAllAvailable()
+      input.addData(IndexDoc(8, "a"), IndexDoc(3, "b"))
+      q.processAllAvailable()
+      val rows = s.read.parquet(statePath + ".rows")
+        .select($"global_idx", $"doc_id", $"source")
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq == (0L until 7L), s"ids not gap-free: ${rows.toSeq}")
+      // within each batch the numbering follows the canonical (source, doc_id)
+      // order, and each batch's ids all precede the next batch's
+      assert(rows.map(r => (r._3, r._2)).toSeq == Seq(
+        ("a", 4L), ("a", 7L), ("b", 9L),          // batch 1
+        ("a", 2L), ("b", 1L),                     // batch 2
+        ("a", 8L), ("b", 3L)),                    // batch 3
+        s"canonical-within-batch order violated: ${rows.toSeq}")
+      val nextOff = s.read.parquet(statePath).head().getLong(0)
+      assert(nextOff == 7L, s"state must be the single next-offset long, got $nextOff")
+    } finally q.stop()
+  }
+
   test("s20 sketch sink: per-type state, batch-split invariance, exact on small sets") {
     val s = spark
     import s.implicits._

@@ -122,6 +122,7 @@ object SparkEntry {
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
     "p30_global_index"      -> (PipelineOps.globalIndex _),
     "p31_point_in_time"     -> (PipelineOps.pointInTime _),
+    "p32_pagerank"          -> (PipelineOps.pageRank _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
@@ -1322,6 +1323,29 @@ object SparkEntry {
         |SELECT source, CAST(rank AS BIGINT) AS rank, term,
         |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // p32: 3 unrolled iterations mirror the engine's lazy chain; damping at
+    // contribution time ((rank*850000 // 1e6) // 3) keeps the integer
+    // truncation identical on both engines; HUGEINT sums cast at each rank
+    "p32_pagerank" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT MAX(doc_id) + 1 AS n FROM d),
+        |e AS (SELECT doc_id AS src, ((doc_id % n) * 3 + 17) % n AS dst FROM d, nn
+        |      UNION ALL SELECT doc_id, ((doc_id % n) * 5 + 34) % n FROM d, nn
+        |      UNION ALL SELECT doc_id, ((doc_id % n) * 7 + 51) % n FROM d, nn),
+        |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank_ppm FROM d),
+        |c1 AS (SELECT dst, SUM(rank_ppm * 850000 // 1000000 // 3) AS m
+        |       FROM e JOIN r0 ON e.src = r0.doc_id GROUP BY dst),
+        |r1 AS (SELECT d.doc_id, CAST(150000 + COALESCE(m, 0) AS BIGINT) AS rank_ppm
+        |       FROM d LEFT JOIN c1 ON d.doc_id = c1.dst),
+        |c2 AS (SELECT dst, SUM(rank_ppm * 850000 // 1000000 // 3) AS m
+        |       FROM e JOIN r1 ON e.src = r1.doc_id GROUP BY dst),
+        |r2 AS (SELECT d.doc_id, CAST(150000 + COALESCE(m, 0) AS BIGINT) AS rank_ppm
+        |       FROM d LEFT JOIN c2 ON d.doc_id = c2.dst),
+        |c3 AS (SELECT dst, SUM(rank_ppm * 850000 // 1000000 // 3) AS m
+        |       FROM e JOIN r2 ON e.src = r2.doc_id GROUP BY dst),
+        |r3 AS (SELECT d.doc_id, CAST(150000 + COALESCE(m, 0) AS BIGINT) AS rank_ppm
+        |       FROM d LEFT JOIN c3 ON d.doc_id = c3.dst)
+        |SELECT doc_id, rank_ppm FROM r3 ORDER BY doc_id""".stripMargin,
     // p31: closed-open validity intervals mean at most one row per key at
     // any instant; anchor = global max ts − 15 days on both engines
     "p31_point_in_time" ->

@@ -451,6 +451,47 @@ object PipelineOps {
     (assigned, counts.map(_._2).sum)
   }
 
+  /** p32: PageRank-style link influence — the iterative graph-analytics
+    * workload (which documents does the corpus point AT) next to p04's
+    * reachability and d10's connected components. The citation graph is
+    * derived arithmetically (outdeg 3: dst_j = ((id mod N)·(2j+1) + 17j)
+    * mod N, overflow-safe by reducing mod N first), so both engines build
+    * the identical edge set with no stored edge table. Ranks live in
+    * integer ppm and every step is integer math — damping applied at
+    * CONTRIBUTION time (rank·850000 div 10⁶ div outdeg) keeps per-edge
+    * values ≤ 10⁶-scale so the in-mass sum stays far from Long overflow up
+    * to ~10⁹ docs — making truncation order-independent and the result
+    * bit-identical across engines (no floating PageRank drift). Fixed 3
+    * iterations as ONE lazy chained plan (p04's lesson: per-iteration
+    * actions cost more than the chain); each iteration is one src join +
+    * one dst agg, both hash exchanges on graph keys — the exact shape a
+    * 1000-executor PageRank runs, with the iteration count the only
+    * driver-side loop. Contributions to id-gap targets (ScaleGen leaves
+    * holes) vanish identically on both engines via the doc-side left join.
+    */
+  val PageRankIters = 3
+  val PageRankOutDeg = 3
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id")
+    val n = footerMax(s, s"$dir/documents.parquet", "doc_id") + 1
+    val edges = docs.select($"doc_id".as("src"),
+      explode(array((1 to PageRankOutDeg).map(j =>
+        pmod(pmod($"doc_id", lit(n)) * lit(2L * j + 1) + lit(17L * j), lit(n))): _*))
+        .as("dst"))
+    var ranks = docs.select($"doc_id", lit(1000000L).as("rank_ppm"))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = edges.join(ranks, $"src" === $"doc_id")
+        .select($"dst",
+          expr(s"rank_ppm * 850000 div 1000000 div $PageRankOutDeg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("in_mass"))
+      ranks = docs.join(contrib, $"doc_id" === $"dst", "left")
+        .select($"doc_id",
+          (lit(150000L) + coalesce($"in_mass", lit(0L))).as("rank_ppm"))
+    }
+    ranks.orderBy($"doc_id")
+  }
+
   /** Failure-tolerant ingestion — the one reference behavior with no query
     * analogue until now: the pipeline records per-page failures and CONTINUES
     * the run (/root/reference/master_script.py:222-609 catches per-page

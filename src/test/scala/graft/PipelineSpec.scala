@@ -242,6 +242,22 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.count() == Tables.documents(spark, sfDir).filter(col("source") === "src3").count())
   }
 
+  test("p32 pagerank: mass bounds hold, ranks discriminate, runs are identical") {
+    val df = SparkEntry.queries("p32_pagerank")(spark, sfDir)
+    val rows = df.collect()
+    val n = rows.length
+    assert(n > 0)
+    val ranks = rows.map(_.getAs[Long]("rank_ppm"))
+    // every node keeps the teleport base; total mass never exceeds the
+    // initial N * 1e6 (damping only shrinks it, dangling ids only leak it)
+    assert(ranks.forall(_ >= 150000L), "teleport base violated")
+    assert(ranks.sum <= n.toLong * 1000000L, "mass grew — damping arithmetic broken")
+    assert(ranks.distinct.length > 1, "graph produced a uniform ranking — degenerate")
+    val again = SparkEntry.queries("p32_pagerank")(spark, sfDir)
+      .collect().map(_.getAs[Long]("rank_ppm"))
+    assert(ranks.toSeq == again.toSeq, "integer PageRank must be run-to-run identical")
+  }
+
   test("p31 point-in-time returns exactly the latest version per key as of T") {
     val rows = SparkEntry.queries("p31_point_in_time")(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -64,6 +64,7 @@ object SparkEntry {
     "q41_transitions"     -> (Relational.transitions _),
     "q42_sketch_reagg"    -> (Relational.sketchReagg _),
     "q43_rfm_segments"    -> (Relational.rfmSegments _),
+    "q44_zorder"          -> (Relational.zorderLayout _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -1183,6 +1184,21 @@ object SparkEntry {
         |       r_quartile, f_quartile, m_quartile,
         |       r_quartile * 100 + f_quartile * 10 + m_quartile AS segment
         |FROM q ORDER BY user_id""".stripMargin,
+    // q44: bit-by-bit interleave replay; 1::BIGINT forces 64-bit shifts
+    // (a 32-bit `1 << 31` would overflow); epoch_us//1e6 ≡ unix_timestamp
+    // for positive timestamps (s21 precedent)
+    "q44_zorder" ->
+      """WITH b AS (
+        |  SELECT event_id,
+        |         CAST(user_id % 256 AS BIGINT) AS x,
+        |         CAST((epoch_us(ts) // 1000000 // 3600) % 256 AS BIGINT) AS y
+        |  FROM events)
+        |SELECT event_id, x, y,
+        |       CAST(list_sum(list_transform(range(0, 16),
+        |              i -> ((x >> i) & 1) * (1::BIGINT << (2*i))
+        |                 + ((y >> i) & 1) * (1::BIGINT << (2*i+1))))
+        |            AS BIGINT) AS zval
+        |FROM b ORDER BY event_id""".stripMargin,
     // d18: same Knuth-hash ordering convention as d14's rate sampler
     "d18_quota_sample" ->
       s"""SELECT source, CAST(pick AS BIGINT) AS pick, doc_id, lang FROM (

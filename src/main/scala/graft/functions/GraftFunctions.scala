@@ -37,6 +37,7 @@ object GraftFunctions {
     "cms_query"       -> (es => CmsQueryExpr(es(0), es(1))),
     "regex_count"     -> (es => RegexCountExpr(es(0), es(1))),
     "non_alnum_count" -> (es => NonAlnumCountExpr(es(0))),
+    "interleave_bits" -> (es => InterleaveBitsExpr(es(0), es(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -73,6 +74,7 @@ object GraftFunctions {
     call_function("cms_agg", term, weight, depth, width)
   def cmsQuery(sketch: Column, term: Column): Column = call_function("cms_query", sketch, term)
   def regexCount(s: Column, pattern: Column): Column = call_function("regex_count", s, pattern)
+  def interleaveBits(x: Column, y: Column): Column = call_function("interleave_bits", x, y)
 
   /** Registry-free regex_count for context-free Column builders (e.g.
     * TextOps.qualityCol, which has no session to register on): the Column

@@ -258,6 +258,22 @@ object kernels {
     while (m.find()) c += 1
     c
   }
+
+  /** Morton/Z-order bit interleave over the low 16 bits of each input
+    * (z fits in 32 bits, so the DuckDB replay's `1::BIGINT << (2i+1)`
+    * powers never overflow). Callers mask their dimensions into the
+    * 16-bit domain; higher input bits are ignored by construction.
+    */
+  def interleaveBits16(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
 }
 
 /** Cross-engine hash family: every kernel here has a bit-exact DuckDB SQL
@@ -677,6 +693,24 @@ case class RegexCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "regex_count"
+}
+
+/** interleave_bits(long, long) -> long: Morton/Z-order interleave of the
+  * two dimensions' low 16 bits ([[kernels.interleaveBits16]]) — the
+  * space-filling-curve clustering key for multi-dimensional data skipping.
+  */
+case class InterleaveBitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(LongType, LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    kernels.interleaveBits16(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.kernels.interleaveBits16($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "interleave_bits"
 }
 
 /** non_alnum_count(string) -> long: [[kernels.nonAlnumSpaceCount]] as a

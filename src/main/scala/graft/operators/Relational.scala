@@ -933,6 +933,32 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** q44: Z-order (Morton) clustering key — MULTI-dimensional data skipping,
+    * the layout primitive the sort-clustered spec's 1-D range layout can't
+    * give: a table sorted by time prunes time predicates but every file
+    * spans the full user domain (and vice versa). Interleaving the two
+    * dimensions' bits (codegen'd `interleave_bits` kernel — the 11th custom
+    * expression) makes a SINGLE sort key whose contiguous ranges are small
+    * axis-aligned rectangles, so files written in z order carry tight
+    * min/max footer stats on BOTH dimensions and either predicate prunes
+    * (the property PlansSpec measures file-by-file on a uniform grid,
+    * against a 1-D sort where the off-axis span is the full domain). Key
+    * emits the z value per event over the (user, hour) grid — all-integer,
+    * oracle replays the interleave bit-by-bit; the layout write itself is
+    * `repartitionByRange(zval) + sortWithinPartitions(zval)`, exactly the
+    * sort-clustered spec's recipe with z as the key.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, dir)
+      .select($"event_id",
+        pmod($"user_id", lit(256L)).as("x"),
+        pmod(expr("unix_timestamp(ts) div 3600"), lit(256L)).as("y"))
+      .withColumn("zval", graft.functions.GraftFunctions.interleaveBits($"x", $"y"))
+      .orderBy($"event_id")
+  }
+
   /** String expression suite — all codegen'd built-ins, no UDFs. */
   def stringSuite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -196,6 +196,43 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout keeps per-file stats tight on BOTH dims; 1-D sort does not") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // kernel sanity: x=3 (011), y=5 (101) interleave to 0b100111 = 39
+    val probe = spark.range(1)
+      .select(graft.functions.GraftFunctions.interleaveBits(lit(3L), lit(5L)).as("z"))
+      .head().getLong(0)
+    assert(probe == 39L, s"interleave_bits(3,5) must be 39, got $probe")
+    // uniform 256x256 grid — every cell exactly once, so spans are exact
+    val grid = spark.range(256L * 256L)
+      .select(pmod($"id", lit(256L)).as("x"), ($"id" / 256L).cast("long").as("y"))
+      .withColumn("zval",
+        graft.functions.GraftFunctions.interleaveBits($"x", $"y"))
+    def spans(sortCol: String): Array[(Long, Long)] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_z").toString + "/t"
+      grid.repartitionByRange(16, col(sortCol)).sortWithinPartitions(col(sortCol))
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).select(input_file_name().as("f"), $"x", $"y")
+        .groupBy($"f")
+        .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+        .collect().map(r => (r.getAs[Long]("xs"), r.getAs[Long]("ys")))
+    }
+    val z = spans("zval")
+    assert(z.length > 4)
+    // 16 contiguous z ranges ~ 4-bit prefixes: both axis spans collapse
+    // toward quarter-domain rectangles; sampled boundaries straddle prefix
+    // blocks, so assert both MEANS stay under half the domain (vs the full
+    // 255 the 1-D layout leaves on its off axis)
+    val (mx, my) = (z.map(_._1).sum.toDouble / z.length, z.map(_._2).sum.toDouble / z.length)
+    assert(mx < 128 && my < 128,
+      s"z-order files must be tight on both dims: mean x-span $mx, y-span $my")
+    // the 1-D x-sorted layout prunes x but leaves y at the full domain
+    val oneD = spans("x")
+    assert(oneD.forall(_._2 >= 250L),
+      s"1-D layout should span the full off-axis domain: ${oneD.toSeq}")
+  }
+
   test("global sort: sampled range partitioning splits a skewed key across partitions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

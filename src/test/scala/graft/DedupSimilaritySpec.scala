@@ -827,6 +827,39 @@ class DedupSimilaritySpec extends SparkSpec {
       s"d27 verdict must not hash-shuffle the corpus:\n$planned")
   }
 
+  test("partitioned ANN cell index: probe reads only its cells' files") {
+    import spark.implicits._
+    // the serve-side shape behind d08/d15: persist the corpus PARTITIONED
+    // BY cell, and a probe touches only the probed cells' directories —
+    // scan IO scales with probed fraction, not corpus size
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val assigned = operators.Similarity.assignCells(
+      emb, operators.Similarity.collapseCodebook(
+        operators.Similarity.sampledCentroids(emb)))
+    val out = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString + "/idx"
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(out)
+    val allCells = assigned.select($"centroid_id").distinct()
+      .as[Long].collect().sorted
+    assert(allCells.length > 2, "need multiple cells to prove pruning")
+    val probes = allCells.take(2)
+    val pruned = spark.read.parquet(out).filter($"centroid_id".isin(probes: _*))
+    pruned.collect()
+    val leaf = pruned.queryExecution.executedPlan.collectLeaves().head
+    val nFiles = leaf.metrics("numFiles").value
+    val full = spark.read.parquet(out).select($"vec_id")
+    full.collect() // metrics populate only on execution
+    val total = full.queryExecution.executedPlan
+      .collectLeaves().head.metrics("numFiles").value
+    assert(nFiles < total,
+      s"probe must be partition-pruned: read $nFiles of $total files")
+    // the pruned read returns exactly the probed cells' members
+    val expected = assigned.filter($"centroid_id".isin(probes: _*))
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    val got = pruned.select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(got == expected, "partition-pruned probe lost or invented members")
+  }
+
   test("d34 int8 codes are in range, saturate the max element, and stay scan-local") {
     val df = SparkEntry.queries("d34_int8_quantize")(spark, sfDir)
     val rows = df.collect()

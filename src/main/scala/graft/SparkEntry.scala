@@ -170,6 +170,7 @@ object SparkEntry {
     "m07_feature_extract"  -> (Multimodal.featureExtract _),
     "m08_resize"           -> (Multimodal.resizeBlobs _),
     "m09_phash_neardup"    -> ((s, d) => Multimodal.phashNeardup(s, d)),
+    "m10_modality_route"   -> (Multimodal.modalityRoute _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -1184,6 +1185,17 @@ object SparkEntry {
         |       r_quartile, f_quartile, m_quartile,
         |       r_quartile * 100 + f_quartile * 10 + m_quartile AS segment
         |FROM q ORDER BY user_id""".stripMargin,
+    // m10: the engine classifies FROM the blob's magic bytes; the oracle
+    // replays the fixture law (magic chosen by doc_id mod 3) and the
+    // payload digest over the ASCII text (m05's VARCHAR-md5 precedent);
+    // strlen = BYTES in DuckDB, matching length(blob) - 4
+    "m10_modality_route" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS modality,
+        |       CAST(4 + strlen(text) AS BIGINT) AS byte_len,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q44: bit-by-bit interleave replay; 1::BIGINT forces 64-bit shifts
     // (a 32-bit `1 << 31` would overflow); epoch_us//1e6 ≡ unix_timestamp
     // for positive timestamps (s21 precedent)

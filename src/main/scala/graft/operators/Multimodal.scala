@@ -83,6 +83,51 @@ object Multimodal {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** m10: mixed-modality store routing — a real multimodal lake holds
+    * images, audio and video in ONE binary column, and the first ingest
+    * step is magic-byte sniffing (the container header identifies the
+    * codec; file extensions lie). The mixed fixture prefixes each blob
+    * with a 4-byte magic chosen by doc_id mod 3 (IMG0/AUD0/VID0 — the
+    * deterministic stand-in for JPEG/RIFF/ftyp signatures); the router
+    * classifies FROM THE BYTES (a 4-byte binary substring decoded and
+    * mapped, scan-local codegen — never from the id), carries the payload
+    * digest as the sink integrity check, and unknown magics route to
+    * 'unknown' instead of failing the batch (the p21 tolerance posture).
+    * Downstream each modality's pipeline (m07 features, m08 resize, m02
+    * frames) reads its own partition of the routed layout — the
+    * partitionBy write whose pruning the partitioned-sink and ANN-index
+    * specs already prove. Blob bytes never shuffle; one row per blob.
+    */
+  private[graft] def withMixedBlob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val magic = when(pmod($"doc_id", lit(3L)) === 0L, lit("IMG0"))
+      .when(pmod($"doc_id", lit(3L)) === 1L, lit("AUD0"))
+      .otherwise(lit("VID0"))
+    Tables.documents(s, dir)
+      .select($"doc_id", concat(magic, $"text").cast("binary").as("blob"))
+  }
+  def modalityRoute(s: SparkSession, dir: String): DataFrame =
+    routeOf(withMixedBlob(s, dir))
+
+  /** The classifier itself, on any (doc_id, blob) frame — spec-driven with
+    * a planted foreign magic to prove routing reads bytes, not ids. */
+  private[graft] def routeOf(blobs: DataFrame): DataFrame = {
+    val s = blobs.sparkSession
+    import s.implicits._
+    blobs
+      .select($"doc_id", $"blob",
+        expr("CAST(substring(blob, 1, 4) AS STRING)").as("magic"),
+        length($"blob").cast("long").as("byte_len"))
+      .select($"doc_id",
+        when($"magic" === "IMG0", "image")
+          .when($"magic" === "AUD0", "audio")
+          .when($"magic" === "VID0", "video")
+          .otherwise("unknown").as("modality"),
+        $"byte_len",
+        md5(expr("CAST(substring(blob, 5, 2147483647) AS STRING)")).as("payload_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** Binary-file ingestion — the download_attachment analogue (reference:
     * api_client/confluence_client.py:601): a directory of real files read
     * through Spark's `binaryFile` source into the blob schema. The fixture

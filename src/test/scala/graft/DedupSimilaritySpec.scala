@@ -695,6 +695,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m08.filter($"resized_len" =!= floor(($"orig_len" + 3) / 4)).isEmpty)
   }
 
+  test("m10 router classifies from magic BYTES: planted foreign magic routes to unknown") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "IMG0hello"), (2L, "AUD0hello"), (3L, "VID0hello"),
+      (4L, "GIF9hello") // a magic the router does not know — must not fail
+    ).toDF("doc_id", "payload")
+      .select($"doc_id", $"payload".cast("binary").as("blob"))
+    val routed = operators.Multimodal.routeOf(planted).collect()
+    val byId = routed.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("modality")).toMap
+    assert(byId == Map(1L -> "image", 2L -> "audio", 3L -> "video", 4L -> "unknown"),
+      s"classification must read the bytes: $byId")
+    // digest covers the payload BEHIND the magic, not the whole blob
+    val md5hello = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    routed.foreach { r =>
+      assert(r.getAs[String]("payload_md5") == md5hello, s"digest drifted: $r")
+      assert(r.getAs[Long]("byte_len") == 9L)
+    }
+  }
+
   test("m09 profile hash: hand-computed bits, shift invariance, gated pair view") {
     import spark.implicits._
     // "ABABAB": 5 adjacent pairs — (A,B)×3 → cell (65·131+66)%60 = 1,

@@ -128,6 +128,7 @@ object SparkEntry {
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
     "p28_freshness_report"  -> (PipelineOps.freshnessReport _),
+    "p33_attrition_funnel"  -> (EndToEnd.attritionFunnel _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1315,6 +1316,36 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN start_off + n_toks > (seq_id+1)*128 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_straddling
         |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // p33: p27's stage predicates replayed with ORDERED attribution —
+    // same cutoff CTEs, same fingerprint, same eval law; the dedup keeper
+    // is a min-over-CASE window scoped to stage-1/2 survivors, so
+    // 'kept' rows are provably p27's pre-packing corpus
+    "p33_attrition_funnel" ->
+      s"""WITH qx AS (SELECT doc_id, source, text, $QualitySql AS quality FROM documents),
+        |h AS (SELECT source, quality, COUNT(*) AS c FROM qx GROUP BY 1, 2),
+        |nn AS (SELECT source, COUNT(*) AS n FROM qx GROUP BY 1),
+        |cum AS (SELECT h.source, h.quality,
+        |               SUM(c) OVER (PARTITION BY h.source ORDER BY h.quality
+        |                            ROWS UNBOUNDED PRECEDING) AS cum, nn.n
+        |        FROM h JOIN nn USING (source)),
+        |cut AS (SELECT source, MIN(quality) AS cutoff FROM cum
+        |        WHERE cum >= CAST(CEIL(0.25 * n) AS BIGINT) GROUP BY 1),
+        |ev AS (SELECT DISTINCT MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp
+        |       FROM documents WHERE doc_id % 7 = 3),
+        |fl AS (SELECT qx.doc_id, qx.source, qx.quality,
+        |              qx.quality <= cut.cutoff AS q_fail,
+        |              MD5(REGEXP_REPLACE(LOWER(qx.text), '\\s+', ' ', 'g')) AS fp
+        |       FROM qx JOIN cut USING (source)),
+        |fl2 AS (SELECT *, fp IN (SELECT fp FROM ev) AS contam FROM fl),
+        |k AS (SELECT *, MIN(CASE WHEN NOT q_fail AND NOT contam THEN doc_id END)
+        |                  OVER (PARTITION BY fp) AS keeper_id
+        |      FROM fl2)
+        |SELECT doc_id, source, quality,
+        |       CASE WHEN q_fail THEN 'quality'
+        |            WHEN contam THEN 'contaminated'
+        |            WHEN doc_id <> keeper_id THEN 'exact_dup'
+        |            ELSE 'kept' END AS stage
+        |FROM k ORDER BY doc_id""".stripMargin,
     // q34: total ordering via the o_orderkey tiebreaker makes the rank
     // fractions exact IEEE divisions on both engines
     "q34_window_dist" ->

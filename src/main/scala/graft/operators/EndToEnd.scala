@@ -153,4 +153,51 @@ object EndToEnd {
     // 3. pack what survived (p26's manifest, same budget/shards)
     PipelineOps.packingManifest(curated)
   }
+
+  /** p33: curation attrition audit — per-doc FIRST-FAILING-STAGE attribution
+    * for exactly p27's pipeline order (histogram quality gate →
+    * decontamination → exact dedup). A 100-TB curation run answers to an
+    * ops question p27's survivor manifest can't: "where did my corpus go?"
+    * — and a funnel of counts alone can't answer the follow-up "why was
+    * doc X dropped?". This key emits both in one frame: per-doc stage
+    * verdicts whose group-by IS the funnel report. Stage semantics reuse
+    * p27's exact predicates (same cutoff artifact, same fingerprint, same
+    * eval law), so `stage = 'kept'` is provably p27's pre-packing corpus.
+    * Attribution is ORDERED: a low-quality doc that is also contaminated
+    * reports 'quality' (the first gate it hit), and the dedup keeper is
+    * elected only among docs that survived stages 1-2 — a min-over-CASE
+    * window, so a contaminated earlier copy does not shadow a clean later
+    * one. Plan shape: one corpus scan, two broadcasts (cutoffs, eval
+    * fingerprints), ONE corpus exchange (the content_md5 window) — the
+    * audit costs no more than the pipeline stage it explains.
+    * Reference twin: master_script.py's per-page skip/process accounting
+    * (master_script.py:89-220) generalized to named-stage attribution.
+    */
+  def attritionFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val scored = docs
+      .select($"doc_id", $"source", $"text", TextOps.qualityCol.as("quality"))
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val evalFps = docs.filter($"doc_id" % 7 === 3)
+      .select(fp.as("eval_md5")).distinct()
+    val flagged = scored
+      .join(broadcast(Dedup.histogramQualityCutoffs(scored)), "source")
+      .withColumn("content_md5", fp)
+      .join(broadcast(evalFps), $"content_md5" === $"eval_md5", "left")
+      .select($"doc_id", $"source", $"quality", $"content_md5",
+              ($"quality" <= $"cutoff").as("q_fail"),
+              $"eval_md5".isNotNull.as("contam"))
+    // dedup keeper elected only among stage-1/2 survivors of the group
+    val keeper = min(when(!$"q_fail" && !$"contam", $"doc_id"))
+      .over(Window.partitionBy($"content_md5"))
+    flagged
+      .withColumn("keeper_id", keeper)
+      .select($"doc_id", $"source", $"quality",
+        when($"q_fail", "quality")
+          .when($"contam", "contaminated")
+          .when($"doc_id" =!= $"keeper_id", "exact_dup")
+          .otherwise("kept").as("stage"))
+      .orderBy($"doc_id")
+  }
 }

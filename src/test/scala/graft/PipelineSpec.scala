@@ -190,6 +190,62 @@ class PipelineSpec extends SparkSpec {
       s"p27 must not rank the corpus within source:\n${perSourceRank.mkString("\n")}")
   }
 
+  test("p33 attrition funnel: conservation, ordered attribution, keeper never shadowed") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p33_attrition_funnel")(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    // conservation: every doc gets exactly one verdict
+    assert(df.count() == docs.count(), "every doc must get exactly one verdict")
+    assert(df.select($"doc_id").distinct().count() == df.count())
+    // rebuild the stage artifacts independently of the operator
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val withFp = docs.withColumn("content_md5", fp)
+    val evalSet = withFp.filter($"doc_id" % 7 === 3)
+      .select($"content_md5").distinct().as[String].collect().toSet
+    val scored = docs.select($"doc_id", $"source", $"text",
+      operators.TextOps.qualityCol.as("quality"))
+    val cuts = operators.Dedup.histogramQualityCutoffs(scored)
+    val j = df
+      .join(withFp.select($"doc_id", $"content_md5"), "doc_id")
+      .join(cuts, "source").cache()
+    // stage laws, each against the independently rebuilt artifacts:
+    // kept ⇒ above cutoff, clean, and the group's smallest surviving id
+    val kept = j.filter($"stage" === "kept").cache()
+    assert(kept.filter($"quality" <= $"cutoff").isEmpty, "a kept doc is below the gate")
+    assert(kept.filter($"content_md5".isin(evalSet.toSeq: _*)).isEmpty,
+      "a kept doc is contaminated")
+    assert(kept.groupBy($"content_md5").count().filter($"count" > 1).isEmpty,
+      "two kept docs share a fingerprint")
+    // ordered attribution: 'contaminated' means stage 1 PASSED first
+    assert(j.filter($"stage" === "contaminated" && $"quality" <= $"cutoff").isEmpty,
+      "a below-gate doc must report 'quality', not 'contaminated'")
+    assert(j.filter($"stage" === "quality" && $"quality" > $"cutoff").isEmpty)
+    // keeper never shadowed: every exact_dup has a KEPT doc with the same
+    // fingerprint and a smaller id (a dropped earlier copy doesn't count)
+    val dups = j.filter($"stage" === "exact_dup")
+      .select($"doc_id".as("dup_id"), $"content_md5")
+    assert(dups.join(kept.select($"doc_id".as("keep_id"), $"content_md5"), "content_md5")
+      .filter($"keep_id" < $"dup_id").select($"dup_id").distinct().count() == dups.count(),
+      "an exact_dup row lacks a smaller kept keeper")
+    // the funnel actually funnels on this data: the three gate verdicts
+    // always occur; 'exact_dup' exactly when some fingerprint group holds
+    // ≥2 stage-1/2 survivors (the driver testdata has no exact copies
+    // below sf0.1, so an unconditional four-stage assert is data-infeasible)
+    val stages = df.select($"stage").distinct().as[String].collect().toSet
+    assert(stages.subsetOf(Set("quality", "contaminated", "exact_dup", "kept")))
+    assert(Set("quality", "contaminated", "kept").subsetOf(stages), s"got $stages")
+    val expectDup = j.filter($"stage" === "kept" || $"stage" === "exact_dup")
+      .groupBy($"content_md5").count().filter($"count" > 1).limit(1).count() > 0
+    assert(stages.contains("exact_dup") == expectDup)
+    // scale shape: no per-source corpus rank (p27's dead shape) — the only
+    // corpus window partitions by content_md5
+    val planText = physical(SparkEntry.queries("p33_attrition_funnel")(spark, sfDir)).toString
+    val perSourceRank = planText.split("\n").filter(
+      _.matches(""".*\], \[source#\d+\], \[quality#\d+[^,]*, doc_id.*"""))
+    assert(perSourceRank.isEmpty, s"p33 must not rank the corpus within source")
+    kept.unpersist(); j.unpersist(); df.unpersist()
+  }
+
   test("p28 freshness report: one row per feed, freshest feed at zero staleness") {
     import spark.implicits._
     val df = SparkEntry.queries("p28_freshness_report")(spark, sfDir).cache()

@@ -162,6 +162,7 @@ object SparkEntry {
     "d32_soft_dedup"      -> ((s, d) => Dedup.softDedupWeights(s, d)),
     "d33_priority_sample" -> (Dedup.prioritySample _),
     "d34_int8_quantize"   -> (Similarity.int8Quantize _),
+    "d35_corpus_map"      -> (Similarity.corpusMap _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1937,6 +1938,48 @@ object SparkEntry {
         |       FLOOR(err * 10000 + 0.5) / 10000 AS round_err,
         |       err <= 0.5 AS within_half_ulp
         |FROM r ORDER BY vec_id""".stripMargin,
+    // d35: d28's codebook + argmax-assignment CTEs verbatim, then the
+    // cartography aggregate — all-integer outputs (BIGINT `//` truncates
+    // like Spark's div, both operands positive), quality e4-scaled via
+    // FLOOR(x*1e4+0.5) on BOTH sides (never cast a re-multiplied rounded
+    // double: Spark's long cast truncates, DuckDB's rounds), dominant
+    // source under (n DESC, source ASC) = the Spark window's total order
+    "d35_corpus_map" ->
+      s"""WITH cb AS (
+         |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+         |  WHERE ${graft.SampleHash.sql("vec_id")} % ${Similarity.IvfCentroidEvery} = 0
+         |  ORDER BY ${graft.SampleHash.sql("vec_id")}, vec_id
+         |  LIMIT ${Similarity.IvfMaxCentroids}),
+         |asg AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, cb.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_cosine_similarity(e.embedding, cb.ce) DESC,
+         |                      cb.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cb) t WHERE rn = 1),
+         |j AS (SELECT a.centroid_id, d.source, d.n_chars,
+         |             CAST(FLOOR(($QualitySql) * 10000 + 0.5) AS BIGINT) AS q_e4
+         |      FROM asg a JOIN documents d ON a.vec_id = d.doc_id),
+         |ps AS (SELECT centroid_id, source, COUNT(*) AS n,
+         |              CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |              CAST(SUM(q_e4) AS BIGINT) AS qsum
+         |       FROM j GROUP BY 1, 2),
+         |cell AS (SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS n_vecs,
+         |                CAST(SUM(chars) AS BIGINT) AS sum_chars,
+         |                CAST(SUM(qsum) AS BIGINT) AS sum_q
+         |         FROM ps GROUP BY 1),
+         |top AS (SELECT centroid_id, source AS top_source,
+         |               CAST(n AS BIGINT) AS top_source_n FROM ps
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY centroid_id
+         |                                   ORDER BY n DESC, source ASC) = 1),
+         |tot AS (SELECT COUNT(*) AS n_total FROM asg)
+         |SELECT cell.centroid_id AS cell_id, n_vecs,
+         |       CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_ppm,
+         |       CAST(sum_chars // n_vecs AS BIGINT) AS chars_per_doc,
+         |       CAST(sum_q // n_vecs AS BIGINT) AS avg_q_e4,
+         |       top_source, top_source_n
+         |FROM cell JOIN top USING (centroid_id) CROSS JOIN tot
+         |ORDER BY cell_id""".stripMargin,
     // d30: the full |queries| x |corpus| score matrix replayed (d27
     // precedent), rank under (sim DESC, neighbor_id ASC) = the Spark
     // window's total order; n_agree cast to BIGINT before the exact /10

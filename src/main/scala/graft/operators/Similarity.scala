@@ -703,4 +703,53 @@ object Similarity {
         (err <= lit(0.5d)).as("within_half_ulp"))
       .orderBy($"vec_id")
   }
+
+  /** d35: corpus cartography — the per-region content map of the embedding
+    * space ("what is IN my 100-TB corpus, and where"): every vector is
+    * assigned to its nearest-codebook cell and each cell reports size,
+    * corpus share, length and quality profile, and its dominant source —
+    * the readout that steers d14/d19's mixing weights and flags the
+    * regions SemDeDup (d28) will collapse. Dataset-cartography posture:
+    * you cannot curate what you cannot see, and at 100 TB "look at the
+    * data" IS this aggregate. Plan shape: cell assignment is the
+    * broadcast-codebook argmax (zero corpus exchange, d08's pattern); the
+    * doc-metadata join is ONE natural-key exchange per side (vec_id =
+    * doc_id); everything after partial-aggregates to |cells| x |sources|
+    * rows, the dominant-source window ranks only those, and the corpus
+    * total rides in as a broadcast one-row cross join. All outputs are
+    * exact integers (ppm shares, e4-scaled quality, div means) — the
+    * oracle replays the full chain bit-for-bit.
+    */
+  def corpusMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+    val assigned = assignCells(emb, collapseCodebook(sampledCentroids(emb)))
+      .select($"vec_id", $"centroid_id")
+    val meta = Tables.documents(s, dir).select(
+      $"doc_id", $"source", $"n_chars",
+      floor(TextOps.qualityCol * lit(10000d) + lit(0.5d)).cast("long").as("q_e4"))
+    val perSrc = assigned
+      .join(meta, $"vec_id" === $"doc_id")
+      .groupBy($"centroid_id", $"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"), sum($"q_e4").as("qsum"))
+    val wTop = Window.partitionBy($"centroid_id").orderBy($"n".desc, $"source".asc)
+    val wCell = Window.partitionBy($"centroid_id")
+    perSrc
+      .withColumn("rk", row_number().over(wTop))
+      .withColumn("n_vecs", sum($"n").over(wCell))
+      .withColumn("sum_chars", sum($"chars").over(wCell))
+      .withColumn("sum_q", sum($"qsum").over(wCell))
+      .filter($"rk" === 1)
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_total"))))
+      .select(
+        $"centroid_id".as("cell_id"),
+        $"n_vecs",
+        expr("n_vecs * 1000000L div n_total").as("share_ppm"),
+        expr("sum_chars div n_vecs").as("chars_per_doc"),
+        expr("sum_q div n_vecs").as("avg_q_e4"),
+        $"source".as("top_source"),
+        $"n".as("top_source_n"))
+      .orderBy($"cell_id")
+  }
 }

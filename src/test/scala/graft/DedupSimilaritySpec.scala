@@ -901,4 +901,31 @@ class DedupSimilaritySpec extends SparkSpec {
         org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
       s"d34 must be scan-local before the output sort:\n$planned")
   }
+
+  test("d35 corpus map: conservation, bounds, and agreement with d28's cells") {
+    import spark.implicits._
+    val df = SparkEntry.queries("d35_corpus_map")(spark, sfDir).cache()
+    val nTotal = Tables.embeddings(spark, sfDir).count()
+    // conservation: cells partition the corpus exactly
+    assert(df.agg(sum($"n_vecs")).head().getLong(0) == nTotal)
+    // truncated ppm shares sum to at most 1e6 and undershoot by < |cells|
+    val shareSum = df.agg(sum($"share_ppm")).head().getLong(0)
+    val nCells = df.count()
+    assert(shareSum <= 1000000L && shareSum > 1000000L - nCells,
+      s"ppm shares sum to $shareSum over $nCells cells")
+    // per-cell bounds: the dominant source never exceeds the cell, the
+    // quality mean stays inside the formula's [0, 1e4] range
+    assert(df.filter($"top_source_n" > $"n_vecs").isEmpty)
+    assert(df.filter($"avg_q_e4" < 0L || $"avg_q_e4" > 10000L).isEmpty)
+    assert(df.filter($"chars_per_doc" < 0L).isEmpty)
+    // the map charts the SAME space d28 dedups: identical cell-id set and
+    // per-cell membership counts (same codebook, same argmax)
+    val d28Cells = SparkEntry.queries("d28_semdedup")(spark, sfDir)
+      .groupBy($"centroid_id").count()
+    assert(df.select($"cell_id", $"n_vecs")
+      .join(d28Cells, $"cell_id" === $"centroid_id", "full")
+      .filter($"n_vecs".isNull || $"count".isNull || $"n_vecs" =!= $"count")
+      .isEmpty, "d35 cells disagree with d28's assignment")
+    df.unpersist()
+  }
 }

@@ -163,6 +163,7 @@ object SparkEntry {
     "d33_priority_sample" -> (Dedup.prioritySample _),
     "d34_int8_quantize"   -> (Similarity.int8Quantize _),
     "d35_corpus_map"      -> (Similarity.corpusMap _),
+    "d36_corpus_overlap"  -> (Dedup.corpusOverlap _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -1938,6 +1939,33 @@ object SparkEntry {
         |       FLOOR(err * 10000 + 0.5) / 10000 AS round_err,
         |       err <= 0.5 AS within_half_ulp
         |FROM r ORDER BY vec_id""".stripMargin,
+    // d36: d02's tokenize/shingle CTE shape, DISTINCT (source, shingle),
+    // exact pair intersections via self-join (the oracle may pay the
+    // quadratic shape Spark avoids), full upper-triangle matrix with
+    // zero-overlap pairs; BIGINT `//` = Spark div (operands positive)
+    "d36_corpus_overlap" ->
+      """WITH w AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT source, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |               gi -> toks[gi] || ' ' || toks[gi+1] || ' ' || toks[gi+2]) END AS grams
+        |      FROM w),
+        |ss AS (SELECT DISTINCT source, unnest(grams) AS shingle FROM g),
+        |tot AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        |      GROUP BY 1, 2),
+        |px AS (SELECT ta.source AS src_a, tb.source AS src_b,
+        |              COALESCE(i.inter, 0) AS inter, ta.n AS n_a, tb.n AS n_b
+        |       FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |       LEFT JOIN i ON i.src_a = ta.source AND i.src_b = tb.source)
+        |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |       CAST(n_a + n_b - inter AS BIGINT) AS n_union,
+        |       CAST(inter * 1000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_permille,
+        |       CAST(inter * 1000 // n_a AS BIGINT) AS a_in_b_permille,
+        |       CAST(inter * 1000 // n_b AS BIGINT) AS b_in_a_permille
+        |FROM px ORDER BY src_a, src_b""".stripMargin,
     // d35: d28's codebook + argmax-assignment CTEs verbatim, then the
     // cartography aggregate — all-integer outputs (BIGINT `//` truncates
     // like Spark's div, both operands positive), quality e4-scaled via

@@ -806,4 +806,58 @@ object Dedup {
           .as("jaccard"))
       .orderBy($"doc_a")
   }
+
+  /** d36: corpus overlap matrix — EXACT pairwise shingle overlap between
+    * sources ("how much of src3 already lives in src0"), the planning
+    * readout BEFORE a cross-corpus dedup or mixing run: symmetric Jaccard
+    * plus BOTH directed containments per source pair (a small crawl fully
+    * contained in a big one shows tiny Jaccard but 1000-permille
+    * containment — the case that decides whether the small source adds
+    * anything). Plan shape: one explode, then ONE shingle-keyed aggregate
+    * (collect_set of sources — bounded by the source domain, a fixed small
+    * vocabulary, NOT corpus-scale; for an unbounded key domain the
+    * shingle-keyed co-partition join is the fallback shape) feeds both
+    * consumers — per-source totals and pair intersections — as
+    * canonically-identical exchanges that dedupe at runtime (the q43
+    * ReusedExchange lesson); pair expansion is |srcs|≤|sources| per
+    * shingle, and everything downstream is |sources|²-bounded. Exact
+    * integers only (permille via BIGINT div) ⇒ bit-exact oracle.
+    */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(lower(trim($"text")), "\\s+")
+    val n = size(toks)
+    val grams = when(n < ShingleK, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), n - lit(ShingleK - 1)), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                  element_at(toks, i + 2))))
+    val byShingle = Tables.documents(s, dir)
+      .select($"source", explode(grams).as("shingle"))
+      .groupBy($"shingle")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+    val totals = byShingle
+      .select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val m = size($"srcs")
+    val pairArr = flatten(transform(sequence(lit(1), m - 1), i =>
+      transform(sequence(i + 1, m), j =>
+        struct(element_at($"srcs", i).as("src_a"),
+               element_at($"srcs", j).as("src_b")))))
+    val inter = byShingle.filter(m >= 2)
+      .select(explode(pairArr).as("p"))
+      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    // complete |sources|² upper-triangle matrix: zero-overlap pairs appear
+    val ta = totals.select($"source".as("src_a"), $"n".as("n_a"))
+    val tb = totals.select($"source".as("src_b"), $"n".as("n_b"))
+    ta.join(tb, $"src_a" < $"src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select($"src_a", $"src_b", $"inter", $"n_a", $"n_b",
+        ($"n_a" + $"n_b" - $"inter").as("n_union"),
+        expr("inter * 1000 div (n_a + n_b - inter)").as("jaccard_permille"),
+        expr("inter * 1000 div n_a").as("a_in_b_permille"),
+        expr("inter * 1000 div n_b").as("b_in_a_permille"))
+      .orderBy($"src_a", $"src_b")
+  }
 }

@@ -928,4 +928,40 @@ class DedupSimilaritySpec extends SparkSpec {
       .isEmpty, "d35 cells disagree with d28's assignment")
     df.unpersist()
   }
+
+  test("d36 corpus overlap: synthetic containment law, full matrix, reused exchange") {
+    import spark.implicits._
+    // hand-built corpus: srcX = two docs sharing nothing with srcY except
+    // that srcZ is a verbatim SUBSET of srcX (the containment case)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "srcX"),
+      (2L, "one two three four five six", "srcX"),
+      (3L, "red green blue cyan magenta", "srcY"),
+      (4L, "alpha beta gamma delta epsilon", "srcZ") // == doc 1
+    ).toDF("doc_id", "text", "source")
+    // drive the operator on a temp dir holding exactly this corpus
+    val tmp = java.nio.file.Files.createTempDirectory("d36").toString
+    docs.withColumn("lang", lit("en")).withColumn("n_chars", length($"text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val df = SparkEntry.queries("d36_corpus_overlap")(spark, tmp).cache()
+    // full upper triangle: 3 sources -> 3 pair rows, including zero overlaps
+    assert(df.count() == 3L)
+    val byPair = df.collect().map(r =>
+      (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    // srcZ ⊂ srcX: containment 1000 permille on the Z side, Jaccard < 1000
+    val xz = byPair(("srcX", "srcZ"))
+    assert(xz.getAs[Long]("b_in_a_permille") == 1000L, s"containment law: $xz")
+    assert(xz.getAs[Long]("inter") == 3L && xz.getAs[Long]("n_a") == 7L)
+    assert(xz.getAs[Long]("jaccard_permille") == 3000L / 7, s"jaccard: $xz")
+    // disjoint pairs exist with zero everything
+    val xy = byPair(("srcX", "srcY"))
+    assert(xy.getAs[Long]("inter") == 0L && xy.getAs[Long]("jaccard_permille") == 0L)
+    df.unpersist()
+    // the shingle aggregate feeds totals AND pairs as ONE reused exchange
+    // (AQE dedupes canonically-identical exchanges at RUNTIME — t20 idiom)
+    val executed = SparkEntry.queries("d36_corpus_overlap")(spark, sfDir)
+    executed.collect()
+    assert(executed.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "totals and pair consumers must share the shingle aggregate")
+  }
 }

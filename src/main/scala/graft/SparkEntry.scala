@@ -118,6 +118,7 @@ object SparkEntry {
     "t25_substr_removal"    -> (TextOps.substrRemoval _),
     "t26_bpe_encode"        -> (TextOps.bpeEncode _),
     "t27_rule_gate"         -> (TextOps.ruleGate _),
+    "t28_cdc_chunks"        -> (TextOps.cdcChunks _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
@@ -378,6 +379,47 @@ object SparkEntry {
          |        AND (n_stop_types >= 2)
          |        AND (n_distinct * 2 >= n_words)) AS pass
          |FROM s ORDER BY doc_id""".stripMargin,
+    // t28: the full CDC law replayed — W-token window poly31 hashes
+    // (d02's gram CTE shape at k=4), cut ends where hash ≡ 0 mod D,
+    // boundary lists rebuilt with list ops (DuckDB arrays 1-based like
+    // Spark element_at; cuts[-1] = last on both), chunk digest = poly31
+    // of the space-joined chunk (the kernel's composition is
+    // value-identical — the gram_hashes31 property spec pins it)
+    "t28_cdc_chunks" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |           FROM documents),
+         |g AS (SELECT doc_id, t, CASE WHEN len(t) < ${operators.TextOps.CdcW}
+         |        THEN CAST([] AS VARCHAR[])
+         |        ELSE list_transform(range(1, len(t) - ${operators.TextOps.CdcW - 2}),
+         |               gi -> t[gi] || ' ' || t[gi+1] || ' ' || t[gi+2] || ' ' || t[gi+3])
+         |        END AS grams
+         |      FROM w),
+         |hx AS (SELECT doc_id, t, list_transform(grams,
+         |                gx -> ${CrossHashSql.poly31("gx", 0)}) AS hv FROM g),
+         |cu AS (SELECT doc_id, t, len(t) AS n,
+         |              list_transform(list_filter(range(1, len(hv) + 1),
+         |                  i -> hv[i] % ${operators.TextOps.CdcD} = 0),
+         |                i -> i + ${operators.TextOps.CdcW - 1}) AS cuts
+         |       FROM hx),
+         |en AS (SELECT doc_id, t, n,
+         |              CASE WHEN len(cuts) = 0 OR cuts[-1] <> n
+         |                   THEN list_append(cuts, n) ELSE cuts END AS ends
+         |       FROM cu),
+         |st AS (SELECT doc_id, t, ends,
+         |              list_prepend(1, list_transform(list_slice(ends, 1, len(ends) - 1),
+         |                                             e -> e + 1)) AS starts
+         |       FROM en),
+         |ch AS (SELECT doc_id, t, starts, ends,
+         |              unnest(range(1, len(ends) + 1)) AS k FROM st),
+         |cr AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |              CAST(starts[k] AS BIGINT) AS start_tok,
+         |              CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_toks,
+         |              ${CrossHashSql.poly31("array_to_string(list_slice(t, starts[k], ends[k]), ' ')", 0)} AS chunk_hash
+         |       FROM ch)
+         |SELECT doc_id, chunk_idx, start_tok, n_toks, chunk_hash,
+         |       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
+         |       COUNT(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
+         |FROM cr ORDER BY doc_id, chunk_idx""".stripMargin,
     // s17: the oracle is the GLOBAL latest-wins winner per key under the
     // total order (ts, version, event_id) — hash-equality against Spark's
     // 3-batch incremental fold proves the sink merge is associative

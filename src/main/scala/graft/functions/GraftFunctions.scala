@@ -23,6 +23,7 @@ object GraftFunctions {
     "shingle_strings" -> (es => ShingleStringsExpr(es(0), es(1))),
     "simhash60"       -> (es => SimHash60Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
+    "gram_hashes31"   -> (es => GramHashes31Expr(es(0), es(1))),
     "minhash_shingle_sig" -> (es => MinhashShingleSigExpr(es(0), es(1), es(2))),
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
     "nearest_centroid" -> (es => NearestCentroidExpr(es(0), es(1))),

@@ -495,6 +495,20 @@ object crosskernels {
     * the bulk of the d02/d11/d20 signature stage at the 10x SF).
     */
   def minhashShingleSig(tokens: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val hs = gramHashes31Arr(tokens, k)
+    affineMins(hs, hs.length, numHashes)
+  }
+
+  /** gram_hashes31(tokens, k): poly31 of every k-token space-joined window
+    * — value-identical to hashing [[shingleStrings]] one by one (the
+    * property spec pins this), computed with the same one-decode-pass
+    * composition as [[minhashShingleSig]]. The rolling-window primitive
+    * behind content-defined chunking (t28) and the minhash family.
+    */
+  def gramHashes31(tokens: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(gramHashes31Arr(tokens, k))
+
+  private def gramHashes31Arr(tokens: ArrayData, k: Int): Array[Long] = {
     val n = tokens.numElements()
     val m = if (n < k) 0 else n - k + 1
     val hs = new Array[Long](m)
@@ -537,7 +551,7 @@ object crosskernels {
         g += 1
       }
     }
-    affineMins(hs, m, numHashes)
+    hs
   }
 }
 
@@ -596,6 +610,23 @@ case class ShingleHashesExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** gram_hashes31(array<string>, k) -> array<long>: poly31 window hashes,
+  * oracle-mirrorable (CrossHashSql.poly31 over the space-joined grams).
+  */
+case class GramHashes31Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(ArrayType(StringType), IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any, k: Any): Any =
+    crosskernels.gramHashes31(tokens.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.functions.crosskernels.gramHashes31($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "gram_hashes31"
 }
 
 /** shingle_strings(array<string>, k) -> array<string>: k-gram strings. */

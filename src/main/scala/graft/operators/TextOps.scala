@@ -873,4 +873,64 @@ object TextOps {
           " ").as("clean_text"))
       .orderBy($"doc_id")
   }
+
+  /** t28: content-defined chunking — the rolling-hash fingerprinting
+    * primitive of storage-level dedup (Rabin-style CDC, the backbone of
+    * dedup filesystems and of chunk-granular corpus diffing): a chunk
+    * boundary falls AFTER token j exactly when the poly31 hash of the
+    * W-token window ending at j is ≡ 0 mod D (expected chunk length D).
+    * Boundaries depend only on LOCAL content — the self-healing property
+    * fixed-size chunking lacks: prepend a token and every boundary after
+    * the first unchanged window re-aligns, so chunk digests downstream of
+    * an edit survive verbatim (spec-pinned); t24 finds duplicated spans by
+    * exhaustive window comparison, CDC gets dup detection at ~1/D of the
+    * index size by hashing VARIABLE spans with content-chosen borders.
+    * Per-doc work is entirely scan-local higher-order column math over the
+    * codegen'd cross-engine `gram_hashes31` kernel (no per-token rows);
+    * the ONLY corpus exchange is the chunk-digest window that counts
+    * copies — the same natural key a chunk store would bucket by.
+    * Docs shorter than W yield one whole-doc chunk; the last chunk closes
+    * at the doc end. Production CDC adds min/max chunk bounds; the
+    * unbounded law keeps the oracle exact without changing the shape.
+    */
+  val CdcW = 4
+  val CdcD = 8L
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(s, dir))
+
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
+      .withColumn("n", size($"t"))
+      .withColumn("hv", expr(s"gram_hashes31(t, $CdcW)"))
+      // a 0-based window index i0 with hv ≡ 0 (mod D) cuts after 1-based
+      // token i0 + W
+      .withColumn("cuts", expr(
+        s"transform(filter(transform(hv, (x, i) -> struct(x AS h, i AS i0)), " +
+          s"p -> p.h % $CdcD = 0), p -> p.i0 + $CdcW)"))
+      .withColumn("ends", expr(
+        "CASE WHEN size(cuts) = 0 OR element_at(cuts, -1) <> n " +
+          "THEN concat(cuts, array(n)) ELSE cuts END"))
+      .withColumn("starts", expr(
+        "concat(array(1), transform(slice(ends, 1, size(ends) - 1), e -> e + 1))"))
+    base
+      .select($"doc_id", $"t", explode(expr(
+        "transform(sequence(1, size(ends)), k -> struct(" +
+          "k AS chunk_idx, element_at(starts, k) AS start_tok, " +
+          "element_at(ends, k) - element_at(starts, k) + 1 AS n_toks))")).as("c"))
+      .select($"doc_id",
+        $"c.chunk_idx".cast("long").as("chunk_idx"),
+        $"c.start_tok".cast("long").as("start_tok"),
+        $"c.n_toks".cast("long").as("n_toks"),
+        expr("element_at(gram_hashes31(slice(t, c.start_tok, c.n_toks), c.n_toks), 1)")
+          .as("chunk_hash"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy($"chunk_hash")).cast("long"))
+      .withColumn("is_dup", $"n_copies" > 1L)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
 }

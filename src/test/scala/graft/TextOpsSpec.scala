@@ -466,4 +466,58 @@ class TextOpsSpec extends SparkSpec {
         org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]),
       s"t27 must be scan-local before the output sort:\n$planned")
   }
+
+  test("t28 cdc chunks: exact tiling, kernel pin, self-healing boundaries, one exchange") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val df = SparkEntry.queries("t28_cdc_chunks")(spark, sfDir).cache()
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
+    // chunks tile every doc's token array exactly, contiguously, gap-free
+    val per = df.groupBy($"doc_id").agg(sum($"n_toks").as("toks"),
+      count(lit(1)).as("n_chunks"), max($"chunk_idx").as("last"))
+    assert(per.join(toks, "doc_id").filter($"toks" =!= size($"t")).isEmpty,
+      "chunks must cover every token exactly once")
+    assert(per.filter($"n_chunks" =!= $"last").isEmpty, "chunk ids must be gap-free")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"chunk_idx")
+    assert(df.withColumn("prev_end", lag($"start_tok" + $"n_toks", 1).over(byDoc))
+      .filter($"prev_end".isNotNull && $"start_tok" =!= $"prev_end").isEmpty,
+      "chunk k+1 must start right after chunk k")
+    // kernel pin: gram_hashes31 ≡ poly31 of each space-joined shingle string
+    graft.functions.GraftFunctions.register(spark)
+    assert(toks.limit(50).select(
+        expr("gram_hashes31(t, 3)").as("g"),
+        expr("transform(shingle_strings(t, 3), x -> element_at(gram_hashes31(array(x), 1), 1))").as("h"))
+      .filter(!($"g" <=> $"h")).isEmpty,
+      "gram_hashes31 must equal poly31 over the materialized shingle strings")
+    // self-healing: prepend one token — every original boundary survives
+    // (its window content is intact, just shifted), so the chunks after the
+    // FIRST original cut are identical in content and digest
+    val longDoc = Tables.documents(spark, sfDir)
+      .orderBy(desc("n_chars"), $"doc_id").select($"text").head().getString(0)
+    val ch = TextOps.cdcChunksOf(
+        Seq((1L, longDoc), (2L, "zzz " + longDoc)).toDF("doc_id", "text"))
+      .select($"doc_id", $"chunk_idx", $"chunk_hash").collect()
+    val a = ch.filter(_.getLong(0) == 1L).sortBy(_.getLong(1)).map(_.getLong(2))
+    val b = ch.filter(_.getLong(0) == 2L).sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(a.length >= 2, s"fixture doc chunks too coarse: ${a.length}")
+    val m = a.length - 1
+    assert(b.length >= m && b.takeRight(m).sameElements(a.takeRight(m)),
+      s"digests after the edit region must survive: ${a.toSeq} vs ${b.toSeq}")
+    // and a fixed-size chunker would NOT heal: the token shift changes
+    // every downstream fixed boundary, so at least one a-digest must
+    // differ from b's when compared head-aligned (guards the fixture)
+    assert(!a.sameElements(b.take(a.length)))
+    // shape: the only hash exchange is the chunk-digest copy-count window
+    val planned = physical(SparkEntry.queries("t28_cdc_chunks")(spark, sfDir))
+    val hashShuffles = planned.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+    }
+    assert(hashShuffles.size <= 1,
+      s"t28 must shuffle the corpus once, on chunk_hash:\n$planned")
+    df.unpersist()
+  }
 }

@@ -192,6 +192,7 @@ object SparkEntry {
     "s20_sketch_fold"  -> (graft.streaming.Streams.sketchFoldBatch _),
     "s21_stream_join"  -> (graft.streaming.Streams.attributionJoinBatch _),
     "s22_stream_index" -> (graft.streaming.Streams.indexReplayBatch _),
+    "s23_chunk_ingest" -> (graft.streaming.Streams.chunkIngestBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -255,6 +256,43 @@ object SparkEntry {
     """FLOOR((0.5 * LEAST(1.0, LENGTH(text) / 500.0)
       |     + 0.25 * (1.0 - (LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) / (LENGTH(text) + 1.0)))
       |     + 0.25 * (LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|a|and|of|to|in|is)\b')) / (LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) + 1.0))) * 10000.0 + 0.5) / 10000.0""".stripMargin
+
+  /** The CDC decomposition (t28) as a reusable CTE chain ending at `cr`
+    * (doc_id, chunk_idx, start_tok, n_toks, chunk_hash) — shared with
+    * s23's ingest-fold oracle so the chunk law can never drift between
+    * the corpus report and the store.
+    */
+  private val CdcChunkCtes: String =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+       |      FROM documents),
+       |g AS (SELECT doc_id, t, CASE WHEN len(t) < ${operators.TextOps.CdcW}
+       |        THEN CAST([] AS VARCHAR[])
+       |        ELSE list_transform(range(1, len(t) - ${operators.TextOps.CdcW - 2}),
+       |               gi -> t[gi] || ' ' || t[gi+1] || ' ' || t[gi+2] || ' ' || t[gi+3])
+       |        END AS grams
+       |      FROM w),
+       |hx AS (SELECT doc_id, t, list_transform(grams,
+       |                gx -> ${CrossHashSql.poly31("gx", 0)}) AS hv FROM g),
+       |cu AS (SELECT doc_id, t, len(t) AS n,
+       |              list_transform(list_filter(range(1, len(hv) + 1),
+       |                  i -> hv[i] % ${operators.TextOps.CdcD} = 0),
+       |                i -> i + ${operators.TextOps.CdcW - 1}) AS cuts
+       |       FROM hx),
+       |en AS (SELECT doc_id, t, n,
+       |              CASE WHEN len(cuts) = 0 OR cuts[-1] <> n
+       |                   THEN list_append(cuts, n) ELSE cuts END AS ends
+       |       FROM cu),
+       |st AS (SELECT doc_id, t, ends,
+       |              list_prepend(1, list_transform(list_slice(ends, 1, len(ends) - 1),
+       |                                             e -> e + 1)) AS starts
+       |       FROM en),
+       |ch AS (SELECT doc_id, t, starts, ends,
+       |              unnest(range(1, len(ends) + 1)) AS k FROM st),
+       |cr AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |              CAST(starts[k] AS BIGINT) AS start_tok,
+       |              CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_toks,
+       |              ${CrossHashSql.poly31("array_to_string(list_slice(t, starts[k], ends[k]), ' ')", 0)} AS chunk_hash
+       |       FROM ch)""".stripMargin
 
   /** Shared by d09 (broadcast anti-join) and d16 (Bloom-prefilter plan). */
   private val DecontaminateOracle: String =
@@ -386,40 +424,31 @@ object SparkEntry {
     // of the space-joined chunk (the kernel's composition is
     // value-identical — the gram_hashes31 property spec pins it)
     "t28_cdc_chunks" ->
-      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-         |           FROM documents),
-         |g AS (SELECT doc_id, t, CASE WHEN len(t) < ${operators.TextOps.CdcW}
-         |        THEN CAST([] AS VARCHAR[])
-         |        ELSE list_transform(range(1, len(t) - ${operators.TextOps.CdcW - 2}),
-         |               gi -> t[gi] || ' ' || t[gi+1] || ' ' || t[gi+2] || ' ' || t[gi+3])
-         |        END AS grams
-         |      FROM w),
-         |hx AS (SELECT doc_id, t, list_transform(grams,
-         |                gx -> ${CrossHashSql.poly31("gx", 0)}) AS hv FROM g),
-         |cu AS (SELECT doc_id, t, len(t) AS n,
-         |              list_transform(list_filter(range(1, len(hv) + 1),
-         |                  i -> hv[i] % ${operators.TextOps.CdcD} = 0),
-         |                i -> i + ${operators.TextOps.CdcW - 1}) AS cuts
-         |       FROM hx),
-         |en AS (SELECT doc_id, t, n,
-         |              CASE WHEN len(cuts) = 0 OR cuts[-1] <> n
-         |                   THEN list_append(cuts, n) ELSE cuts END AS ends
-         |       FROM cu),
-         |st AS (SELECT doc_id, t, ends,
-         |              list_prepend(1, list_transform(list_slice(ends, 1, len(ends) - 1),
-         |                                             e -> e + 1)) AS starts
-         |       FROM en),
-         |ch AS (SELECT doc_id, t, starts, ends,
-         |              unnest(range(1, len(ends) + 1)) AS k FROM st),
-         |cr AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
-         |              CAST(starts[k] AS BIGINT) AS start_tok,
-         |              CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_toks,
-         |              ${CrossHashSql.poly31("array_to_string(list_slice(t, starts[k], ends[k]), ' ')", 0)} AS chunk_hash
-         |       FROM ch)
+      s"""WITH $CdcChunkCtes
          |SELECT doc_id, chunk_idx, start_tok, n_toks, chunk_hash,
          |       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
          |       COUNT(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
          |FROM cr ORDER BY doc_id, chunk_idx""".stripMargin,
+    // s23: the oracle rebuilds the chunk store GLOBALLY in one shot from
+    // the shared CDC CTEs — hash-equality against Spark's 3-batch
+    // incremental fold proves the merge is associative (fold ≡ rebuild,
+    // the s17 exactly-once contract); arrival-first owner under the total
+    // order (batch, doc_id, chunk_idx) = Spark's least-struct
+    "s23_chunk_ingest" ->
+      s"""WITH $CdcChunkCtes,
+         |r AS (SELECT doc_id, chunk_idx, chunk_hash,
+         |             doc_id % ${graft.streaming.Streams.ChunkReplayBatches} AS batch
+         |      FROM cr),
+         |agg AS (SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies
+         |        FROM r GROUP BY 1),
+         |fst AS (SELECT chunk_hash, CAST(batch AS BIGINT) AS first_batch,
+         |               doc_id AS first_doc
+         |        FROM r QUALIFY ROW_NUMBER() OVER (PARTITION BY chunk_hash
+         |               ORDER BY batch, doc_id, chunk_idx) = 1)
+         |SELECT a.chunk_hash, a.n_copies, f.first_batch, f.first_doc,
+         |       a.n_copies > 1 AS is_dup
+         |FROM agg a JOIN fst f USING (chunk_hash)
+         |ORDER BY a.chunk_hash""".stripMargin,
     // s17: the oracle is the GLOBAL latest-wins winner per key under the
     // total order (ts, version, event_id) — hash-equality against Spark's
     // 3-batch incremental fold proves the sink merge is associative

@@ -901,8 +901,22 @@ object TextOps {
   private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
+    chunkRows(docs)
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy($"chunk_hash")).cast("long"))
+      .withColumn("is_dup", $"n_copies" > 1L)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The scan-local CDC decomposition alone (no copy-count exchange): one
+    * row per chunk — the shared core of t28's corpus report and s23's
+    * ingest-time chunk-store fold.
+    */
+  private[graft] def chunkRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val base = docs
       .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
       .withColumn("n", size($"t"))
@@ -928,9 +942,5 @@ object TextOps {
         $"c.n_toks".cast("long").as("n_toks"),
         expr("element_at(gram_hashes31(slice(t, c.start_tok, c.n_toks), c.n_toks), 1)")
           .as("chunk_hash"))
-      .withColumn("n_copies",
-        count(lit(1)).over(Window.partitionBy($"chunk_hash")).cast("long"))
-      .withColumn("is_dup", $"n_copies" > 1L)
-      .orderBy($"doc_id", $"chunk_idx")
   }
 }

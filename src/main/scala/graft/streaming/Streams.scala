@@ -795,4 +795,56 @@ object Streams {
       .select($"doc_id", $"source", $"batch_idx", $"global_idx")
       .orderBy($"doc_id")
   }
+
+  /** s23: the CDC chunk store maintained at INGEST — t28 decomposes the
+    * corpus once; a live lake never sees "the corpus", it sees batches,
+    * and the dedup-storage question is "which of this batch's chunks do I
+    * already hold". State is one row per DISTINCT chunk digest (n_copies +
+    * the arrival-first owner), merged per batch by a full-outer
+    * digest join: counts add, the owner is the LEAST (batch, doc, idx)
+    * struct — addition and least are associative/commutative, so ANY
+    * batch partitioning folds to the same store (the s17 exactly-once
+    * contract; the spec re-folds under a different split and the oracle
+    * hash-compares against a one-shot global rebuild). Per batch the
+    * chunking itself stays scan-local ([[graft.operators.TextOps
+    * .chunkRows]]); only batch-distinct digests reach the join, so each
+    * fold moves O(batch + store-overlap) rows — d20's incremental-index
+    * shape at sub-document granularity. State materializes between folds
+    * (localCheckpoint = the parquet round-trip foreachBatch would do).
+    */
+  val ChunkReplayBatches = 3
+  def chunkStoreMerge(state: Option[DataFrame], batchChunks: DataFrame): DataFrame = {
+    val s = batchChunks.sparkSession
+    import s.implicits._
+    val inc = batchChunks.groupBy($"chunk_hash").agg(
+      count(lit(1)).as("n_copies"),
+      min(struct($"batch", $"doc_id", $"chunk_idx")).as("first"))
+    state match {
+      case None => inc
+      case Some(st) =>
+        st.as("s").join(inc.as("i"), Seq("chunk_hash"), "full_outer")
+          .select($"chunk_hash",
+            (coalesce($"s.n_copies", lit(0L)) + coalesce($"i.n_copies", lit(0L)))
+              .as("n_copies"),
+            least($"s.first", $"i.first").as("first"))
+    }
+  }
+
+  def chunkIngestBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = graft.operators.TextOps
+      .chunkRows(Tables.documents(s, dir))
+      .withColumn("batch", pmod($"doc_id", lit(ChunkReplayBatches.toLong)))
+    var state: Option[DataFrame] = None
+    for (b <- 0 until ChunkReplayBatches) {
+      val batch = chunks.filter($"batch" === b.toLong)
+      state = Some(chunkStoreMerge(state, batch).localCheckpoint(true))
+    }
+    state.get
+      .select($"chunk_hash", $"n_copies",
+        $"first.batch".as("first_batch"),
+        $"first.doc_id".cast("long").as("first_doc"),
+        ($"n_copies" > 1L).as("is_dup"))
+      .orderBy($"chunk_hash")
+  }
 }

@@ -227,6 +227,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s23 chunk ingest: incremental fold equals single merge and t28's copy counts") {
+    val s = spark
+    import s.implicits._
+    val df = SparkEntry.queries("s23_chunk_ingest")(spark, sfDir).cache()
+    // one row per distinct digest
+    assert(df.select($"chunk_hash").distinct().count() == df.count())
+    // 3-batch incremental fold ≡ ONE merge over the same labeled rows
+    // (associativity: the join-based fold adds nothing and loses nothing)
+    val labeled = graft.operators.TextOps
+      .chunkRows(Tables.documents(spark, sfDir))
+      .withColumn("batch", pmod($"doc_id", lit(Streams.ChunkReplayBatches.toLong)))
+    val oneShot = Streams.chunkStoreMerge(None, labeled)
+      .select($"chunk_hash", $"n_copies",
+        $"first.batch".as("first_batch"), $"first.doc_id".cast("long").as("first_doc"),
+        ($"n_copies" > 1L).as("is_dup"))
+    assert(df.join(oneShot.withColumnRenamed("n_copies", "nc2")
+        .withColumnRenamed("first_batch", "fb2").withColumnRenamed("first_doc", "fd2")
+        .select($"chunk_hash", $"nc2", $"fb2", $"fd2"), Seq("chunk_hash"), "full")
+      .filter($"n_copies".isNull || $"nc2".isNull ||
+        $"n_copies" =!= $"nc2" || $"first_batch" =!= $"fb2" || $"first_doc" =!= $"fd2")
+      .isEmpty, "incremental fold diverged from the one-shot merge")
+    // the store's copy counts are exactly t28's per-chunk window counts
+    val t28 = SparkEntry.queries("t28_cdc_chunks")(spark, sfDir)
+      .groupBy($"chunk_hash").agg(count(lit(1)).as("n"), max($"n_copies").as("nc"))
+    assert(t28.filter($"n" =!= $"nc").isEmpty, "t28 window self-consistency")
+    assert(df.join(t28, "chunk_hash").filter($"n_copies" =!= $"n").isEmpty,
+      "store counts must equal the corpus report's")
+    df.unpersist()
+  }
+
   test("s20 sketch sink: per-type state, batch-split invariance, exact on small sets") {
     val s = spark
     import s.implicits._

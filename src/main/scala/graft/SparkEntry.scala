@@ -130,6 +130,7 @@ object SparkEntry {
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
     "p28_freshness_report"  -> (PipelineOps.freshnessReport _),
     "p33_attrition_funnel"  -> (EndToEnd.attritionFunnel _),
+    "p34_dataset_card"      -> (PipelineOps.datasetCard _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1389,6 +1390,42 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN start_off + n_toks > (seq_id+1)*128 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_straddling
         |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // p34: every card row replayed as exact integer arithmetic; quartiles
+    // = smallest histogram value whose cumsum reaches CEIL(q·n) (d24's
+    // convention); composition keyed into the metric name so the schema
+    // is domain-independent
+    "p34_dataset_card" ->
+      s"""WITH b AS (SELECT lang, source, n_chars,
+         |             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_toks,
+         |             MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp,
+         |             CAST(FLOOR(($QualitySql) * 10000 + 0.5) AS BIGINT) AS q_e4
+         |           FROM documents),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |             CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct FROM b),
+         |h AS (SELECT q_e4, COUNT(*) AS c FROM b GROUP BY 1),
+         |hc AS (SELECT q_e4, SUM(c) OVER (ORDER BY q_e4 ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM g
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM g
+         |  UNION ALL SELECT 'n_chars', n_chars FROM g
+         |  UNION ALL SELECT 'dup_ppm',
+         |    CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) FROM g
+         |  UNION ALL SELECT 'mean_doc_tokens', CAST(n_tokens // n_docs AS BIGINT) FROM g
+         |  UNION ALL SELECT 'lang_ppm:' || lang,
+         |    CAST(COUNT(*) * 1000000 // (SELECT n_docs FROM g) AS BIGINT)
+         |  FROM b GROUP BY lang
+         |  UNION ALL SELECT 'source_ppm:' || source,
+         |    CAST(COUNT(*) * 1000000 // (SELECT n_docs FROM g) AS BIGINT)
+         |  FROM b GROUP BY source
+         |  UNION ALL SELECT 'quality_q1_e4', CAST(MIN(q_e4) AS BIGINT) FROM hc
+         |    WHERE cum >= CEIL(0.25 * (SELECT n_docs FROM g))
+         |  UNION ALL SELECT 'quality_q2_e4', CAST(MIN(q_e4) AS BIGINT) FROM hc
+         |    WHERE cum >= CEIL(0.50 * (SELECT n_docs FROM g))
+         |  UNION ALL SELECT 'quality_q3_e4', CAST(MIN(q_e4) AS BIGINT) FROM hc
+         |    WHERE cum >= CEIL(0.75 * (SELECT n_docs FROM g)))
+         |ORDER BY metric""".stripMargin,
     // p33: p27's stage predicates replayed with ORDERED attribution —
     // same cutoff CTEs, same fingerprint, same eval law; the dedup keeper
     // is a min-over-CASE window scoped to stage-1/2 survivors, so

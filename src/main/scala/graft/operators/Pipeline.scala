@@ -553,4 +553,62 @@ object PipelineOps {
       finally w.close()
     }
   }
+
+  /** p34: the dataset card — the one-frame datasheet a corpus release
+    * ships with (datasheets-for-datasets governance: Gebru et al. 2021):
+    * global mass (docs/tokens/chars), exact-dup rate, mean doc length,
+    * language and source composition in permille/ppm, and the quality
+    * quartiles — every number an exact integer so the card is
+    * bit-reproducible across engines. Composition rows are keyed
+    * `lang_ppm:<lang>` / `source_ppm:<source>` so the schema stays fixed
+    * as the domain grows. Shapes: each section is one partial-aggregated
+    * corpus pass over pruned columns (the duplicate count pays
+    * countDistinct's two-exchange partial-distinct — the only
+    * non-single-pass section); the quality quartiles reuse d24's exact
+    * histogram-cumsum (≤ 10⁴ histogram rows, NO corpus sort); section
+    * results are a handful of rows unioned driver-free. Reference twin:
+    * the run-report face of master_script's summary logging
+    * (master_script.py:222-263) promoted to corpus scale.
+    */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = size(split(lower(trim($"text")), "\\s+")).cast("long")
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val base = docs.select($"lang", $"source", $"n_chars", toks.as("n_toks"),
+      fp.as("fp"),
+      floor(TextOps.qualityCol * lit(10000d) + lit(0.5d)).cast("long").as("q_e4"))
+    val g = base.agg(
+      count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+      sum($"n_chars").as("n_chars"), countDistinct($"fp").as("n_distinct"))
+    def mrow(name: String, v: org.apache.spark.sql.Column) =
+      struct(lit(name).as("metric"), v.as("value"))
+    val globalRows = g.select(explode(array(
+      mrow("n_docs", $"n_docs"),
+      mrow("n_tokens", $"n_tokens"),
+      mrow("n_chars", $"n_chars"),
+      mrow("dup_ppm", expr("(n_docs - n_distinct) * 1000000L div n_docs")),
+      mrow("mean_doc_tokens", expr("n_tokens div n_docs")))).as("m"))
+      .select($"m.metric", $"m.value")
+    def compRows(col: String, prefix: String): DataFrame =
+      base.groupBy(base(col).as("k")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("nt"))))
+        .select(concat(lit(prefix), $"k").as("metric"),
+                expr("n * 1000000L div nt").as("value"))
+    // exact quartiles from the ≤10⁴-row quality histogram (d24's shape)
+    val hist = base.groupBy($"q_e4").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        Window.orderBy($"q_e4").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("nt"))))
+    def quart(q: Double, name: String): DataFrame =
+      hist.filter($"cum" >= ceil(lit(q) * $"nt"))
+        .agg(min($"q_e4").as("value")).select(lit(name).as("metric"), $"value")
+    globalRows
+      .unionByName(compRows("lang", "lang_ppm:"))
+      .unionByName(compRows("source", "source_ppm:"))
+      .unionByName(quart(0.25, "quality_q1_e4"))
+      .unionByName(quart(0.50, "quality_q2_e4"))
+      .unionByName(quart(0.75, "quality_q3_e4"))
+      .orderBy($"metric")
+  }
 }

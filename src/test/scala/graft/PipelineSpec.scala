@@ -246,6 +246,35 @@ class PipelineSpec extends SparkSpec {
     kept.unpersist(); j.unpersist(); df.unpersist()
   }
 
+  test("p34 dataset card: composition sums, quartile order, cross-checked mass") {
+    import spark.implicits._
+    val card = SparkEntry.queries("p34_dataset_card")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val docs = Tables.documents(spark, sfDir)
+    assert(card("n_docs") == docs.count())
+    assert(card("n_chars") == docs.agg(sum($"n_chars")).head().getLong(0))
+    assert(card("mean_doc_tokens") == card("n_tokens") / card("n_docs"))
+    assert(card("dup_ppm") >= 0L && card("dup_ppm") < 1000000L)
+    // truncated ppm composition sums land within |domain| of one million
+    for (prefix <- Seq("lang_ppm:", "source_ppm:")) {
+      val parts = card.filter(_._1.startsWith(prefix)).values
+      assert(parts.nonEmpty)
+      assert(parts.sum <= 1000000L && parts.sum > 1000000L - parts.size,
+        s"$prefix sums to ${parts.sum} over ${parts.size} entries")
+    }
+    // quartiles ordered and inside the quality formula's range
+    val Seq(q1, q2, q3) =
+      Seq("quality_q1_e4", "quality_q2_e4", "quality_q3_e4").map(card)
+    assert(q1 <= q2 && q2 <= q3, s"quartiles out of order: $q1 $q2 $q3")
+    assert(q1 >= 0L && q3 <= 10000L)
+    // d24 consistency: q1 equals the histogram cutoff convention globally
+    val scored = docs.select(operators.TextOps.qualityCol.as("q"))
+    val n = card("n_docs")
+    val exact = scored.as[Double].collect().sorted.apply((math.ceil(0.25 * n) - 1).toInt)
+    assert(q1 == math.floor(exact * 10000 + 0.5).toLong,
+      s"q1 drifted from the exact sorted quartile: $q1 vs $exact")
+  }
+
   test("p28 freshness report: one row per feed, freshest feed at zero staleness") {
     import spark.implicits._
     val df = SparkEntry.queries("p28_freshness_report")(spark, sfDir).cache()

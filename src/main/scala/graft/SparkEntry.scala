@@ -65,6 +65,7 @@ object SparkEntry {
     "q42_sketch_reagg"    -> (Relational.sketchReagg _),
     "q43_rfm_segments"    -> (Relational.rfmSegments _),
     "q44_zorder"          -> (Relational.zorderLayout _),
+    "q45_mv_maintenance"  -> (Relational.mvMaintenance _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -518,6 +519,20 @@ object SparkEntry {
          |         // ${graft.operators.Multimodal.ShardBytes} AS BIGINT) AS shard_idx
          |FROM b ORDER BY doc_id""".stripMargin,
     "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // q45: the oracle IS the full rebuild (q01's exact-decimal convention,
+    // identical derivations) — hash-equality against the 3-batch partial
+    // fold proves incremental MV refresh reaches the rebuild bit-for-bit
+    "q45_mv_maintenance" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,

@@ -972,4 +972,54 @@ object Relational {
         concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
       .orderBy($"p_partkey")
   }
+
+  /** q45: incremental materialized-view maintenance — q01's pricing
+    * aggregate kept fresh by FOLDING batches into per-group partial state
+    * instead of re-aggregating the fact table (the lakehouse MV refresh
+    * loop; at 100 TB a nightly full rebuild of a hot MV is the cost
+    * ceiling this removes). State per (returnflag, linestatus) group =
+    * the additive components only (decimal sums + count — DECIMAL so the
+    * re-aggregation of partials is EXACT and merge-order-free; a double
+    * sum would drift between fold orders and the rebuild); each batch
+    * partial-aggregates then unions into state and re-aggregates — sum of
+    * sums is associative/commutative, so any batch partitioning reaches
+    * the rebuild's state bit-for-bit, which the q01-convention oracle
+    * proves by hash. Derived columns (casts, the rounded average) are
+    * computed ONCE at read-out, never folded. State is |groups| rows;
+    * per-fold shuffle is |groups| x partitions partial rows, not the fact
+    * table. Batches split by l_orderkey mod — late rows in later batches
+    * land in existing groups exactly as an out-of-order ingest would.
+    */
+  val MvReplayBatches = 3
+  def mvMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      .select($"l_orderkey", $"l_returnflag", $"l_linestatus",
+        dec2($"l_quantity").as("qty"), dec2($"l_extendedprice").as("price"),
+        (dec2($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec2($"l_discount"))).as("disc_price"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"qty").as("s_qty"), sum($"price").as("s_price"),
+             sum($"disc_price").as("s_disc"), count(lit(1)).as("n"))
+    var state: Option[DataFrame] = None
+    for (b <- 0 until MvReplayBatches) {
+      val inc = partial(rows.filter(pmod($"l_orderkey", lit(MvReplayBatches.toLong)) === b))
+      state = Some((state match {
+        case None => inc
+        case Some(st) => st.unionByName(inc)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"s_qty").as("s_qty"), sum($"s_price").as("s_price"),
+               sum($"s_disc").as("s_disc"), sum($"n").as("n"))
+      }).localCheckpoint(true))
+    }
+    state.get.select($"l_returnflag", $"l_linestatus",
+        $"s_qty".cast("double").as("sum_qty"),
+        $"s_price".cast("double").as("sum_base_price"),
+        $"s_disc".cast("double").as("sum_disc_price"),
+        (floor($"s_qty".cast("double") / $"n" * 1e6 + 0.5) / 1e6).as("avg_qty"),
+        $"n".as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
 }

@@ -491,4 +491,25 @@ class RelationalSpec extends SparkSpec {
       s"sweep must cost at most two hash exchanges (one corpus, one summary):\n$planned")
     df.unpersist()
   }
+
+  test("q45 MV maintenance: fold equals the one-shot q01 aggregate exactly") {
+    import spark.implicits._
+    val mv = SparkEntry.queries("q45_mv_maintenance")(spark, sfDir)
+    val direct = SparkEntry.queries("q01_agg_pricing")(spark, sfDir)
+    // bit-exact equality, column by column (decimal state makes the fold
+    // merge-order-free, so even the double casts agree to the last ULP)
+    val joined = mv.as("m").join(direct.as("d"),
+      Seq("l_returnflag", "l_linestatus"), "full")
+    assert(joined.filter(
+        $"m.sum_qty".isNull || $"d.sum_qty".isNull ||
+        $"m.sum_qty" =!= $"d.sum_qty" ||
+        $"m.sum_base_price" =!= $"d.sum_base_price" ||
+        $"m.sum_disc_price" =!= $"d.sum_disc_price" ||
+        $"m.avg_qty" =!= $"d.avg_qty" ||
+        $"m.count_order" =!= $"d.count_order").isEmpty,
+      "incremental fold diverged from the rebuild")
+    // state stays |groups|-sized: the fold's read-out has exactly the
+    // rebuild's group count
+    assert(mv.count() == direct.count())
+  }
 }

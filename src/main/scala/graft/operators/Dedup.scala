@@ -816,37 +816,52 @@ object Dedup {
     * anything). Plan shape: one explode, then ONE shingle-keyed aggregate
     * (collect_set of sources — bounded by the source domain, a fixed small
     * vocabulary, NOT corpus-scale; for an unbounded key domain the
-    * shingle-keyed co-partition join is the fallback shape) feeds both
-    * consumers — per-source totals and pair intersections — as
-    * canonically-identical exchanges that dedupe at runtime (the q43
-    * ReusedExchange lesson); pair expansion is |srcs|≤|sources| per
-    * shingle, and everything downstream is |sources|²-bounded. Exact
-    * integers only (permille via BIGINT div) ⇒ bit-exact oracle.
+    * shingle-keyed co-partition join is the fallback shape) with ONE
+    * consumer: each shingle row explodes into per-source membership
+    * markers plus ordered pair markers, and a single tiny aggregate
+    * yields totals AND intersections together — the corpus-sized
+    * collect_set merge runs exactly once; pair expansion is
+    * |srcs|≤|sources| per shingle, and everything downstream is
+    * |sources|²-bounded (its duplicate ta/tb lineages dedupe at runtime,
+    * the q43 ReusedExchange lesson). Exact integers only (permille via
+    * BIGINT div) ⇒ bit-exact oracle.
     */
   def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = split(lower(trim($"text")), "\\s+")
-    val n = size(toks)
-    val grams = when(n < ShingleK, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), n - lit(ShingleK - 1)), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-                  element_at(toks, i + 2))))
+    graft.functions.GraftFunctions.register(s)
+    // gram construction through the codegen'd shingle_strings kernel — an
+    // equivalent transform(sequence…concat_ws) higher-order lambda measured
+    // 9.9 s vs 0.3 s at sf0.1: Spark evals HOF lambdas interpreted,
+    // per element, and that dominated the whole key
     val byShingle = Tables.documents(s, dir)
-      .select($"source", explode(grams).as("shingle"))
+      .select($"source", explode(
+        expr(s"shingle_strings(split(lower(trim(text)), '\\\\s+'), $ShingleK)"))
+        .as("shingle"))
       .groupBy($"shingle")
       .agg(sort_array(collect_set($"source")).as("srcs"))
-    val totals = byShingle
-      .select(explode($"srcs").as("source"))
-      .groupBy($"source").agg(count(lit(1)).as("n"))
+    // ONE consumer of the corpus-sized shingle aggregate: each shingle row
+    // emits its per-source membership markers (src_b null) AND its ordered
+    // pair markers in a single explode, so the non-codegen collect_set
+    // merge runs exactly once — everything downstream of the next
+    // aggregate is (|sources| + |sources|²/2) rows. (The first cut derived
+    // totals and pairs as two consumers; exchange reuse dedupes the
+    // partial agg but each consumer re-ran the object-hash FINAL merge —
+    // measured 8.1 s at sf0.1, 2.3 s with the marker union.)
     val m = size($"srcs")
     val pairArr = flatten(transform(sequence(lit(1), m - 1), i =>
       transform(sequence(i + 1, m), j =>
         struct(element_at($"srcs", i).as("src_a"),
                element_at($"srcs", j).as("src_b")))))
-    val inter = byShingle.filter(m >= 2)
-      .select(explode(pairArr).as("p"))
-      .groupBy($"p.src_a".as("src_a"), $"p.src_b".as("src_b"))
-      .agg(count(lit(1)).as("inter"))
+    val marks = byShingle.select(explode(concat(
+        transform($"srcs", s0 =>
+          struct(s0.as("src_a"), lit(null).cast("string").as("src_b"))),
+        when(m >= 2, pairArr)
+          .otherwise(array().cast("array<struct<src_a:string,src_b:string>>")))).as("p"))
+      .groupBy($"p.src_a".as("a"), $"p.src_b".as("b"))
+      .agg(count(lit(1)).as("n"))
+    val totals = marks.filter($"b".isNull).select($"a".as("source"), $"n")
+    val inter = marks.filter($"b".isNotNull)
+      .select($"a".as("src_a"), $"b".as("src_b"), $"n".as("inter"))
     // complete |sources|² upper-triangle matrix: zero-overlap pairs appear
     val ta = totals.select($"source".as("src_a"), $"n".as("n_a"))
     val tb = totals.select($"source".as("src_b"), $"n".as("n_b"))

@@ -767,13 +767,16 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val k = SubstrK
+    // window strings through the codegen'd shingle_strings kernel with
+    // posexplode supplying the 1-based position — the equivalent
+    // transform(sequence…array_join(slice…)) lambda evals interpreted per
+    // window and measured ~6x slower corpus-wide (the d36 lesson)
+    graft.functions.GraftFunctions.register(s)
     val wins = docs
       .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
       .filter(size($"t") >= k)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, size(t) - ${k - 1}), " +
-          s"i -> struct(i as i, array_join(slice(t, i, $k), ' ') as w))")).as("x"))
-      .select($"doc_id", $"x.i".as("i"), $"x.w".as("w"))
+      .select($"doc_id", posexplode(expr(s"shingle_strings(t, $k)")))
+      .select($"doc_id", ($"pos" + 1).as("i"), $"col".as("w"))
     // "appears in >= 2 distinct docs" as min != max: countDistinct plans a
     // two-exchange partial-distinct aggregate, while min/max are single-pass
     // partial aggs — one exchange over the window-keyed corpus, half the

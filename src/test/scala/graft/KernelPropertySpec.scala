@@ -118,6 +118,29 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("gram_hashes31 equals poly31 of each shingle string on arbitrary unicode") {
+    import graft.functions.{crosskernels, CrossHash}
+    import org.apache.spark.unsafe.types.UTF8String
+    val alphabet = Seq("", "a", "wort", "Ünïcødé", "☃", "文字化け", "x y", "0")
+    val cases = Seq.empty[String] +:
+      (1 to 60).map(_ => List.fill(rng.nextInt(14))(alphabet(rng.nextInt(alphabet.size)) + rng.nextInt(30)).toSeq)
+    for (tokens <- cases; k <- Seq(1, 2, 4)) {
+      val fused = crosskernels.gramHashes31(arr(tokens), k)
+      val strings = crosskernels.shingleStrings(arr(tokens), k)
+      assert(fused.numElements() == strings.numElements(), s"tokens=$tokens k=$k")
+      (0 until fused.numElements()).foreach { i =>
+        assert(fused.getLong(i) ==
+            CrossHash.poly31(strings.getUTF8String(i), 0L),
+          s"tokens=$tokens k=$k i=$i")
+      }
+    }
+    // k = whole-array: the single hash is poly31 of the space-joined text
+    // (the t28 chunk-digest convention)
+    val whole = crosskernels.gramHashes31(arr(Seq("ab", "cd", "e")), 3)
+    assert(whole.numElements() == 1 &&
+      whole.getLong(0) == CrossHash.poly31(UTF8String.fromString("ab cd e"), 0L))
+  }
+
   test("mersenne modP equals the division form across the operand range") {
     import graft.functions.CrossHash
     val P = CrossHash.P

@@ -132,6 +132,7 @@ object SparkEntry {
     "p28_freshness_report"  -> (PipelineOps.freshnessReport _),
     "p33_attrition_funnel"  -> (EndToEnd.attritionFunnel _),
     "p34_dataset_card"      -> (PipelineOps.datasetCard _),
+    "p35_retention_policy"  -> (PipelineOps.retentionPolicy _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1548,6 +1549,32 @@ object SparkEntry {
         |       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
         |FROM events WHERE event_type IN ('purchase', 'signup')
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    // p35: the retention verdict replayed — p22's history CTE, a second
+    // rank window (desc, event_id tiebreak = Spark's total order), the
+    // 7-day horizon off the global max, ordered CASE on valid_to (the
+    // Delta-vacuum rule: an interval reaching past the horizon stays)
+    "p35_retention_policy" ->
+      s"""WITH h AS (SELECT user_id, event_id, ts AS valid_from,
+         |             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+         |             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+         |             ROW_NUMBER() OVER (PARTITION BY user_id
+         |               ORDER BY ts DESC, event_id DESC) AS version_rank
+         |      FROM events WHERE event_type IN ('purchase', 'signup')),
+         |a AS (SELECT MAX(ts) - INTERVAL 7 DAY AS horizon FROM events)
+         |SELECT user_id, event_id, valid_from,
+         |       CAST(version_rank AS BIGINT) AS version_rank,
+         |       CASE WHEN is_current THEN 'current'
+         |            WHEN valid_to > horizon THEN 'covered'
+         |            WHEN version_rank <= ${operators.PipelineOps.RetentionKeepVersions}
+         |              THEN 'version'
+         |            ELSE 'purged' END AS reason,
+         |       CASE WHEN is_current THEN 'current'
+         |            WHEN valid_to > horizon THEN 'covered'
+         |            WHEN version_rank <= ${operators.PipelineOps.RetentionKeepVersions}
+         |              THEN 'version'
+         |            ELSE 'purged' END <> 'purged' AS kept
+         |FROM h CROSS JOIN a
+         |ORDER BY user_id, valid_from, event_id""".stripMargin,
     // p21 reads a jsonl fixture with a truncated line planted for every
     // doc_id % 13 == 5; the oracle derives the same parsed/corrupt split
     // (and the parsed-id checksum) straight from documents

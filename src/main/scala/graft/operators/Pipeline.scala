@@ -320,6 +320,45 @@ object PipelineOps {
       .orderBy($"user_id")
   }
 
+  /** p35: retention policy over the SCD2 history — the state-store
+    * maintenance pass p22 makes necessary: a version table grows without
+    * bound, and the compaction question is "which rows may the next
+    * vacuum purge". Policy (the standard lakehouse shape): keep the
+    * CURRENT version of every key, every version whose validity
+    * interval reaches PAST the trailing horizon (global max ts − 7 d,
+    * data-anchored), and the newest [[RetentionKeepVersions]] versions
+    * per key regardless of age (repair needs a short undo chain). The
+    * horizon rule is the Delta-vacuum shape, keyed on valid_to not
+    * valid_from — keeping only versions BORN after the horizon would
+    * purge the version LIVE AT the horizon and silently break time
+    * travel there (the first cut of this key did exactly that; the spec
+    * now proves point-in-time reconstruction at ANY T ≥ horizon reads
+    * only kept rows). The verdict is per-row with an ORDERED reason
+    * ('current' > 'covered' > 'version' > 'purged') so the vacuum is
+    * auditable row by row. Shapes: p22's one user_id
+    * window exchange, one more rank over the SAME partitioning (no new
+    * exchange — the sort order differs but the partitioning is reused),
+    * one broadcast anchor row; verdicts are scan-local CASE math.
+    */
+  val RetentionKeepVersions = 2
+  def retentionPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val anchor = Tables.events(s, dir)
+      .agg((max($"ts") - expr("INTERVAL 7 DAYS")).as("horizon"))
+    val wDesc = Window.partitionBy($"user_id")
+      .orderBy($"valid_from".desc, $"event_id".desc)
+    stateHistory(s, dir)
+      .withColumn("version_rank", row_number().over(wDesc).cast("long"))
+      .crossJoin(broadcast(anchor))
+      .select($"user_id", $"event_id", $"valid_from", $"version_rank",
+        when($"is_current", "current")
+          .when($"valid_to" > $"horizon", "covered")
+          .when($"version_rank" <= RetentionKeepVersions, "version")
+          .otherwise("purged").as("reason"))
+      .withColumn("kept", $"reason" =!= "purged")
+      .orderBy($"user_id", $"valid_from", $"event_id")
+  }
+
   /** p28: ingest freshness report — the ops dashboard behind the
     * reference's "updated in last N days" scan (p02 answers the query;
     * this audits the feed): per event type, last-seen timestamp, volume in

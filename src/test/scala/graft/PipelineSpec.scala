@@ -275,6 +275,37 @@ class PipelineSpec extends SparkSpec {
       s"q1 drifted from the exact sorted quartile: $q1 vs $exact")
   }
 
+  test("p35 retention: time travel at the horizon reads only kept rows") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p35_retention_policy")(spark, sfDir).cache()
+    // rebuild history + horizon independently
+    val hist = SparkEntry.queries("p22_state_history")(spark, sfDir)
+      .select($"user_id", $"event_id", $"valid_from", $"valid_to")
+    val horizon = Tables.events(spark, sfDir)
+      .agg((max($"ts") - expr("INTERVAL 7 DAYS")).as("h")).head().getTimestamp(0)
+    val j = df.join(hist, Seq("user_id", "event_id", "valid_from")).cache()
+    // SAFETY: every version live at the horizon (and so at any T >= horizon)
+    // survives the purge — the p31 reconstruction contract
+    val liveAtHorizon = j.filter($"valid_from" <= lit(horizon) &&
+      ($"valid_to".isNull || $"valid_to" > lit(horizon)))
+    assert(liveAtHorizon.filter(!$"kept").isEmpty,
+      "purged a version live at the horizon — time travel broken")
+    // the valid_to rule is LOAD-BEARING on this data: some kept row is
+    // saved ONLY by interval coverage (old valid_from, deep rank)
+    assert(j.filter($"reason" === "covered" && $"valid_from" < lit(horizon) &&
+      $"version_rank" > operators.PipelineOps.RetentionKeepVersions.toLong)
+      .limit(1).count() == 1L,
+      "fixture does not exercise the covered-vs-born-after distinction")
+    // ordered reasons match their predicates
+    assert(j.filter($"reason" === "current" && $"valid_to".isNotNull).isEmpty)
+    assert(j.filter($"reason" === "version" &&
+      $"version_rank" > operators.PipelineOps.RetentionKeepVersions.toLong).isEmpty)
+    assert(j.filter($"reason" === "purged" && $"kept").isEmpty)
+    // the policy actually purges on this data
+    assert(j.filter($"reason" === "purged").limit(1).count() == 1L)
+    j.unpersist(); df.unpersist()
+  }
+
   test("p28 freshness report: one row per feed, freshest feed at zero staleness") {
     import spark.implicits._
     val df = SparkEntry.queries("p28_freshness_report")(spark, sfDir).cache()

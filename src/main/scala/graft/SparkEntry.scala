@@ -133,6 +133,7 @@ object SparkEntry {
     "p33_attrition_funnel"  -> (EndToEnd.attritionFunnel _),
     "p34_dataset_card"      -> (PipelineOps.datasetCard _),
     "p35_retention_policy"  -> (PipelineOps.retentionPolicy _),
+    "p36_erasure_impact"    -> (EndToEnd.erasureImpact _),
     // D. Dedup / similarity / multimodal
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -1442,6 +1443,51 @@ object SparkEntry {
          |  UNION ALL SELECT 'quality_q3_e4', CAST(MIN(q_e4) AS BIGINT) FROM hc
          |    WHERE cum >= CEIL(0.75 * (SELECT n_docs FROM g)))
          |ORDER BY metric""".stripMargin,
+    // p36: each artifact section replays its operator's law (p26
+    // placement, t28 CDC chain via the shared CTEs, d01 md5 groups) with
+    // a max-deleted flag per unit; deletion law doc_id % 101 = 13
+    "p36_erasure_impact" ->
+      s"""WITH $CdcChunkCtes,
+         |w2 AS (SELECT doc_id, source, doc_id % 2 AS shard,
+         |              len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |                              tk -> tk <> '')) AS n_toks
+         |       FROM documents),
+         |o2 AS (SELECT *, CAST(SUM(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |                                        ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT)
+         |                   AS start_off
+         |       FROM w2 WHERE n_toks > 0),
+         |e2 AS (SELECT source, shard, doc_id,
+         |              unnest(range(start_off // 128, (start_off + n_toks - 1) // 128 + 1)) AS seq_id
+         |       FROM o2),
+         |sq AS (SELECT source, shard, seq_id,
+         |              MAX(CASE WHEN doc_id % ${EndToEnd.ErasureMod} = ${EndToEnd.ErasureResidue}
+         |                       THEN 1 ELSE 0 END) AS hit
+         |       FROM e2 GROUP BY 1, 2, 3),
+         |cx AS (SELECT chunk_hash,
+         |              MAX(CASE WHEN doc_id % ${EndToEnd.ErasureMod} = ${EndToEnd.ErasureResidue}
+         |                       THEN 1 ELSE 0 END) AS hit
+         |       FROM cr GROUP BY 1),
+         |fpd AS (SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) AS fp
+         |        FROM documents),
+         |dg AS (SELECT fp, COUNT(*) AS n,
+         |              MAX(CASE WHEN doc_id % ${EndToEnd.ErasureMod} = ${EndToEnd.ErasureResidue}
+         |                       THEN 1 ELSE 0 END) AS hit
+         |       FROM fpd GROUP BY 1),
+         |u AS (
+         |  SELECT 'documents' AS artifact,
+         |         CAST(SUM(CASE WHEN doc_id % ${EndToEnd.ErasureMod} = ${EndToEnd.ErasureResidue}
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS impacted_units,
+         |         CAST(COUNT(*) AS BIGINT) AS total_units FROM documents
+         |  UNION ALL SELECT 'sequences', CAST(SUM(hit) AS BIGINT),
+         |         CAST(COUNT(*) AS BIGINT) FROM sq
+         |  UNION ALL SELECT 'chunks', CAST(SUM(hit) AS BIGINT),
+         |         CAST(COUNT(*) AS BIGINT) FROM cx
+         |  UNION ALL SELECT 'dup_groups', CAST(COALESCE(SUM(hit), 0) AS BIGINT),
+         |         CAST(COUNT(*) AS BIGINT) FROM dg WHERE n >= 2)
+         |SELECT artifact, impacted_units, total_units,
+         |       CAST(impacted_units * 1000000 // GREATEST(total_units, 1) AS BIGINT)
+         |         AS impact_ppm
+         |FROM u ORDER BY artifact""".stripMargin,
     // p33: p27's stage predicates replayed with ORDERED attribution —
     // same cutoff CTEs, same fingerprint, same eval law; the dedup keeper
     // is a min-over-CASE window scoped to stage-1/2 survivors, so

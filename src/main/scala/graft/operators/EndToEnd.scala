@@ -200,4 +200,53 @@ object EndToEnd {
           .otherwise("kept").as("stage"))
       .orderBy($"doc_id")
   }
+
+  /** p36: erasure impact analysis — the right-to-be-forgotten question a
+    * 100-TB lake must answer BEFORE it can honor a deletion request: a
+    * document does not live only in the documents table, it is woven into
+    * derived artifacts (packed training sequences, the CDC chunk store,
+    * dedup survivor groups), and each affected unit must be rebuilt or
+    * re-elected when the doc goes. This key takes the deletion set
+    * (fixture law: doc_id ≡ [[ErasureResidue]] mod [[ErasureMod]], ~1%)
+    * and reports per artifact how many units the erasure touches:
+    * sequences that must be repacked (the p26 placement law — a deleted
+    * doc shifts every later offset in its (source, shard)), chunk digests
+    * losing a copy (t28's decomposition; an orphaned digest leaves the
+    * store), exact-dup groups (≥2 members) needing survivor re-election
+    * (d01), and the documents base row. Shapes: each artifact section is
+    * the existing operator's exchange with a max-flag partial aggregate
+    * on top — the deletion set never broadcasts as data (it is a scan
+    * predicate); output is 4 rows of exact integers.
+    */
+  val ErasureMod = 101L
+  val ErasureResidue = 13L
+  def erasureImpact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def del(c: org.apache.spark.sql.Column) =
+      when(pmod(c, lit(ErasureMod)) === ErasureResidue, 1L).otherwise(0L)
+    def report(name: String, units: DataFrame): DataFrame =
+      units.agg(coalesce(sum($"hit"), lit(0L)).as("impacted_units"),
+                count(lit(1)).as("total_units"))
+        .select(lit(name).as("artifact"), $"impacted_units", $"total_units",
+          expr("impacted_units * 1000000L div greatest(total_units, 1L)")
+            .as("impact_ppm"))
+    val docRow = report("documents",
+      docs.select(del($"doc_id").as("hit")))
+    val seqRow = report("sequences",
+      PipelineOps.seqMembership(docs)
+        .groupBy($"source", $"shard", $"seq_id")
+        .agg(max(del($"doc_id")).as("hit")))
+    val chunkRow = report("chunks",
+      TextOps.chunkRows(docs)
+        .groupBy($"chunk_hash").agg(max(del($"doc_id")).as("hit")))
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    val dupRow = report("dup_groups",
+      docs.select($"doc_id", fp.as("fp"))
+        .groupBy($"fp")
+        .agg(count(lit(1)).as("n"), max(del($"doc_id")).as("hit"))
+        .filter($"n" >= 2))
+    docRow.unionByName(seqRow).unionByName(chunkRow).unionByName(dupRow)
+      .orderBy($"artifact")
+  }
 }

@@ -409,25 +409,34 @@ object PipelineOps {
   def sequencePacking(s: SparkSession, dir: String): DataFrame =
     packingManifest(Tables.documents(s, dir))
 
+  /** Doc → training-sequence membership (the p26 placement law exposed as
+    * rows): which sequences each doc's tokens land in — shared by the
+    * manifest rollup and p36's erasure impact analysis.
+    */
+  private[graft] def seqMembership(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select($"doc_id", $"source", ($"doc_id" % PackShards).as("shard"),
+        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .cast("long").as("n_toks"))
+      .filter($"n_toks" > 0)
+      .withColumn("start_off", sum($"n_toks").over(w) - $"n_toks")
+      .select($"source", $"shard", $"doc_id", $"n_toks", $"start_off",
+        explode(expr(
+          s"sequence(start_off div $SeqBudget, (start_off + n_toks - 1) div $SeqBudget)"))
+          .as("seq_id"))
+  }
+
   /** Packing manifest over any (doc_id, source, text) frame — p27 packs the
     * CURATED corpus through the same mechanism.
     */
   private[graft] def packingManifest(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val placed = docs
-      .select($"doc_id", $"source", ($"doc_id" % PackShards).as("shard"),
-        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-          .cast("long").as("n_toks"))
-      .filter($"n_toks" > 0)
-      .withColumn("start_off", sum($"n_toks").over(w) - $"n_toks")
-    placed
-      .select($"source", $"shard", $"doc_id", $"n_toks", $"start_off",
-        explode(expr(
-          s"sequence(start_off div $SeqBudget, (start_off + n_toks - 1) div $SeqBudget)"))
-          .as("seq_id"))
+    seqMembership(docs)
       .groupBy($"source", $"shard", $"seq_id")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -306,6 +306,36 @@ class PipelineSpec extends SparkSpec {
     j.unpersist(); df.unpersist()
   }
 
+  test("p36 erasure impact: base rate, monotone amplification, chunk cross-check") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("p36_erasure_impact")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("artifact") ->
+        (r.getAs[Long]("impacted_units"), r.getAs[Long]("total_units"),
+         r.getAs[Long]("impact_ppm"))).toMap
+    val docs = Tables.documents(spark, sfDir)
+    val nDel = docs.filter(pmod($"doc_id", lit(operators.EndToEnd.ErasureMod)) ===
+      operators.EndToEnd.ErasureResidue).count()
+    assert(nDel > 0, "fixture deletes nothing")
+    assert(rows("documents")._1 == nDel && rows("documents")._2 == docs.count())
+    // a sequence holds >= 1 doc, so impacted sequences <= deleted docs x
+    // max-seqs-per-doc, and >= ceil(deleted tokens / budget) > 0
+    assert(rows("sequences")._1 > 0L && rows("sequences")._1 <= rows("sequences")._2)
+    // every deleted doc contributes >= 1 chunk, chunks can be shared:
+    // impacted chunk digests <= total chunks of deleted docs
+    val delChunks = operators.TextOps.chunkRows(docs)
+      .filter(pmod($"doc_id", lit(operators.EndToEnd.ErasureMod)) ===
+        operators.EndToEnd.ErasureResidue)
+    assert(rows("chunks")._1 > 0L && rows("chunks")._1 <= delChunks.count())
+    // an impacted digest is exactly one some deleted doc carries
+    assert(rows("chunks")._1 ==
+      delChunks.select($"chunk_hash").distinct().count(),
+      "impacted digests must equal the deleted docs' distinct digest set")
+    // ppm law on every row
+    rows.values.foreach { case (imp, tot, ppm) =>
+      assert(ppm == imp * 1000000L / math.max(tot, 1L), s"ppm drifted: $imp/$tot=$ppm")
+    }
+  }
+
   test("p28 freshness report: one row per feed, freshest feed at zero staleness") {
     import spark.implicits._
     val df = SparkEntry.queries("p28_freshness_report")(spark, sfDir).cache()

@@ -169,6 +169,7 @@ object SparkEntry {
     "d34_int8_quantize"   -> (Similarity.int8Quantize _),
     "d35_corpus_map"      -> (Similarity.corpusMap _),
     "d36_corpus_overlap"  -> (Dedup.corpusOverlap _),
+    "d37_drift_monitor"   -> (Dedup.driftMonitor _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -2135,6 +2136,28 @@ object SparkEntry {
         |       FLOOR(err * 10000 + 0.5) / 10000 AS round_err,
         |       err <= 0.5 AS within_half_ulp
         |FROM r ORDER BY vec_id""".stripMargin,
+    // d37: per-dimension bucket shares replayed — baseline = doc_id%3<>0,
+    // truncated ppm on both sides, quality decile = e4 // 1000
+    "d37_drift_monitor" ->
+      s"""WITH b AS (SELECT doc_id, lang, source,
+         |             CAST(FLOOR(($QualitySql) * 10000 + 0.5) AS BIGINT) // 1000 AS q_dec,
+         |             doc_id % ${Dedup.DriftBaselineMod} <> 0 AS in_base
+         |           FROM documents),
+         |st AS (SELECT in_base, 'lang' AS dim, lang AS bucket FROM b
+         |       UNION ALL SELECT in_base, 'source', source FROM b
+         |       UNION ALL SELECT in_base, 'quality_decile', CAST(q_dec AS VARCHAR) FROM b),
+         |c AS (SELECT dim, bucket,
+         |             SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS n_a,
+         |             COUNT(*) AS n_b
+         |      FROM st GROUP BY 1, 2),
+         |t AS (SELECT SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS t_a,
+         |             COUNT(*) AS t_b FROM b)
+         |SELECT dim, bucket,
+         |       CAST(n_a * 1000000 // t_a AS BIGINT) AS a_ppm,
+         |       CAST(n_b * 1000000 // t_b AS BIGINT) AS b_ppm,
+         |       CAST(ABS(n_a * 1000000 // t_a - n_b * 1000000 // t_b) AS BIGINT)
+         |         AS abs_diff_ppm
+         |FROM c CROSS JOIN t ORDER BY dim, bucket""".stripMargin,
     // d36: d02's tokenize/shingle CTE shape, DISTINCT (source, shingle),
     // exact pair intersections via self-join (the oracle may pay the
     // quadratic shape Spark avoids), full upper-triangle matrix with

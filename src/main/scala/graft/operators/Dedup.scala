@@ -875,4 +875,49 @@ object Dedup {
         expr("inter * 1000 div n_b").as("b_in_a_permille"))
       .orderBy($"src_a", $"src_b")
   }
+
+  /** d37: corpus drift monitor — the retraining trigger a continuously
+    * ingested 100-TB corpus needs: between a baseline snapshot (fixture
+    * law doc_id % 3 ≠ 0 — the "previous release") and the current corpus,
+    * compare the population composition per monitored dimension
+    * (language, source, quality decile) bucket by bucket. The metric is
+    * per-bucket ppm shares plus the absolute share delta — all EXACT
+    * integers (the usual PSI needs logs and drifts across engines;
+    * summing abs_diff_ppm div 2 per dimension IS the total-variation
+    * distance in ppm, derivable from these rows) — so alert thresholds
+    * are bit-reproducible. Plan shape: both snapshots aggregate from ONE
+    * scan lineage (a conditional count per bucket — no self-join, no
+    * second scan), buckets are the dimension's value domain (bounded),
+    * share denominators ride a broadcast one-row cross join; everything
+    * after the one partial-aggregated exchange is |buckets|-sized.
+    */
+  val DriftBaselineMod = 3L
+  def driftMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select(
+      $"doc_id", $"lang", $"source",
+      (floor(TextOps.qualityCol * lit(10000d) + lit(0.5d)).cast("long") / 1000L)
+        .cast("long").as("q_dec"),
+      (pmod($"doc_id", lit(DriftBaselineMod)) =!= 0L).as("in_base"))
+    val dims = Seq(
+      ("lang", $"lang".cast("string")),
+      ("source", $"source".cast("string")),
+      ("quality_decile", $"q_dec".cast("string")))
+    val stacked = base.select($"in_base", explode(array(dims.map { case (d, c) =>
+      struct(lit(d).as("dim"), c.as("bucket")) }: _*)).as("k"))
+    val counts = stacked
+      .groupBy($"k.dim".as("dim"), $"k.bucket".as("bucket"))
+      .agg(sum(when($"in_base", 1L).otherwise(0L)).as("n_a"),
+           count(lit(1)).as("n_b"))
+    val totals = base.agg(
+      sum(when($"in_base", 1L).otherwise(0L)).as("t_a"),
+      count(lit(1)).as("t_b"))
+    counts.crossJoin(broadcast(totals))
+      .select($"dim", $"bucket",
+        expr("n_a * 1000000L div t_a").as("a_ppm"),
+        expr("n_b * 1000000L div t_b").as("b_ppm"))
+      .withColumn("abs_diff_ppm",
+        abs($"a_ppm" - $"b_ppm").cast("long"))
+      .orderBy($"dim", $"bucket")
+  }
 }

@@ -929,6 +929,36 @@ class DedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("d37 drift monitor: share sums, bucket completeness, recomputed lang row") {
+    import spark.implicits._
+    val df = SparkEntry.queries("d37_drift_monitor")(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    // truncated ppm shares per (dim, side) sum to just under one million
+    for (dim <- Seq("lang", "source", "quality_decile"); col <- Seq("a_ppm", "b_ppm")) {
+      val rows = df.filter($"dim" === dim)
+      val s = rows.agg(sum(org.apache.spark.sql.functions.col(col))).head().getLong(0)
+      val n = rows.count()
+      assert(s <= 1000000L && s > 1000000L - n, s"$dim/$col sums to $s over $n buckets")
+    }
+    // bucket sets are the CURRENT corpus's value domains (b side counts all)
+    val langs = docs.select($"lang").distinct().as[String].collect().toSet
+    assert(df.filter($"dim" === "lang").select($"bucket").as[String].collect().toSet
+      == langs)
+    // one row recomputed independently end to end
+    val lang0 = langs.min
+    val nb = docs.filter($"lang" === lang0).count()
+    val na = docs.filter($"lang" === lang0 &&
+      pmod($"doc_id", lit(operators.Dedup.DriftBaselineMod)) =!= 0L).count()
+    val ta = docs.filter(pmod($"doc_id", lit(operators.Dedup.DriftBaselineMod)) =!= 0L).count()
+    val tb = docs.count()
+    val r = df.filter($"dim" === "lang" && $"bucket" === lang0).head()
+    assert(r.getAs[Long]("a_ppm") == na * 1000000L / ta)
+    assert(r.getAs[Long]("b_ppm") == nb * 1000000L / tb)
+    assert(r.getAs[Long]("abs_diff_ppm") ==
+      math.abs(na * 1000000L / ta - nb * 1000000L / tb))
+    df.unpersist()
+  }
+
   test("d36 corpus overlap: synthetic containment law, full matrix, reused exchange") {
     import spark.implicits._
     // hand-built corpus: srcX = two docs sharing nothing with srcY except

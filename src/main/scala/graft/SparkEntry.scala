@@ -198,6 +198,7 @@ object SparkEntry {
     "s21_stream_join"  -> (graft.streaming.Streams.attributionJoinBatch _),
     "s22_stream_index" -> (graft.streaming.Streams.indexReplayBatch _),
     "s23_chunk_ingest" -> (graft.streaming.Streams.chunkIngestBatch _),
+    "s24_drift_fold"   -> (graft.streaming.Streams.driftFoldBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -298,6 +299,31 @@ object SparkEntry {
        |              CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_toks,
        |              ${CrossHashSql.poly31("array_to_string(list_slice(t, starts[k], ends[k]), ' ')", 0)} AS chunk_hash
        |       FROM ch)""".stripMargin
+
+  /** Shared by d37 (one-shot report) and s24 (ingest fold): the fold must
+    * reach the report bit-for-bit, so both keys verify against this text.
+    * Baseline = doc_id%3<>0; truncated ppm; quality decile = e4 // 1000.
+    */
+  private lazy val DriftOracle: String =
+    s"""WITH b AS (SELECT doc_id, lang, source,
+       |             CAST(FLOOR(($QualitySql) * 10000 + 0.5) AS BIGINT) // 1000 AS q_dec,
+       |             doc_id % ${operators.Dedup.DriftBaselineMod} <> 0 AS in_base
+       |           FROM documents),
+       |st AS (SELECT in_base, 'lang' AS dim, lang AS bucket FROM b
+       |       UNION ALL SELECT in_base, 'source', source FROM b
+       |       UNION ALL SELECT in_base, 'quality_decile', CAST(q_dec AS VARCHAR) FROM b),
+       |c AS (SELECT dim, bucket,
+       |             SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS n_a,
+       |             COUNT(*) AS n_b
+       |      FROM st GROUP BY 1, 2),
+       |t AS (SELECT SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS t_a,
+       |             COUNT(*) AS t_b FROM b)
+       |SELECT dim, bucket,
+       |       CAST(n_a * 1000000 // t_a AS BIGINT) AS a_ppm,
+       |       CAST(n_b * 1000000 // t_b AS BIGINT) AS b_ppm,
+       |       CAST(ABS(n_a * 1000000 // t_a - n_b * 1000000 // t_b) AS BIGINT)
+       |         AS abs_diff_ppm
+       |FROM c CROSS JOIN t ORDER BY dim, bucket""".stripMargin
 
   /** Shared by d09 (broadcast anti-join) and d16 (Bloom-prefilter plan). */
   private val DecontaminateOracle: String =
@@ -2136,28 +2162,11 @@ object SparkEntry {
         |       FLOOR(err * 10000 + 0.5) / 10000 AS round_err,
         |       err <= 0.5 AS within_half_ulp
         |FROM r ORDER BY vec_id""".stripMargin,
-    // d37: per-dimension bucket shares replayed — baseline = doc_id%3<>0,
-    // truncated ppm on both sides, quality decile = e4 // 1000
-    "d37_drift_monitor" ->
-      s"""WITH b AS (SELECT doc_id, lang, source,
-         |             CAST(FLOOR(($QualitySql) * 10000 + 0.5) AS BIGINT) // 1000 AS q_dec,
-         |             doc_id % ${Dedup.DriftBaselineMod} <> 0 AS in_base
-         |           FROM documents),
-         |st AS (SELECT in_base, 'lang' AS dim, lang AS bucket FROM b
-         |       UNION ALL SELECT in_base, 'source', source FROM b
-         |       UNION ALL SELECT in_base, 'quality_decile', CAST(q_dec AS VARCHAR) FROM b),
-         |c AS (SELECT dim, bucket,
-         |             SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS n_a,
-         |             COUNT(*) AS n_b
-         |      FROM st GROUP BY 1, 2),
-         |t AS (SELECT SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS t_a,
-         |             COUNT(*) AS t_b FROM b)
-         |SELECT dim, bucket,
-         |       CAST(n_a * 1000000 // t_a AS BIGINT) AS a_ppm,
-         |       CAST(n_b * 1000000 // t_b AS BIGINT) AS b_ppm,
-         |       CAST(ABS(n_a * 1000000 // t_a - n_b * 1000000 // t_b) AS BIGINT)
-         |         AS abs_diff_ppm
-         |FROM c CROSS JOIN t ORDER BY dim, bucket""".stripMargin,
+    // d37 + s24: the same bucket-share replay — s24's 4-batch additive
+    // fold must reach d37's one-shot report bit-for-bit (associativity),
+    // so the two keys SHARE the oracle text
+    "d37_drift_monitor" -> DriftOracle,
+    "s24_drift_fold" -> DriftOracle,
     // d36: d02's tokenize/shingle CTE shape, DISTINCT (source, shingle),
     // exact pair intersections via self-join (the oracle may pay the
     // quadratic shape Spark avoids), full upper-triangle matrix with

@@ -892,26 +892,46 @@ object Dedup {
     * after the one partial-aggregated exchange is |buckets|-sized.
     */
   val DriftBaselineMod = 3L
-  def driftMonitor(s: SparkSession, dir: String): DataFrame = {
+  def driftMonitor(s: SparkSession, dir: String): DataFrame =
+    driftReport(driftBase(s, dir))
+
+  /** The monitored-dimension projection shared by d37's one-shot report
+    * and s24's ingest-time fold.
+    */
+  private[graft] def driftBase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, dir).select(
+    Tables.documents(s, dir).select(
       $"doc_id", $"lang", $"source",
       (floor(TextOps.qualityCol * lit(10000d) + lit(0.5d)).cast("long") / 1000L)
         .cast("long").as("q_dec"),
       (pmod($"doc_id", lit(DriftBaselineMod)) =!= 0L).as("in_base"))
+  }
+
+  /** Per-(dim, bucket) conditional counts over any driftBase-shaped frame
+    * — additive, so s24 folds them batch by batch.
+    */
+  private[graft] def driftCounts(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     val dims = Seq(
       ("lang", $"lang".cast("string")),
       ("source", $"source".cast("string")),
       ("quality_decile", $"q_dec".cast("string")))
-    val stacked = base.select($"in_base", explode(array(dims.map { case (d, c) =>
-      struct(lit(d).as("dim"), c.as("bucket")) }: _*)).as("k"))
-    val counts = stacked
+    base.select($"in_base", explode(array(dims.map { case (d, c) =>
+        struct(lit(d).as("dim"), c.as("bucket")) }: _*)).as("k"))
       .groupBy($"k.dim".as("dim"), $"k.bucket".as("bucket"))
       .agg(sum(when($"in_base", 1L).otherwise(0L)).as("n_a"),
            count(lit(1)).as("n_b"))
-    val totals = base.agg(
-      sum(when($"in_base", 1L).otherwise(0L)).as("t_a"),
-      count(lit(1)).as("t_b"))
+  }
+
+  /** The ppm read-out over accumulated counts (totals derive from the
+    * counts themselves: every doc carries exactly one lang bucket).
+    */
+  private[graft] def driftReadout(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    val totals = counts.filter($"dim" === "lang")
+      .agg(sum($"n_a").as("t_a"), sum($"n_b").as("t_b"))
     counts.crossJoin(broadcast(totals))
       .select($"dim", $"bucket",
         expr("n_a * 1000000L div t_a").as("a_ppm"),
@@ -920,4 +940,7 @@ object Dedup {
         abs($"a_ppm" - $"b_ppm").cast("long"))
       .orderBy($"dim", $"bucket")
   }
+
+  private[graft] def driftReport(base: DataFrame): DataFrame =
+    driftReadout(driftCounts(base))
 }

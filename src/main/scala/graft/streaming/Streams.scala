@@ -847,4 +847,34 @@ object Streams {
         ($"n_copies" > 1L).as("is_dup"))
       .orderBy($"chunk_hash")
   }
+
+  /** s24: d37's drift monitor maintained at INGEST — composition counts
+    * are additive, so the monitor state is one row per (dimension,
+    * bucket) pair of conditional counts, and each micro-batch folds its
+    * own counts in with a full-outer add (commutative/associative ⇒ any
+    * batch partitioning reaches the one-shot report bit-for-bit, which
+    * the shared d37 oracle SQL proves by hash). The ppm read-out (and the
+    * alert threshold it feeds) is computed from state at READ time, never
+    * folded — the q45 derived-columns-at-read-out rule. State size is
+    * |buckets|, independent of stream volume.
+    */
+  val DriftReplayBatches = 4
+  def driftFoldBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = graft.operators.Dedup.driftBase(s, dir)
+    var state: Option[DataFrame] = None
+    for (b <- 0 until DriftReplayBatches) {
+      val inc = graft.operators.Dedup.driftCounts(
+        base.filter(pmod($"doc_id", lit(DriftReplayBatches.toLong)) === b))
+      state = Some((state match {
+        case None => inc
+        case Some(st) =>
+          st.as("s").join(inc.as("i"), Seq("dim", "bucket"), "full_outer")
+            .select($"dim", $"bucket",
+              (coalesce($"s.n_a", lit(0L)) + coalesce($"i.n_a", lit(0L))).as("n_a"),
+              (coalesce($"s.n_b", lit(0L)) + coalesce($"i.n_b", lit(0L))).as("n_b"))
+      }).localCheckpoint(true))
+    }
+    graft.operators.Dedup.driftReadout(state.get)
+  }
 }

@@ -257,6 +257,19 @@ class StreamingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s24 drift fold reaches d37's one-shot report exactly") {
+    val s = spark
+    import s.implicits._
+    val fold = SparkEntry.queries("s24_drift_fold")(spark, sfDir)
+    val oneShot = SparkEntry.queries("d37_drift_monitor")(spark, sfDir)
+      .withColumnRenamed("a_ppm", "a2").withColumnRenamed("b_ppm", "b2")
+      .withColumnRenamed("abs_diff_ppm", "d2")
+    assert(fold.join(oneShot, Seq("dim", "bucket"), "full")
+      .filter($"a_ppm".isNull || $"a2".isNull ||
+        $"a_ppm" =!= $"a2" || $"b_ppm" =!= $"b2" || $"abs_diff_ppm" =!= $"d2")
+      .isEmpty, "ingest fold diverged from the one-shot drift report")
+  }
+
   test("s20 sketch sink: per-type state, batch-split invariance, exact on small sets") {
     val s = spark
     import s.implicits._

@@ -120,6 +120,7 @@ object SparkEntry {
     "t26_bpe_encode"        -> (TextOps.bpeEncode _),
     "t27_rule_gate"         -> (TextOps.ruleGate _),
     "t28_cdc_chunks"        -> (TextOps.cdcChunks _),
+    "t29_chunk_boilerplate" -> (TextOps.chunkBoilerplate _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
@@ -460,6 +461,28 @@ object SparkEntry {
          |       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
          |       COUNT(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
          |FROM cr ORDER BY doc_id, chunk_idx""".stripMargin,
+    // t29: the shared CDC CTEs, a copy-count window, flagged spans per
+    // doc, t25's token-filter excision (empty array_to_string is NULL in
+    // DuckDB — COALESCE, the t25 lesson); chunks never overlap so
+    // removed = plain SUM
+    "t29_chunk_boilerplate" ->
+      s"""WITH $CdcChunkCtes,
+         |fl AS (SELECT doc_id, start_tok, n_toks,
+         |              COUNT(*) OVER (PARTITION BY chunk_hash) AS n_copies
+         |       FROM cr),
+         |spl AS (SELECT doc_id,
+         |               list(struct_pack(s := start_tok, n := n_toks)) AS sps,
+         |               CAST(SUM(n_toks) AS BIGINT) AS removed
+         |        FROM fl WHERE n_copies >= ${operators.TextOps.BoilerplateCopies}
+         |        GROUP BY doc_id)
+         |SELECT w.doc_id, CAST(len(w.t) AS BIGINT) AS n_tokens,
+         |       COALESCE(sl.removed, 0) AS removed_tokens,
+         |       COALESCE(array_to_string(list_filter(w.t, (x, j) ->
+         |         sl.sps IS NULL OR
+         |         len(list_filter(sl.sps, sp -> j >= sp.s AND j < sp.s + sp.n)) = 0),
+         |         ' '), '') AS clean_text
+         |FROM w LEFT JOIN spl sl USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin,
     // s23: the oracle rebuilds the chunk store GLOBALLY in one shot from
     // the shared CDC CTEs — hash-equality against Spark's 3-batch
     // incremental fold proves the merge is associative (fold ≡ rebuild,

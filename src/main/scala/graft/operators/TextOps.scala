@@ -946,4 +946,46 @@ object TextOps {
         expr("element_at(gram_hashes31(slice(t, c.start_tok, c.n_toks), c.n_toks), 1)")
           .as("chunk_hash"))
   }
+
+  /** t29: boilerplate excision at CDC-chunk granularity — the C4-style
+    * "remove text repeated across the corpus" pass, executed on t28's
+    * content-defined chunks instead of t24's exhaustive window scan:
+    * a chunk digest occurring ≥ [[BoilerplateCopies]] times corpus-wide
+    * is boilerplate (nav bars, license footers, templated headers), and
+    * every occurrence is excised from every document — same
+    * all-occurrence removal and output contract as t25 (n_tokens /
+    * removed_tokens / clean_text), at ~1/D of t25's window-index size
+    * because only chunk-sized units are counted. CDC's self-healing
+    * boundaries are what make this correct on a crawl: the same footer
+    * behind different prefixes still chunks identically, so the digest
+    * count sees every copy. Plan shape: chunk decomposition scan-local
+    * (shared chunkRows), ONE digest exchange for the copy-count window,
+    * spans of flagged chunks collapse per doc (hit docs only) and join
+    * back; excision is a scan-local token filter. Unlike t24's spans,
+    * chunks never overlap — removed_tokens is an exact sum with no
+    * island merge needed.
+    */
+  val BoilerplateCopies = 3L
+  def chunkBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val flagged = chunkRows(docs)
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy($"chunk_hash")))
+      .filter($"n_copies" >= BoilerplateCopies)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"start_tok".as("s"), $"n_toks".as("n"))).as("sps"),
+           sum($"n_toks").as("removed"))
+    docs
+      .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        coalesce($"removed", lit(0L)).as("removed_tokens"),
+        array_join(expr(
+          "filter(t, (x, j) -> sps is null or !exists(sps, sp -> j+1 >= sp.s and j+1 < sp.s + sp.n))"),
+          " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
 }

@@ -467,6 +467,42 @@ class TextOpsSpec extends SparkSpec {
       s"t27 must be scan-local before the output sort:\n$planned")
   }
 
+  test("t29 chunk boilerplate: conservation, t28 agreement, synthetic full excision") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val df = SparkEntry.queries("t29_chunk_boilerplate")(spark, sfDir).cache()
+    // conservation: surviving tokens + removed == original count
+    val survived = when($"clean_text" === "", 0L)
+      .otherwise(size(split($"clean_text", " ")).cast("long"))
+    assert(df.filter(survived + $"removed_tokens" =!= $"n_tokens").isEmpty,
+      "token conservation violated")
+    // agreement with t28's copy counts: removed mass per doc is exactly
+    // the doc's chunks at or above the boilerplate threshold
+    val expected = SparkEntry.queries("t28_cdc_chunks")(spark, sfDir)
+      .filter($"n_copies" >= TextOps.BoilerplateCopies)
+      .groupBy($"doc_id").agg(sum($"n_toks").as("exp_removed"))
+    assert(df.join(expected, Seq("doc_id"), "left")
+      .filter($"removed_tokens" =!= coalesce($"exp_removed", lit(0L))).isEmpty,
+      "removed mass disagrees with the t28 chunk report")
+    // the threshold bites on this data, and not everything is boilerplate
+    assert(df.filter($"removed_tokens" > 0L).limit(1).count() == 1L)
+    assert(df.filter($"removed_tokens" === 0L).limit(1).count() == 1L)
+    df.unpersist()
+    // synthetic: three identical docs = every chunk at 3 copies -> fully
+    // excised; the distinct doc survives verbatim
+    val boiler = "one two three four five six seven eight nine ten"
+    val tmp = java.nio.file.Files.createTempDirectory("t29").toString
+    Seq((1L, boiler), (2L, boiler), (3L, boiler), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length($"text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val syn = SparkEntry.queries("t29_chunk_boilerplate")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(syn(1L) == "" && syn(2L) == "" && syn(3L) == "", s"copies must vanish: $syn")
+    assert(syn(4L) == "alpha beta gamma delta", s"unique doc must survive: $syn")
+  }
+
   test("t28 cdc chunks: exact tiling, kernel pin, self-healing boundaries, one exchange") {
     import spark.implicits._
     import graft.operators.TextOps

@@ -200,6 +200,7 @@ object SparkEntry {
     "s22_stream_index" -> (graft.streaming.Streams.indexReplayBatch _),
     "s23_chunk_ingest" -> (graft.streaming.Streams.chunkIngestBatch _),
     "s24_drift_fold"   -> (graft.streaming.Streams.driftFoldBatch _),
+    "s25_erasure_fold" -> (graft.streaming.Streams.erasureFoldBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -461,6 +462,17 @@ object SparkEntry {
          |       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
          |       COUNT(*) OVER (PARTITION BY chunk_hash) > 1 AS is_dup
          |FROM cr ORDER BY doc_id, chunk_idx""".stripMargin,
+    // s25: the oracle is a from-scratch rebuild over SURVIVING docs —
+    // hash-equality against Spark's build-then-decrement fold proves the
+    // tombstone merge is the group inverse of ingest (erasure-exactly-once)
+    "s25_erasure_fold" ->
+      s"""WITH $CdcChunkCtes
+         |SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |       COUNT(*) > 1 AS is_dup
+         |FROM cr
+         |WHERE doc_id % ${operators.EndToEnd.ErasureMod} <> ${operators.EndToEnd.ErasureResidue}
+         |GROUP BY chunk_hash
+         |ORDER BY chunk_hash""".stripMargin,
     // t29: the shared CDC CTEs, a copy-count window, flagged spans per
     // doc, t25's token-filter excision (empty array_to_string is NULL in
     // DuckDB — COALESCE, the t25 lesson); chunks never overlap so

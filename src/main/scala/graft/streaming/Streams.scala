@@ -848,6 +848,40 @@ object Streams {
       .orderBy($"chunk_hash")
   }
 
+  /** s25: erasure propagation into the chunk store — the APPLY side of
+    * p36's impact analysis, closing the right-to-be-forgotten loop:
+    * the store builds by s23's additive fold, then a deletion batch
+    * (p36's law, doc_id ≡ 13 mod 101) arrives as tombstones and folds in
+    * as per-digest DECREMENTS; digests whose count reaches zero leave
+    * the store (orphaned boilerplate disappears with its last copy).
+    * Counts are an abelian group under add/subtract, so the
+    * delete-after-build fold hash-equals a from-scratch rebuild over the
+    * SURVIVING docs — the oracle proves exactly that. Deliberately NOT in
+    * the contract: the arrival-first owner column — re-electing an owner
+    * whose doc was deleted needs survivor occurrence data the counting
+    * state cannot hold; a real store re-elects lazily from the chunk
+    * table (the same reason d22 joins the materialized cluster artifact).
+    * Per-fold work: batch-distinct digests only — O(deletion + overlap).
+    */
+  def erasureFoldBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = graft.operators.TextOps
+      .chunkRows(Tables.documents(s, dir))
+      .withColumn("batch", pmod($"doc_id", lit(ChunkReplayBatches.toLong)))
+    val deleted = pmod($"doc_id", lit(graft.operators.EndToEnd.ErasureMod)) ===
+      graft.operators.EndToEnd.ErasureResidue
+    val store = chunkStoreMerge(None, chunks)
+      .select($"chunk_hash", $"n_copies").localCheckpoint(true)
+    val tombstones = chunks.filter(deleted)
+      .groupBy($"chunk_hash").agg(count(lit(1)).as("n_del"))
+    store.join(tombstones, Seq("chunk_hash"), "left")
+      .select($"chunk_hash",
+        ($"n_copies" - coalesce($"n_del", lit(0L))).as("n_copies"))
+      .filter($"n_copies" > 0L)
+      .withColumn("is_dup", $"n_copies" > 1L)
+      .orderBy($"chunk_hash")
+  }
+
   /** s24: d37's drift monitor maintained at INGEST — composition counts
     * are additive, so the monitor state is one row per (dimension,
     * bucket) pair of conditional counts, and each micro-batch folds its

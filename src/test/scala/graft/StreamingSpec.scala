@@ -257,6 +257,34 @@ class StreamingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s25 erasure fold equals the survivor rebuild; orphaned digests vanish") {
+    val s = spark
+    import s.implicits._
+    val fold = SparkEntry.queries("s25_erasure_fold")(spark, sfDir).cache()
+    val deleted = pmod($"doc_id", lit(graft.operators.EndToEnd.ErasureMod)) ===
+      graft.operators.EndToEnd.ErasureResidue
+    // in-engine survivor rebuild
+    val rebuild = graft.operators.TextOps
+      .chunkRows(Tables.documents(spark, sfDir))
+      .filter(!deleted)
+      .groupBy($"chunk_hash").agg(count(lit(1)).as("nc2"))
+    assert(fold.join(rebuild, Seq("chunk_hash"), "full")
+      .filter($"n_copies".isNull || $"nc2".isNull || $"n_copies" =!= $"nc2")
+      .isEmpty, "decrement fold diverged from the survivor rebuild")
+    // digests held ONLY by deleted docs are gone from the store
+    val chunks = graft.operators.TextOps
+      .chunkRows(Tables.documents(spark, sfDir)).cache()
+    val orphanOnly = chunks.groupBy($"chunk_hash")
+      .agg(max(when(deleted, 0L).otherwise(1L)).as("has_survivor"))
+      .filter($"has_survivor" === 0L)
+    assert(orphanOnly.limit(1).count() == 1L, "fixture has no orphaned digest")
+    assert(fold.join(orphanOnly, Seq("chunk_hash"), "left_semi").isEmpty,
+      "an orphaned digest survived erasure")
+    // and the store genuinely shrank
+    assert(fold.count() < chunks.select($"chunk_hash").distinct().count())
+    chunks.unpersist(); fold.unpersist()
+  }
+
   test("s24 drift fold reaches d37's one-shot report exactly") {
     val s = spark
     import s.implicits._

@@ -321,9 +321,10 @@ object SparkEntry {
        |t AS (SELECT SUM(CASE WHEN in_base THEN 1 ELSE 0 END) AS t_a,
        |             COUNT(*) AS t_b FROM b)
        |SELECT dim, bucket,
-       |       CAST(n_a * 1000000 // t_a AS BIGINT) AS a_ppm,
-       |       CAST(n_b * 1000000 // t_b AS BIGINT) AS b_ppm,
-       |       CAST(ABS(n_a * 1000000 // t_a - n_b * 1000000 // t_b) AS BIGINT)
+       |       CAST(n_a * 1000000 // GREATEST(t_a, 1) AS BIGINT) AS a_ppm,
+       |       CAST(n_b * 1000000 // GREATEST(t_b, 1) AS BIGINT) AS b_ppm,
+       |       CAST(ABS(n_a * 1000000 // GREATEST(t_a, 1)
+       |              - n_b * 1000000 // GREATEST(t_b, 1)) AS BIGINT)
        |         AS abs_diff_ppm
        |FROM c CROSS JOIN t ORDER BY dim, bucket""".stripMargin
 
@@ -1341,8 +1342,9 @@ object SparkEntry {
         |FROM q ORDER BY user_id""".stripMargin,
     // m10: the engine classifies FROM the blob's magic bytes; the oracle
     // replays the fixture law (magic chosen by doc_id mod 3) and the
-    // payload digest over the ASCII text (m05's VARCHAR-md5 precedent);
-    // strlen = BYTES in DuckDB, matching length(blob) - 4
+    // payload digest over the UTF-8 bytes of text (the engine md5s the raw
+    // payload binary, which for UTF-8-encoded fixtures equals DuckDB's
+    // VARCHAR md5); strlen = BYTES in DuckDB, matching length(blob) - 4
     "m10_modality_route" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -2225,9 +2227,9 @@ object SparkEntry {
         |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
         |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |       CAST(n_a + n_b - inter AS BIGINT) AS n_union,
-        |       CAST(inter * 1000 // (n_a + n_b - inter) AS BIGINT) AS jaccard_permille,
-        |       CAST(inter * 1000 // n_a AS BIGINT) AS a_in_b_permille,
-        |       CAST(inter * 1000 // n_b AS BIGINT) AS b_in_a_permille
+        |       CAST(inter * 1000 // GREATEST(n_a + n_b - inter, 1) AS BIGINT) AS jaccard_permille,
+        |       CAST(inter * 1000 // GREATEST(n_a, 1) AS BIGINT) AS a_in_b_permille,
+        |       CAST(inter * 1000 // GREATEST(n_b, 1) AS BIGINT) AS b_in_a_permille
         |FROM px ORDER BY src_a, src_b""".stripMargin,
     // d35: d28's codebook + argmax-assignment CTEs verbatim, then the
     // cartography aggregate — all-integer outputs (BIGINT `//` truncates

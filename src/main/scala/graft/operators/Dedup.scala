@@ -171,7 +171,7 @@ object Dedup {
       .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
     val singleton = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(labels.agg(count(lit(1)).as("n_labeled")))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_labeled"))))
       .select(lit(1L).as("cluster_size"), ($"n_docs" - $"n_labeled").as("n_clusters"))
     singleton.unionByName(labeled)
       .groupBy($"cluster_size").agg(sum($"n_clusters").as("n_clusters"))
@@ -870,9 +870,12 @@ object Dedup {
       .na.fill(0L, Seq("inter"))
       .select($"src_a", $"src_b", $"inter", $"n_a", $"n_b",
         ($"n_a" + $"n_b" - $"inter").as("n_union"),
-        expr("inter * 1000 div (n_a + n_b - inter)").as("jaccard_permille"),
-        expr("inter * 1000 div n_a").as("a_in_b_permille"),
-        expr("inter * 1000 div n_b").as("b_in_a_permille"))
+        // greatest(.,1) guards the degenerate all-short-docs corpus: Spark's
+        // div NULLs on zero while DuckDB errors — the guard (mirrored in the
+        // oracle) makes both engines produce the same defined 0 instead
+        expr("inter * 1000 div greatest(n_a + n_b - inter, 1L)").as("jaccard_permille"),
+        expr("inter * 1000 div greatest(n_a, 1L)").as("a_in_b_permille"),
+        expr("inter * 1000 div greatest(n_b, 1L)").as("b_in_a_permille"))
       .orderBy($"src_a", $"src_b")
   }
 
@@ -934,8 +937,10 @@ object Dedup {
       .agg(sum($"n_a").as("t_a"), sum($"n_b").as("t_b"))
     counts.crossJoin(broadcast(totals))
       .select($"dim", $"bucket",
-        expr("n_a * 1000000L div t_a").as("a_ppm"),
-        expr("n_b * 1000000L div t_b").as("b_ppm"))
+        // greatest(.,1): an empty baseline snapshot (t_a = 0) must read as
+        // zero shares on both engines, not Spark-NULL vs DuckDB-error
+        expr("n_a * 1000000L div greatest(t_a, 1L)").as("a_ppm"),
+        expr("n_b * 1000000L div greatest(t_b, 1L)").as("b_ppm"))
       .withColumn("abs_diff_ppm",
         abs($"a_ppm" - $"b_ppm").cast("long"))
       .orderBy($"dim", $"bucket")

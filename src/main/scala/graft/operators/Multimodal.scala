@@ -124,7 +124,10 @@ object Multimodal {
           .when($"magic" === "VID0", "video")
           .otherwise("unknown").as("modality"),
         $"byte_len",
-        md5(expr("CAST(substring(blob, 5, 2147483647) AS STRING)")).as("payload_md5"))
+        // digest the payload BYTES — substring on binary stays binary and
+        // md5 takes BinaryType directly, so invalid-UTF-8 media payloads
+        // hash faithfully (a STRING cast would mangle them)
+        md5(expr("substring(blob, 5, 2147483647)")).as("payload_md5"))
       .orderBy($"doc_id")
   }
 

@@ -478,12 +478,23 @@ object PipelineOps {
     * prefix offsets over the |partitions|-row counts, per-partition window
     * rank. Returns the assigned frame and the batch's row count (what the
     * streaming fold carries as its single long of state).
+    *
+    * The fan-out is NOT a constant: it follows `spark.sql.shuffle.partitions`
+    * (32 here, thousands on a real cluster), so the enumeration's
+    * parallelism — and the size of the driver-side offset array — scales
+    * with the cluster, never with the data. Placement pinning uses
+    * `localCheckpoint` for this in-session verification shape; the durable
+    * production recipe is the same two phases over a PERSISTED
+    * range-partitioned table (write `repartitionByRange(...).sortWithinPartitions`
+    * parquet once, then count + rank over the stored layout), which survives
+    * executor loss and lets the offsets be recomputed from the table alone.
     */
   private[graft] def twoPhaseIndex(rows: DataFrame, offset: Long): (DataFrame, Long) = {
     val s = rows.sparkSession
     import s.implicits._
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val placed = rows
-      .repartitionByRange(32, $"source", $"doc_id")
+      .repartitionByRange(nParts, $"source", $"doc_id")
       .withColumn("pid", spark_partition_id().cast("long"))
       .localCheckpoint(true)
     val counts = placed.groupBy($"pid").count()

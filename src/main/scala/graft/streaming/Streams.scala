@@ -748,29 +748,53 @@ object Streams {
     * exactly where the previous batch stopped. Inside a batch the
     * assignment is p30's two-phase shape (range-partition, per-partition
     * counts, offsets, partition-parallel rank — NO single-reducer sort);
-    * ACROSS batches the only state is ONE long (the next offset), persisted
-    * like the s17/s20 sinks. A contiguous global sequence is inherently
-    * serial at the counter — this fold makes the serial part exactly one
-    * long per batch, never a row. Numbered rows append; re-numbering never
-    * happens, so an example's id is stable for the life of the corpus
-    * (what a training-manifest consumer requires).
+    * ACROSS batches the only state is two longs (the next offset and the
+    * last applied batch id), persisted like the s17/s20 sinks. A contiguous
+    * global sequence is inherently serial at the counter — this fold makes
+    * the serial part exactly two longs per batch, never a row. Numbered rows
+    * append per batch; re-numbering never happens, so an example's id is
+    * stable for the life of the corpus (what a training-manifest consumer
+    * requires), and indexApply's batch-id guard + per-batch-partition
+    * overwrite keep the fold exactly-once under replay.
     */
   def indexSink(docs: DataFrame,
                 statePath: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val offset =
-          if (graft.Fs.exists(s, statePath)) s.read.parquet(statePath).head().getLong(0)
-          else 0L
-        val (assigned, n) = graft.operators.PipelineOps.twoPhaseIndex(
-          batch.select(col("doc_id"), col("source")), offset)
-        assigned.write.mode("append").parquet(statePath + ".rows")
-        s.range(1).select(lit(offset + n).as("next_offset"))
-          .write.mode("overwrite").parquet(statePath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexApply(batch, batchId, statePath)
       }
       .start()
+
+  /** The indexSink fold body, exactly-once under foreachBatch's at-least-once
+    * delivery: state is (next_offset, last_batch), a re-delivered batch
+    * (batchId <= last_batch) is skipped outright, and the row write itself is
+    * idempotent — rows land partitioned by batch_id under dynamic partition
+    * overwrite, so a crash BETWEEN the row write and the offset commit
+    * leaves a partial batch partition that the retry simply overwrites with
+    * identical content (same offset in ⇒ same ids out). Rows committed by
+    * earlier batches are never touched, preserving the stable-id contract.
+    */
+  private[graft] def indexApply(batch: DataFrame, batchId: Long,
+                                statePath: String): Unit = {
+    val s = batch.sparkSession
+    val (offset, lastBatch) =
+      if (graft.Fs.exists(s, statePath)) {
+        val r = s.read.parquet(statePath).head()
+        (r.getLong(r.fieldIndex("next_offset")), r.getLong(r.fieldIndex("last_batch")))
+      } else (0L, -1L)
+    if (batchId > lastBatch) {
+      val (assigned, n) = graft.operators.PipelineOps.twoPhaseIndex(
+        batch.select(col("doc_id"), col("source")), offset)
+      assigned.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(statePath + ".rows")
+      s.range(1).select(lit(offset + n).as("next_offset"),
+                        lit(batchId).as("last_batch"))
+        .write.mode("overwrite").parquet(statePath)
+    }
+  }
 
   /** s22's oracled replay: the indexSink fold over 3 deterministic batches
     * (doc_id mod 3), offset carried between folds exactly as the sink

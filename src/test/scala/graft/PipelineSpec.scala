@@ -372,6 +372,29 @@ class PipelineSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("p30 fan-out follows the session conf, never a literal") {
+    import spark.implicits._
+    // the enumeration's range exchange must take its width from
+    // spark.sql.shuffle.partitions (4 in this suite, thousands on a real
+    // cluster) — the pid domain IS the configured width, not a constant 32
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = Tables.documents(spark, sfDir).select($"doc_id", $"source")
+    val (assigned, n) = graft.operators.PipelineOps.twoPhaseIndex(rows, 0L)
+    assert(n == rows.count())
+    val pids = rows.repartitionByRange(conf, $"source", $"doc_id")
+      .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+    assert(pids <= conf && pids > 1,
+      s"range fan-out must be bounded by the session conf ($conf), saw $pids")
+    // and under a different conf the same core widens with it
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val (assigned7, n7) = graft.operators.PipelineOps.twoPhaseIndex(rows, 0L)
+      assert(n7 == n)
+      assert(assigned7.select(max($"global_idx")).head().getLong(0) == n - 1)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("p10 partitioned sink writes one directory per space") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.documents(spark, sfDir).write.mode("overwrite")

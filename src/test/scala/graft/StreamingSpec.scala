@@ -222,8 +222,35 @@ class StreamingSpec extends SparkSpec {
         ("a", 2L), ("b", 1L),                     // batch 2
         ("a", 8L), ("b", 3L)),                    // batch 3
         s"canonical-within-batch order violated: ${rows.toSeq}")
-      val nextOff = s.read.parquet(statePath).head().getLong(0)
-      assert(nextOff == 7L, s"state must be the single next-offset long, got $nextOff")
+      val st = s.read.parquet(statePath).head()
+      assert(st.getLong(st.fieldIndex("next_offset")) == 7L,
+        s"state must carry next_offset=7, got $st")
+      // exactly-once under at-least-once delivery: re-applying the last
+      // batch (foreachBatch redelivery after a restart) must be a no-op —
+      // no double-appended rows, no moved offset
+      val lastBatch = st.getLong(st.fieldIndex("last_batch"))
+      val replay = Seq((8L, "a"), (3L, "b")).toDF("doc_id", "source")
+      graft.streaming.Streams.indexApply(replay, lastBatch, statePath)
+      assert(s.read.parquet(statePath + ".rows").count() == 7L,
+        "re-delivered batch must not double-append rows")
+      assert(s.read.parquet(statePath).head()
+        .getLong(st.fieldIndex("next_offset")) == 7L,
+        "re-delivered batch must not advance the offset")
+      // crash-repair: rows written but offset NOT committed → the retry of
+      // the SAME batch id overwrites only that batch's partition, ids equal
+      graft.streaming.Streams.indexApply(replay, lastBatch + 1, statePath)
+      val before = s.read.parquet(statePath + ".rows")
+        .filter($"batch_id" === lastBatch + 1)
+        .select($"global_idx", $"doc_id").as[(Long, Long)].collect().toSet
+      // rewind the state to simulate the offset commit being lost, re-apply
+      s.range(1).select(lit(7L).as("next_offset"), lit(lastBatch).as("last_batch"))
+        .write.mode("overwrite").parquet(statePath)
+      graft.streaming.Streams.indexApply(replay, lastBatch + 1, statePath)
+      val after = s.read.parquet(statePath + ".rows")
+        .filter($"batch_id" === lastBatch + 1)
+        .select($"global_idx", $"doc_id").as[(Long, Long)].collect().toSet
+      assert(after == before && after.map(_._1) == Set(7L, 8L),
+        s"retry after a lost offset commit must rewrite identical ids: $before vs $after")
     } finally q.stop()
   }
 

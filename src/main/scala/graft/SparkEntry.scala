@@ -1988,13 +1988,21 @@ object SparkEntry {
     // d02/d03/d10/d11 oracles replicate the full cross-engine kernel chain
     // (CrossHashSql): tokenize -> hash -> signature/fingerprint -> LSH bands
     // -> candidates. Same arithmetic, same band keys, same thresholds.
+    // d02's keyed form is the bounded successor-window view: rank within
+    // each band bucket by doc_id, pair each doc with its next-M members
+    // only (M = Dedup.NeighborWindow) — the oracle replays the identical
+    // deterministic selection via ROW_NUMBER + a rank-range join
     "d02_minhash_lsh" ->
       s"""WITH
          |${CrossHashSql.minhashCtes(3)},
+         |rk AS (SELECT band_id, band_key, doc_id, sig,
+         |         ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rk
+         |       FROM band),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |                a.sig AS sig_a, b.sig AS sig_b
-         |         FROM band a JOIN band b
-         |           ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |         FROM rk a JOIN rk b
+         |           ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |          AND b.rk BETWEEN a.rk + 1 AND a.rk + ${operators.Dedup.NeighborWindow})
          |SELECT DISTINCT doc_a, doc_b, ${CrossHashSql.estJaccard("sig_a", "sig_b")} AS est_jaccard
          |FROM cand
          |WHERE ${CrossHashSql.estJaccard("sig_a", "sig_b")} >= 0.3
@@ -2465,8 +2473,10 @@ object SparkEntry {
     // (byte offsets = char offsets, m05-verified), d03's band layout and
     // pigeonhole (verdict gate ≤ 2 is stricter than the ≤ 3 recall bound,
     // so banding loses no qualifying pair); all arithmetic in plain BIGINT
+    // the keyed form is the bounded successor-window view (d02's shape):
+    // ROW_NUMBER within each band bucket, pair with the next M ranks only
     "m09_phash_neardup" ->
-      """WITH p AS (SELECT doc_id, 'IMG0' || text AS pay FROM documents),
+      s"""WITH p AS (SELECT doc_id, 'IMG0' || text AS pay FROM documents),
         |c AS (SELECT doc_id,
         |        list_transform(list_filter(regexp_split_to_array(pay, ''), x -> x <> ''),
         |                       ch -> CAST(ord(ch) AS BIGINT)) AS bytes
@@ -2481,10 +2491,14 @@ object SparkEntry {
         |       FROM bg, UNNEST(range(0, 60)) r(j) GROUP BY doc_id),
         |band AS (SELECT doc_id, phash, b AS band_id, (phash >> (b*15)) & 32767 AS band_bits
         |         FROM ph, UNNEST(range(0, 4)) t2(b)),
+        |rk AS (SELECT doc_id, phash, band_id, band_bits,
+        |         ROW_NUMBER() OVER (PARTITION BY band_id, band_bits ORDER BY doc_id) AS rk
+        |       FROM band),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        |         FROM band a JOIN band b
-        |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)
+        |         FROM rk a JOIN rk b
+        |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+        |          AND b.rk BETWEEN a.rk + 1 AND a.rk + ${operators.Dedup.NeighborWindow})
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
     "m02_frame_sample" ->

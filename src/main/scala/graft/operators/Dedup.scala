@@ -75,16 +75,47 @@ object Dedup {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)") /
       org.apache.spark.sql.functions.lit(NumHashes.toDouble)
 
+  /** Per-band successor window for the BOUNDED pair views (d02/m09): inside
+    * a band bucket each doc pairs only with its next `NeighborWindow`
+    * members in doc_id order, so per-bucket pair generation is O(c·M), not
+    * O(c²) — the keyed contract stays linear in corpus size even where
+    * collision density saturates (identical docs piling into one bucket).
+    * Connectivity survives the cap: a bucket's mutually-similar members
+    * form a chain under adjacent pairing, so downstream clustering (d10's
+    * connected components) reaches the same clusters; only the redundant
+    * transitive pairs are dropped. Exhaustive pairs stay available behind
+    * `successorWindow = None` for bounded corpora.
+    */
+  val NeighborWindow = 8
+
   /** MinHash + LSH near-dup candidates: band-bucket join, then signature-
     * agreement Jaccard estimate. Shuffles on (band_id, band_hash) only.
+    * The keyed form is the bounded successor-window view (see
+    * [[NeighborWindow]]): rank within bucket, explode each doc's next-M
+    * rank slots, equi-join on (band, rank) — at most M candidate rows per
+    * (doc, band) ever exist, map-side bounded, no post-hoc limit.
     */
-  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3,
+                 successorWindow: Option[Int] = Some(NeighborWindow)): DataFrame = {
     import s.implicits._
     val banded = bandSignatures(signatures(s, dir))
-    val a = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
-    val b = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
-    a.join(b, Seq("band_id", "band_key"))
-      .filter($"doc_a" < $"doc_b")
+    val pairs = successorWindow match {
+      case Some(m) =>
+        val w = Window.partitionBy($"band_id", $"band_key").orderBy($"doc_id")
+        val ranked = banded.withColumn("rk", row_number().over(w))
+        // successors have strictly larger doc_id, so doc_a < doc_b holds
+        val a = ranked.select($"band_id", $"band_key",
+          $"doc_id".as("doc_a"), $"sig".as("sig_a"),
+          explode(expr(s"sequence(rk + 1, rk + $m)")).as("peer_rk"))
+        val b = ranked.select($"band_id", $"band_key", $"rk".as("peer_rk"),
+          $"doc_id".as("doc_b"), $"sig".as("sig_b"))
+        a.join(b, Seq("band_id", "band_key", "peer_rk"))
+      case None =>
+        val a = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
+        val b = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
+        a.join(b, Seq("band_id", "band_key")).filter($"doc_a" < $"doc_b")
+    }
+    pairs
       .select($"doc_a", $"doc_b", estJaccard("sig_a", "sig_b").as("est_jaccard"))
       .filter($"est_jaccard" >= threshold) // cut before the dedup shuffle
       .distinct()

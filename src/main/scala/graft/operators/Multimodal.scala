@@ -319,25 +319,46 @@ object Multimodal {
     * shifts every later stripe). A real decode+DCT drops into the same
     * [[phashOf]] codec seam without touching this plan. Candidates come
     * from the d03 band layout (4 × 15-bit bands — pigeonhole: hamming ≤ 3
-    * guarantees an equal band; the ≤ 2 verdict gate is stricter than the
-    * recall bound, so the pair set is exact) joined bucket-locally, then
-    * exact hamming gates the verdict. Blob bytes never shuffle: only
-    * (doc_id, 60-bit hash) pairs cross the exchange, so the banding join
-    * over a 100-TB image store moves a few GB of hashes. Like d02, the
-    * PAIR view saturates where profiles densify — the labeling/artifact
-    * path (d10/d20 shapes) is the production consumer at scale.
+    * guarantees an equal band) joined bucket-locally, then exact hamming
+    * gates the verdict. Blob bytes never shuffle: only (doc_id, 60-bit
+    * hash) pairs cross the exchange, so the banding join over a 100-TB
+    * image store moves a few GB of hashes. The keyed form is the BOUNDED
+    * successor-window view (like d02): each profile pairs with at most M
+    * successors per band, so where profiles densify (many re-encodes of
+    * one image in a bucket) candidate volume stays O(c·M) and chains keep
+    * the copies connected for the labeling path (d10/d20 shapes, the
+    * production consumer at scale); the exhaustive exact pair set sits
+    * behind `successorWindow = None` for bounded stores.
     */
-  def phashNeardup(s: SparkSession, dir: String, maxHamming: Int = 2): DataFrame = {
+  def phashNeardup(s: SparkSession, dir: String, maxHamming: Int = 2,
+                   successorWindow: Option[Int] = Some(Dedup.NeighborWindow)): DataFrame = {
     import s.implicits._
     val hashed = phashOf(withBlob(s, dir))
     val banded = hashed.select($"doc_id", $"phash",
         explode(expr("transform(sequence(0, 3), " +
           "b -> struct(b AS band_id, shiftright(phash, b*15) & 32767 AS band_bits))")).as("band"))
       .select($"doc_id", $"phash", $"band.band_id", $"band.band_bits")
-    val a = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_a"), $"phash".as("ph_a"))
-    val b = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_b"), $"phash".as("ph_b"))
-    a.join(b, Seq("band_id", "band_bits"))
-      .filter($"doc_a" < $"doc_b")
+    val pairs = successorWindow match {
+      case Some(m) =>
+        // bounded successor-window view (Dedup.NeighborWindow): rank within
+        // the band bucket, pair each profile with its next-M members only —
+        // O(c·M) candidate rows per bucket where profiles densify, vs the
+        // O(c²) exhaustive view kept behind successorWindow = None
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"band_id", $"band_bits").orderBy($"doc_id")
+        val ranked = banded.withColumn("rk", row_number().over(w))
+        val a = ranked.select($"band_id", $"band_bits",
+          $"doc_id".as("doc_a"), $"phash".as("ph_a"),
+          explode(expr(s"sequence(rk + 1, rk + $m)")).as("peer_rk"))
+        val b = ranked.select($"band_id", $"band_bits", $"rk".as("peer_rk"),
+          $"doc_id".as("doc_b"), $"phash".as("ph_b"))
+        a.join(b, Seq("band_id", "band_bits", "peer_rk"))
+      case None =>
+        val a = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_a"), $"phash".as("ph_a"))
+        val b = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_b"), $"phash".as("ph_b"))
+        a.join(b, Seq("band_id", "band_bits")).filter($"doc_a" < $"doc_b")
+    }
+    pairs
       .select($"doc_a", $"doc_b",
               bit_count($"ph_a".bitwiseXOR($"ph_b")).cast("long").as("hamming"))
       .distinct()

@@ -52,6 +52,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est((0L, 2L)) < 0.2, s"unrelated pair scored ${est((0L, 2L))}")
   }
 
+  test("d02/m09 keyed pair views are successor-bounded subsets of the exhaustive views") {
+    import spark.implicits._
+    val m = operators.Dedup.NeighborWindow
+    // subset: the bounded view never invents a pair
+    val bounded = SparkEntry.queries("d02_minhash_lsh")(spark, sfDir).cache()
+    val full = operators.Dedup.minhashLsh(spark, sfDir, successorWindow = None).cache()
+    assert(bounded.except(full).isEmpty, "bounded d02 must be a subset of exhaustive d02")
+    assert(bounded.count() > 0)
+    // bound: each doc links to at most M successors per band (8 bands)
+    val maxFan = bounded.groupBy($"doc_a").count().agg(max($"count")).head().getLong(0)
+    assert(maxFan <= 8L * m, s"per-doc fan-out $maxFan exceeds bands*M = ${8 * m}")
+    // connectivity: min-label closure over BOTH views reaches identical
+    // components (the cap drops only transitively-redundant pairs)
+    def components(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      var lbl = pairs.select($"doc_a".as("id")).union(pairs.select($"doc_b".as("id")))
+        .distinct().select($"id", $"id".as("lbl"))
+      val edges = pairs.select($"doc_a", $"doc_b")
+        .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      for (_ <- 1 to 6) {
+        val prop = edges.join(lbl, $"doc_a" === $"id")
+          .groupBy($"doc_b".as("id2")).agg(min($"lbl").as("nlbl"))
+        lbl = lbl.join(prop, $"id" === $"id2", "left")
+          .select($"id", least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cb = components(bounded)
+    val cf = components(full.select($"doc_a", $"doc_b"))
+    assert(cb == cf,
+      "successor-capped pairs must close to the same clusters as exhaustive pairs")
+    // m09 rides the same cap
+    val m09b = SparkEntry.queries("m09_phash_neardup")(spark, sfDir)
+    val m09f = operators.Multimodal.phashNeardup(spark, sfDir, successorWindow = None)
+    assert(m09b.except(m09f).isEmpty, "bounded m09 must be a subset of exhaustive m09")
+    val m09fan = m09b.groupBy($"doc_a").count().agg(max($"count")).head().getLong(0)
+    assert(m09fan <= 4L * m, s"m09 per-doc fan-out $m09fan exceeds bands*M = ${4 * m}")
+    bounded.unpersist(); full.unpersist()
+  }
+
   test("d03 simhash hamming is small for near-dups, large for unrelated") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -153,18 +153,51 @@ object Dedup {
     * and bucketed by (band_id, band_key); a NEW batch (doc_id % 3 == 0)
     * is banded and joined against the index buckets only. Cost is
     * O(|batch| + collisions) — the corpus is never re-signed, never
-    * self-joined, and in production the index side is a bucketed table so
-    * the join co-locates on the bucket key with zero index-side shuffle.
+    * self-joined: the index side IS a persisted bucketed table
+    * ([[signatureIndexTable]]) so the join co-locates on the bucket key
+    * with zero index-side shuffle.
     * Each new doc gets a verdict row: how many indexed docs it collides
     * with at >= threshold signature agreement, and the smallest matching
     * index id (the canonical survivor it would dedup against).
     */
+  /** The PERSISTED bucketed signature-index artifact d20 joins against:
+    * banded minhash signatures of the already-indexed corpus written once
+    * as a table bucketed (and sorted) on (band_id, band_key), bucket count
+    * from the session conf. Because the store's layout co-locates bucket
+    * keys, every incremental-dedup batch joins it with ZERO index-side
+    * exchange — only the batch moves (plan-asserted in BucketingSpec on
+    * this artifact, not a fixture). Memoized per (session, sfDir); the
+    * data lands under java.io.tmpdir here, a real warehouse path in
+    * production — the recipe (bucketBy + sortBy + saveAsTable) is
+    * identical. This replaces the previous in-plan filter: the index is
+    * signed once at build time, never re-derived per query — the actual
+    * ingest economics at 100 TB.
+    */
+  private val sigIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def signatureIndexTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = sigIndexCache.getOrElseUpdate((s, dir), {
+      val tbl = "graft_sig_index_" + java.lang.Integer.toHexString(dir.hashCode)
+      val nBuckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val loc = s"${sys.props("java.io.tmpdir")}/graft_state/$tbl"
+      bandSignatures(signatures(s, dir))
+        .filter($"doc_id" % 3 =!= 0)
+        .select($"band_id", $"band_key", $"doc_id".as("state_id"), $"sig".as("state_sig"))
+        .write.option("path", loc)
+        .bucketBy(nBuckets, "band_id", "band_key").sortBy("band_id", "band_key")
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    })
+    s.table(name)
+  }
+
   def incrementalDedup(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import s.implicits._
     val banded = bandSignatures(signatures(s, dir))
     val isNew = $"doc_id" % 3 === 0
-    val index = banded.filter(!isNew)
-      .select($"band_id", $"band_key", $"doc_id".as("state_id"), $"sig".as("state_sig"))
+    val index = signatureIndexTable(s, dir)
     val batch = banded.filter(isNew)
     val matches = batch.join(index, Seq("band_id", "band_key"))
       .filter(estJaccard("sig", "state_sig") >= threshold)

@@ -833,8 +833,10 @@ object Streams {
     * chunking itself stays scan-local ([[graft.operators.TextOps
     * .chunkRows]]); only batch-distinct digests reach the join, so each
     * fold moves O(batch + store-overlap) rows — d20's incremental-index
-    * shape at sub-document granularity. State materializes between folds
-    * (localCheckpoint = the parquet round-trip foreachBatch would do).
+    * shape at sub-document granularity. State persists between folds as a
+    * versioned BUCKETED table on chunk_hash ([[persistChunkState]]), so
+    * the next fold's merge reads the store pre-partitioned on the join
+    * key — the durable lake-state artifact, not an in-memory checkpoint.
     */
   val ChunkReplayBatches = 3
   def chunkStoreMerge(state: Option[DataFrame], batchChunks: DataFrame): DataFrame = {
@@ -854,6 +856,29 @@ object Streams {
     }
   }
 
+  /** Persist one fold's chunk-store state as a bucketed table (bucketed +
+    * sorted on chunk_hash, bucket count from the session conf) and hand
+    * back the table read. Each fold writes a NEW versioned table — the
+    * lake-state pattern: the store being merged FROM is never the one
+    * being written, and the bucketed layout means the next fold's
+    * full-outer digest join finds the state side already partitioned on
+    * chunk_hash — zero state-side exchange, only the incoming batch's
+    * aggregate moves (plan-asserted in StreamingSpec on this artifact).
+    */
+  private[graft] def chunkStateTableName(dir: String, version: Int): String =
+    s"graft_chunk_store_${java.lang.Integer.toHexString(dir.hashCode)}_v$version"
+
+  private[graft] def persistChunkState(state: DataFrame, dir: String,
+                                       version: Int): DataFrame = {
+    val s = state.sparkSession
+    val tbl = chunkStateTableName(dir, version)
+    val nBuckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+    state.write.option("path", s"${sys.props("java.io.tmpdir")}/graft_state/$tbl")
+      .bucketBy(nBuckets, "chunk_hash").sortBy("chunk_hash")
+      .mode("overwrite").saveAsTable(tbl)
+    s.table(tbl)
+  }
+
   def chunkIngestBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val chunks = graft.operators.TextOps
@@ -862,7 +887,7 @@ object Streams {
     var state: Option[DataFrame] = None
     for (b <- 0 until ChunkReplayBatches) {
       val batch = chunks.filter($"batch" === b.toLong)
-      state = Some(chunkStoreMerge(state, batch).localCheckpoint(true))
+      state = Some(persistChunkState(chunkStoreMerge(state, batch), dir, b))
     }
     state.get
       .select($"chunk_hash", $"n_copies",

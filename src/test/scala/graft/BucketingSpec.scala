@@ -36,41 +36,40 @@ class BucketingSpec extends SparkSpec {
     s.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
-  test("d20 production posture: a bucketed signature index joins with no index-side shuffle") {
+  test("d20 production posture: the persisted signature index joins with no index-side shuffle") {
     import spark.implicits._
     val s = spark
-    val banded = operators.Dedup.bandSignatures(
-      operators.Dedup.signaturesOf(Tables.documents(s, sfDir)))
-    s.sql("DROP TABLE IF EXISTS sig_index")
-    banded.filter($"doc_id" % 3 =!= 0)
-      .write.bucketBy(8, "band_id", "band_key").sortBy("band_id", "band_key")
-      .mode("overwrite").saveAsTable("sig_index")
     val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force the sort-merge path so the exchange structure is visible
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val batch = banded.filter($"doc_id" % 3 === 0)
-      val joined = batch.join(
-        s.table("sig_index")
-          .select($"band_id", $"band_key", $"doc_id".as("state_id")),
-        Seq("band_id", "band_key"))
+      // the REAL artifact d20 consumes, not a fixture copy
+      val index = operators.Dedup.signatureIndexTable(s, sfDir)
+      val banded = operators.Dedup.bandSignatures(
+        operators.Dedup.signaturesOf(Tables.documents(s, sfDir)))
+      val joined = banded.filter($"doc_id" % 3 === 0)
+        .join(index, Seq("band_id", "band_key"))
       joined.collect()
-      // exactly one hash exchange: the BATCH side aligning to the index's
-      // bucketing; the persisted index itself must never move (walk into
-      // AQE query stages — their children lists are empty)
-      def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
-        p.collect {
-          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => Seq(e)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => exchanges(q.plan)
-        }.flatten
-      val found = exchanges(physical(joined))
+      val found = deepExchanges(physical(joined))
       assert(found.length == 1,
         s"expected only the batch-side exchange, got ${found.length}:\n${physical(joined)}")
       assert(physical(joined).toString.contains("SortMergeJoin"))
+      // and on the full KEYED d20 plan: the index scan appears, and no
+      // shuffle exchange moves INDEX rows alone — exchanges above the join
+      // carry joined (batch-derived) rows and are fine; an exchange whose
+      // whole subtree is the index side would mean the state re-shuffled
+      val keyed = SparkEntry.queries("d20_incremental_dedup")(s, sfDir)
+      keyed.collect()
+      val phys = physical(keyed)
+      assert(scansTable(phys, "graft_sig_index"),
+        s"keyed d20 must scan the persisted index:\n$phys")
+      val offenders = deepExchanges(phys).filter(e =>
+        scansTable(e.child, "graft_sig_index") &&
+          !scansTable(e.child, "documents.parquet"))
+      assert(offenders.isEmpty,
+        s"an exchange moved index rows alone — the state must never re-shuffle:\n$offenders")
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      s.sql("DROP TABLE IF EXISTS sig_index")
     }
   }
 

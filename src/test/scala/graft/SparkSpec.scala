@@ -21,6 +21,24 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+
+  /** All shuffle exchanges, recursing into AQE query stages (whose children
+    * lists are empty). */
+  def deepExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+    p.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => Seq(e)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepExchanges(q.plan)
+    }.flatten
+
+  /** Whether any leaf scan under p (recursing into query stages) reads a
+    * table/path whose description contains `marker`. */
+  def scansTable(p: org.apache.spark.sql.execution.SparkPlan, marker: String): Boolean =
+    p.collectLeaves().exists(_.toString.contains(marker)) ||
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansTable(q.plan, marker)
+      }.exists(identity)
 }
 
 object SparkSpec {

@@ -284,6 +284,36 @@ class StreamingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s23 state is a persisted bucketed table the merge never re-shuffles") {
+    val s = spark
+    import s.implicits._
+    // the keyed fold above materialized the versioned store tables; replay
+    // the LAST fold against the real v1 artifact with SMJ forced so the
+    // exchange structure is visible
+    SparkEntry.queries("s23_chunk_ingest")(s, sfDir).collect()
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val state = s.table(Streams.chunkStateTableName(sfDir, 1))
+      val batch2 = graft.operators.TextOps
+        .chunkRows(Tables.documents(s, sfDir))
+        .withColumn("batch", pmod($"doc_id", lit(Streams.ChunkReplayBatches.toLong)))
+        .filter($"batch" === 2L)
+      val merged = Streams.chunkStoreMerge(Some(state), batch2)
+      merged.collect()
+      val phys = physical(merged)
+      assert(scansTable(phys, "graft_chunk_store"),
+        s"the fold must scan the persisted store:\n$phys")
+      val offenders = deepExchanges(phys)
+        .filter(e => scansTable(e.child, "graft_chunk_store"))
+      assert(offenders.isEmpty,
+        s"the persisted chunk store must never sit under a shuffle exchange:\n$offenders")
+      // only the incoming batch's aggregate moves
+      assert(deepExchanges(phys).length == 1,
+        s"expected exactly the batch-side exchange:\n$phys")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("s25 erasure fold equals the survivor rebuild; orphaned digests vanish") {
     val s = spark
     import s.implicits._

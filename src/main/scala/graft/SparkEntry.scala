@@ -126,7 +126,7 @@ object SparkEntry {
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
     "p30_global_index"      -> (PipelineOps.globalIndex _),
     "p31_point_in_time"     -> (PipelineOps.pointInTime _),
-    "p32_pagerank"          -> (PipelineOps.pageRank _),
+    "p32_pagerank"          -> ((s, d) => PipelineOps.pageRank(s, d)),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),

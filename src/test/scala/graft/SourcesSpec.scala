@@ -233,6 +233,55 @@ class SourcesSpec extends SparkSpec {
       s"1-D layout should span the full off-axis domain: ${oneD.toSeq}")
   }
 
+  test("q44 z-bucket layout: numFiles prunes on BOTH dimensions, results exact") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // unit law: the quarter-domain corner square is exactly bucket 0
+    assert(graft.plans.ZOrder.bucketsFor(0, 63, 0, 63, 8, 4) == Seq(0L))
+    // full-domain predicate keeps every bucket
+    assert(graft.plans.ZOrder.bucketsFor(0, 255, 0, 255, 8, 4).length == 16)
+
+    // uniform 256x256 grid laid out one directory per 4-bit z prefix —
+    // the file-level clustering a z-ordered table write produces
+    val grid = spark.range(256L * 256L)
+      .select(pmod($"id", lit(256L)).as("x"), ($"id" / 256L).cast("long").as("y"))
+      .withColumn("zval", graft.functions.GraftFunctions.interleaveBits($"x", $"y"))
+      .withColumn("zbucket", ($"zval" / 4096L).cast("long"))
+    val out = java.nio.file.Files.createTempDirectory("graft_zb").toString + "/t"
+    grid.repartition(col("zbucket"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    val table = spark.read.parquet(out)
+
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val total = numFiles(table.select($"x"))
+
+    // an axis predicate on EITHER dimension becomes a z-bucket set via the
+    // range decomposition; listing-time partition pruning drops numFiles
+    // before any footer is opened — and the pruned read misses nothing
+    def prunedRead(xLo: Long, xHi: Long, yLo: Long, yHi: Long) = {
+      val buckets = graft.plans.ZOrder.bucketsFor(xLo, xHi, yLo, yHi, 8, 4)
+      val pruned = table.filter($"zbucket".isin(buckets: _*) &&
+        $"x".between(xLo, xHi) && $"y".between(yLo, yHi))
+      val full = table.filter($"x".between(xLo, xHi) && $"y".between(yLo, yHi))
+      (numFiles(pruned), full.count(), pruned.count())
+    }
+    val (fx, nxFull, nx) = prunedRead(40, 55, 0, 255)   // x-only predicate
+    assert(nx == nxFull && nx == 16L * 256,
+      s"x-pruned read must be exact: $nx vs $nxFull")
+    assert(fx * 2 <= total, s"x predicate must prune files: $fx of $total")
+    val (fy, nyFull, ny) = prunedRead(0, 255, 200, 215) // y-only predicate
+    assert(ny == nyFull && ny == 16L * 256,
+      s"y-pruned read must be exact: $ny vs $nyFull")
+    assert(fy * 2 <= total, s"y predicate must prune files: $fy of $total")
+    val (fr, nrFull, nr) = prunedRead(40, 55, 200, 215) // rectangle
+    assert(nr == nrFull && nr == 16L * 16)
+    assert(fr * 8 <= total, s"rectangle must prune to ~1 bucket: $fr of $total")
+  }
+
   test("global sort: sampled range partitioning splits a skewed key across partitions") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

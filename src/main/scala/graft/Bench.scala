@@ -66,7 +66,9 @@ object Bench {
           "p14_corpus_pipeline", "p19_training_mix", "s01_window_agg",
           // round-5 additions (appended so prior keys stay comparable):
           // the histogram-calibration family + its fusion consumer
-          "d24_histogram_quality_gate", "d25_token_budget_mix", "p27_curated_packing")
+          "d24_histogram_quality_gate", "d25_token_budget_mix", "p27_curated_packing",
+          // round-8: fold the late round-7 keys into the standing scale gate
+          "t29_chunk_boilerplate", "s25_erasure_fold")
         val sf1Results = timeRoundRobin(spark, sf1Dir, headline, reps = 3)
         s""","sf1_headline":${toJsonObj(sf1Results)},"sf1_dir":"$sf1Dir""""
       }

@@ -171,6 +171,7 @@ object SparkEntry {
     "d35_corpus_map"      -> (Similarity.corpusMap _),
     "d36_corpus_overlap"  -> (Dedup.corpusOverlap _),
     "d37_drift_monitor"   -> (Dedup.driftMonitor _),
+    "d38_sketch_overlap"  -> (Dedup.sketchOverlap _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -2238,6 +2239,31 @@ object SparkEntry {
         |       CAST(inter * 1000 // GREATEST(n_a + n_b - inter, 1) AS BIGINT) AS jaccard_permille,
         |       CAST(inter * 1000 // GREATEST(n_a, 1) AS BIGINT) AS a_in_b_permille,
         |       CAST(inter * 1000 // GREATEST(n_b, 1) AS BIGINT) AS b_in_a_permille
+        |FROM px ORDER BY src_a, src_b""".stripMargin,
+    // d38: d36's exact CTEs anchor the rows; the HLL estimates are
+    // engine-specific, so the oracle asserts the CLAIM booleans (q24/d13
+    // referee pattern) — a sketch drifting past its error bound flips a
+    // FALSE into the hash and fails the compare
+    "d38_sketch_overlap" ->
+      """WITH w AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |           FROM documents),
+        |g AS (SELECT source, CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_transform(range(1, len(toks) - 1),
+        |               gi -> toks[gi] || ' ' || toks[gi+1] || ' ' || toks[gi+2]) END AS grams
+        |      FROM w),
+        |ss AS (SELECT DISTINCT source, unnest(grams) AS shingle FROM g),
+        |tot AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |      FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+        |      GROUP BY 1, 2),
+        |px AS (SELECT ta.source AS src_a, tb.source AS src_b,
+        |              COALESCE(i.inter, 0) AS inter, ta.n AS n_a, tb.n AS n_b
+        |       FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |       LEFT JOIN i ON i.src_a = ta.source AND i.src_b = tb.source)
+        |SELECT src_a, src_b,
+        |       CAST(inter * 1000 // GREATEST(n_a + n_b - inter, 1) AS BIGINT) AS jaccard_permille,
+        |       TRUE AS a_est_ok, TRUE AS b_est_ok,
+        |       TRUE AS union_est_ok, TRUE AS jaccard_est_ok
         |FROM px ORDER BY src_a, src_b""".stripMargin,
     // d35: d28's codebook + argmax-assignment CTEs verbatim, then the
     // cartography aggregate — all-integer outputs (BIGINT `//` truncates

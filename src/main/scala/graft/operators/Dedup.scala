@@ -943,6 +943,52 @@ object Dedup {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** d38: SKETCH-based corpus overlap — the 100-TB path next to d36's
+    * exact matrix. Per-source HLL sketches of the shingle sets (Spark 4's
+    * Datasketches `hll_sketch_agg` — mergeable, a few KB each, built
+    * map-side in ONE corpus scan so only |sources| sketch rows ever cross
+    * an exchange), then the pairwise matrix is |sources|² sketch unions on
+    * a driver-sized frame: est(A), est(B), est(A∪B) by `hll_union`, the
+    * intersection and Jaccard by inclusion–exclusion. Where d36 moves
+    * every distinct shingle through a shuffle once, the sketch path moves
+    * kilobytes per source — at 100 TB the difference between a
+    * corpus-sized exchange and a broadcast. HLL estimates are
+    * engine-specific, so the key follows d13's referee pattern: d36's
+    * exact integers ride along as anchors and the HASH-CHECKED claim is
+    * the error bounds — per-source and union estimates within 5%
+    * relative, Jaccard estimate within 0.05 absolute (lgK=12 standard
+    * error ≈ 1.6%, independent of set size, so the bounds are SF-stable).
+    * Production emits the estimate columns alone; the exact side here is
+    * the verification referee, never the production cost.
+    */
+  val SketchLgK = 12
+  def sketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val sk = Tables.documents(s, dir)
+      .select($"source",
+        explode(shingleStrings(split(lower(trim($"text")), "\\s+"), lit(3))).as("shingle"))
+      .groupBy($"source").agg(hll_sketch_agg($"shingle", lit(SketchLgK)).as("sk"))
+    val ta = sk.select($"source".as("src_a"), $"sk".as("sk_a"))
+    val tb = sk.select($"source".as("src_b"), $"sk".as("sk_b"))
+    val exact = corpusOverlap(s, dir)
+      .select($"src_a", $"src_b", $"inter", $"n_a", $"n_b", $"n_union", $"jaccard_permille")
+    ta.join(tb, $"src_a" < $"src_b")
+      .join(exact, Seq("src_a", "src_b"))
+      .select($"src_a", $"src_b", $"jaccard_permille",
+        hll_sketch_estimate($"sk_a").cast("double").as("est_a"),
+        hll_sketch_estimate($"sk_b").cast("double").as("est_b"),
+        hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).cast("double").as("est_union"),
+        $"inter", $"n_a", $"n_b", $"n_union")
+      .select($"src_a", $"src_b", $"jaccard_permille",
+        (abs($"est_a" - $"n_a") <= $"n_a" * 0.05).as("a_est_ok"),
+        (abs($"est_b" - $"n_b") <= $"n_b" * 0.05).as("b_est_ok"),
+        (abs($"est_union" - $"n_union") <= $"n_union" * 0.05).as("union_est_ok"),
+        (abs(greatest($"est_a" + $"est_b" - $"est_union", lit(0.0)) / $"est_union" -
+             $"inter".cast("double") / $"n_union") <= lit(0.05)).as("jaccard_est_ok"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   /** d37: corpus drift monitor — the retraining trigger a continuously
     * ingested 100-TB corpus needs: between a baseline snapshot (fixture
     * law doc_id % 3 ≠ 0 — the "previous release") and the current corpus,

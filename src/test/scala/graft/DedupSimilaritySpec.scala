@@ -52,6 +52,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est((0L, 2L)) < 0.2, s"unrelated pair scored ${est((0L, 2L))}")
   }
 
+  test("d38 sketch overlap: bounds hold on every pair, matrix complete, sketches tiny") {
+    import spark.implicits._
+    val df = SparkEntry.queries("d38_sketch_overlap")(spark, sfDir).cache()
+    val nSources = Tables.documents(spark, sfDir).select($"source").distinct().count()
+    // complete upper triangle, one row per unordered source pair
+    assert(df.count() == nSources * (nSources - 1) / 2)
+    // every claim boolean must hold — the oracle hashes them as TRUE
+    assert(df.filter(!$"a_est_ok" || !$"b_est_ok" ||
+                     !$"union_est_ok" || !$"jaccard_est_ok").isEmpty,
+      "an HLL estimate drifted past its error bound")
+    // exact anchors agree with d36's matrix
+    val d36 = SparkEntry.queries("d36_corpus_overlap")(spark, sfDir)
+      .select($"src_a", $"src_b", $"jaccard_permille".as("jp36"))
+    assert(df.join(d36, Seq("src_a", "src_b"))
+      .filter($"jaccard_permille" =!= $"jp36").isEmpty)
+    // the scale claim: a per-source sketch is kilobytes, not corpus-sized
+    val maxSketch = Tables.documents(spark, sfDir)
+      .select($"source", explode(graft.functions.GraftFunctions.shingleStrings(
+        split(lower(trim($"text")), "\\s+"), lit(3))).as("shingle"))
+      .groupBy($"source")
+      .agg(hll_sketch_agg($"shingle", lit(operators.Dedup.SketchLgK)).as("sk"))
+      .select(max(length($"sk"))).head().getInt(0)
+    assert(maxSketch < 16 * 1024, s"sketch must stay KB-sized, got $maxSketch bytes")
+    df.unpersist()
+  }
+
   test("d02/m09 keyed pair views are successor-bounded subsets of the exhaustive views") {
     import spark.implicits._
     val m = operators.Dedup.NeighborWindow

@@ -121,6 +121,7 @@ object SparkEntry {
     "t27_rule_gate"         -> (TextOps.ruleGate _),
     "t28_cdc_chunks"        -> (TextOps.cdcChunks _),
     "t29_chunk_boilerplate" -> (TextOps.chunkBoilerplate _),
+    "t30_surprisal"         -> (TextOps.surprisalScore _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "s23_chunk_ingest" -> (graft.streaming.Streams.chunkIngestBatch _),
     "s24_drift_fold"   -> (graft.streaming.Streams.driftFoldBatch _),
     "s25_erasure_fold" -> (graft.streaming.Streams.erasureFoldBatch _),
+    "s26_census_fold"  -> (graft.streaming.Streams.censusFoldBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -421,6 +423,22 @@ object SparkEntry {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  private val SurprisalOracle: String =
+    """WITH tk AS (SELECT doc_id,
+      |              unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |            FROM documents),
+      |tk2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+      |c AS (SELECT term, COUNT(*) AS cnt FROM tk2 GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_toks FROM c)
+      |SELECT doc_id, COUNT(*) AS n_toks,
+      |       CAST(SUM(length(printf('%b', total_toks)) -
+      |                length(printf('%b', cnt))) AS BIGINT) AS sum_surprisal_bits,
+      |       CAST(SUM(length(printf('%b', total_toks)) -
+      |                length(printf('%b', cnt))) * 1000
+      |            // COUNT(*) AS BIGINT) AS mean_surprisal_millibits
+      |FROM tk2 JOIN c USING (term) CROSS JOIN t
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t23_bpe_pairs" -> BpeOracle,
     "t26_bpe_encode" -> BpeEncodeOracle,
@@ -497,6 +515,13 @@ object SparkEntry {
          |         ' '), '') AS clean_text
          |FROM w LEFT JOIN spl sl USING (doc_id)
          |ORDER BY w.doc_id""".stripMargin,
+    // t30 + s26: whole-bit surprisal — bits(x) = length of x's binary
+    // rendering on both engines (no floating log in the hash); BIGINT div
+    // truncates like Spark's div (operands positive). s26's 3-batch
+    // additive census fold must reach t30's one-shot scores bit-for-bit
+    // (associativity), so the two keys SHARE the oracle text
+    "t30_surprisal" -> SurprisalOracle,
+    "s26_census_fold" -> SurprisalOracle,
     // s23: the oracle rebuilds the chunk store GLOBALLY in one shot from
     // the shared CDC CTEs — hash-equality against Spark's 3-batch
     // incremental fold proves the merge is associative (fold ≡ rebuild,

@@ -988,4 +988,60 @@ object TextOps {
           " ").as("clean_text"))
       .orderBy($"doc_id")
   }
+
+  /** t30: unigram-LM surprisal scoring — the perplexity-filter family
+    * member t06's rule scores and t18's character entropy don't cover:
+    * score each document by how SURPRISING its tokens are under the
+    * corpus's own unigram language model (the standard "perplexity
+    * filtering" signal in LLM corpus curation, with the corpus itself as
+    * the reference model). The whole computation is EXACT integers: token
+    * surprisal = bits(total_tokens) − bits(count(token)) where
+    * bits(x) = ⌊log2 x⌋ + 1 = length of x's binary rendering — whole-bit
+    * surprisal, the integer-safe stand-in for −log2 p that both engines
+    * compute identically (Spark `length(bin(x))`, DuckDB
+    * `length(printf('%b', x))`), so no floating log ever enters the hash.
+    * High mean surprisal = rare-token text (jargon, noise, other-language
+    * fragments); low = stopword-heavy boilerplate. Plan shape: one token
+    * census (groupBy token — the t15 vocabulary exchange), one broadcast
+    * 1-row total, one co-partitioned token join back, one per-doc agg;
+    * at 100 TB the census is the standard vocabulary aggregate and the
+    * join co-locates on the token key — no all-pairs, no corpus sort.
+    */
+  def surprisalScore(s: SparkSession, dir: String): DataFrame =
+    surprisalOf(Tables.documents(s, dir))
+
+  private[graft] def surprisalOf(docs: DataFrame): DataFrame = {
+    val toks = surprisalToks(docs)
+    val census = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    surprisalReadout(toks, census)
+  }
+
+  /** The (doc_id, term) explode shared by t30 and s26's census fold. */
+  private[graft] def surprisalToks(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+  }
+
+  /** Score every doc against a finished census — shared by t30 (one-shot
+    * census) and s26 (census folded at ingest): surprisal depends on
+    * GLOBAL counts, so scoring always runs at read-out over the same
+    * finished model regardless of how the census was assembled.
+    */
+  private[graft] def surprisalReadout(toks: DataFrame, census: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val total = census.agg(sum($"cnt").as("total_toks"))
+    toks.join(census, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select($"doc_id",
+        (length(bin($"total_toks")) - length(bin($"cnt"))).cast("long").as("surp_bits"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+           sum($"surp_bits").as("sum_surprisal_bits"))
+      .select($"doc_id", $"n_toks", $"sum_surprisal_bits",
+        expr("sum_surprisal_bits * 1000 div n_toks").as("mean_surprisal_millibits"))
+      .orderBy($"doc_id")
+  }
 }

@@ -960,4 +960,36 @@ object Streams {
     }
     graft.operators.Dedup.driftReadout(state.get)
   }
+
+  /** s26: t30's unigram census maintained at INGEST — the language-model
+    * reference a perplexity-style quality gate scores against is itself
+    * corpus state, and token counts are ADDITIVE, so the census folds
+    * batch by batch exactly like s24's composition counts (full-outer add
+    * per term — commutative/associative ⇒ any batch partitioning reaches
+    * the one-shot census bit-for-bit). Scoring happens at READ-OUT against
+    * the final census (the q45 derived-at-read rule: surprisal depends on
+    * GLOBAL counts, so folding scores would bake in arrival order — the
+    * read-out scores every doc against the same finished model, which is
+    * what t30 computes in one shot and what the SHARED oracle hashes).
+    * State size is |vocabulary| counts; per fold only batch-distinct terms
+    * cross the join — d20's incremental-index shape on the token key.
+    */
+  val CensusReplayBatches = 3
+  def censusFoldBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.operators.TextOps.surprisalToks(Tables.documents(s, dir))
+    var census: Option[DataFrame] = None
+    for (b <- 0 until CensusReplayBatches) {
+      val inc = toks.filter(pmod($"doc_id", lit(CensusReplayBatches.toLong)) === b)
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      census = Some((census match {
+        case None => inc
+        case Some(st) =>
+          st.as("s").join(inc.as("i"), Seq("term"), "full_outer")
+            .select($"term",
+              (coalesce($"s.cnt", lit(0L)) + coalesce($"i.cnt", lit(0L))).as("cnt"))
+      }).localCheckpoint(true))
+    }
+    graft.operators.TextOps.surprisalReadout(toks, census.get)
+  }
 }

@@ -284,6 +284,14 @@ class StreamingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s26 census fold: 3-batch additive census scores identically to t30") {
+    val s = spark
+    val fold = SparkEntry.queries("s26_census_fold")(s, sfDir)
+    val oneShot = SparkEntry.queries("t30_surprisal")(s, sfDir)
+    assert(fold.except(oneShot).isEmpty && oneShot.except(fold).isEmpty,
+      "ingest-folded census must reach the one-shot model bit-for-bit")
+  }
+
   test("s23 state is a persisted bucketed table the merge never re-shuffles") {
     val s = spark
     import s.implicits._

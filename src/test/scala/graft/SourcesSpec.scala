@@ -233,6 +233,56 @@ class SourcesSpec extends SparkSpec {
       s"1-D layout should span the full off-axis domain: ${oneD.toSeq}")
   }
 
+  test("compaction: fragmented partitions merge shuffle-free to target-sized files") {
+    import spark.implicits._
+    val s = spark
+    // fragment the docs table: 12 files per source directory
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/t"
+    Tables.documents(s, sfDir).repartition(12)
+      .write.mode("overwrite").partitionBy("source").parquet(frag)
+    // listing (driver-sized): one row per data file
+    val files = new java.io.File(frag).listFiles.filter(_.getName.startsWith("source="))
+      .flatMap { d =>
+        d.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => (d.getName.stripPrefix("source="), f.getPath, f.length()))
+      }.toSeq
+    assert(files.size > 50, s"fixture must be fragmented, got ${files.size} files")
+    val target = files.map(_._3).sum / files.map(_._1).distinct.size / 3 // ~3 jobs/partition
+    val planned = graft.plans.Compaction.plan(
+      files.toDF("part", "file", "bytes"), target).cache()
+    // plan laws: every file in exactly one job; greedy prefix-sum packing
+    // bounds every job within one file of the target (overshoot from a
+    // file straddling a boundary shifts at most maxFile into a neighbor)
+    assert(planned.count() == files.size)
+    val maxFile = files.map(_._3).max
+    val jobSizes = planned.groupBy($"part", $"job").agg(sum($"bytes").as("jb"))
+      .withColumn("last_job", max($"job").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"part")))
+      .collect()
+    jobSizes.foreach(r => assert(r.getLong(2) <= target + maxFile,
+      s"job overshoots target by more than one file: $r"))
+    jobSizes.filter(r => r.getLong(1) < r.getLong(3)).foreach(r =>
+      assert(r.getLong(2) >= target - maxFile,
+        s"non-final job more than one file under target: $r"))
+    // execute: zero-shuffle merges; content identical, file count = job count
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    graft.plans.Compaction.execute(s, planned, out)
+    val before = s.read.parquet(frag)
+    val after = s.read.parquet(out).withColumnRenamed("part", "source")
+      .select(before.columns.map(col): _*)
+    assert(after.count() == before.count())
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "compaction must preserve content exactly")
+    val outFiles = new java.io.File(out).listFiles.filter(_.getName.startsWith("part="))
+      .flatMap(_.listFiles.filter(_.getName.endsWith(".parquet")))
+    val nJobs = planned.select($"part", $"job").distinct().count()
+    assert(outFiles.length == nJobs,
+      s"one output file per job: ${outFiles.length} vs $nJobs")
+    assert(outFiles.length * 3 <= files.size,
+      s"compaction must shrink the file count: ${files.size} -> ${outFiles.length}")
+    planned.unpersist()
+  }
+
   test("q44 z-bucket layout: numFiles prunes on BOTH dimensions, results exact") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -99,8 +99,15 @@ object Verify {
   /** SURVEY §2 inventory rows: key -> check column. */
   private[graft] def surveyRows(surveyText: String): Map[String, String] = {
     val sec2 = surveyText.split("\n## ").find(_.startsWith("§2")).getOrElse("")
-    val row = """(?m)^\|\s*([qptdms]\d{2}_\w+)\s*\|[^|]*\|([^|]*)\|""".r
-    row.findAllMatchIn(sec2).map(m => m.group(1) -> m.group(2)).toMap
+    val key = """^\|\s*([qptdms]\d{2}_\w+)\s*\|""".r
+    sec2.linesIterator.flatMap { line =>
+      key.findFirstMatchIn(line).map { m =>
+        // markdown escapes literal pipes as \| inside cells — mask them so the
+        // cell split sees only real column boundaries (check column is LAST)
+        val cells = line.replace("\\|", "").stripSuffix("|").split('|')
+        m.group(1) -> cells.last.replace("", "\\|")
+      }
+    }.toMap
   }
 
   /** The staleness gate, pure so the spec can prove each trigger: every

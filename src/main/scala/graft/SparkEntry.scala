@@ -122,6 +122,8 @@ object SparkEntry {
     "t28_cdc_chunks"        -> (TextOps.cdcChunks _),
     "t29_chunk_boilerplate" -> (TextOps.chunkBoilerplate _),
     "t30_surprisal"         -> (TextOps.surprisalScore _),
+    "t31_html_sections"     -> (TextOps.htmlSections _),
+    "t32_markdown_export"   -> (TextOps.markdownExport _),
     "p22_state_history"     -> (PipelineOps.stateHistory _),
     "p24_asof_forward"      -> (AsOf.asofJoinForward _),
     "p29_asof_nearest"      -> (AsOf.asofJoinNearest _),
@@ -204,6 +206,7 @@ object SparkEntry {
     "s24_drift_fold"   -> (graft.streaming.Streams.driftFoldBatch _),
     "s25_erasure_fold" -> (graft.streaming.Streams.erasureFoldBatch _),
     "s26_census_fold"  -> (graft.streaming.Streams.censusFoldBatch _),
+    "s27_watermark_audit" -> (graft.streaming.Streams.watermarkAudit _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -439,7 +442,71 @@ object SparkEntry {
       |FROM tk2 JOIN c USING (term) CROSS JOIN t
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared t31/t32 markup CTE: DuckDB mirror of TextOps.SectionedMarkup
+    * (h1 = source, intro quarter with <b>/<a> spans, two h2 sections —
+    * three for even doc_ids — headed by the doc's leading words). Ends at
+    * the `m` CTE without a trailing comma.
+    */
+  private val SectionedMarkupCtes: String =
+    """d AS (SELECT doc_id, text, source, length(text) AS L, length(text) // 4 AS q,
+      |             regexp_split_to_array(trim(text), '\s+') AS w
+      |      FROM documents),
+      |m AS (SELECT doc_id,
+      |        '<h1>' || source || '</h1><p><b>' || w[1] || '</b> ' ||
+      |        substr(text, 1, q) ||
+      |        ' <a href="https://docs.example/' || CAST(doc_id AS VARCHAR) ||
+      |        '">ref</a></p>' ||
+      |        '<h2>' || w[2] || '</h2><p>' || substr(text, q + 1, q) || '</p>' ||
+      |        '<h2>' || w[3] || '</h2><p>' ||
+      |        CASE WHEN doc_id % 2 = 0
+      |             THEN substr(text, 2*q + 1, q) || '</p><h2>' || w[4] ||
+      |                  '</h2><p>' || substr(text, 3*q + 1, L - 3*q)
+      |             ELSE substr(text, 2*q + 1, L - 2*q) END ||
+      |        '</p>' AS markup
+      |      FROM d)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // t31: heading-path sectioning — markup split on <h2>, per-element
+    // capture-group extraction, tag-strip + whitespace-collapse (t01 law)
+    "t31_html_sections" ->
+      s"""WITH $SectionedMarkupCtes,
+        |p AS (SELECT doc_id, regexp_extract(markup, '<h1>(.*?)</h1>', 1) AS h1,
+        |             regexp_split_to_array(markup, '<h2>') AS parts FROM m),
+        |x AS (SELECT doc_id, h1, gi AS sec_idx, parts[gi + 1] AS part
+        |      FROM p, UNNEST(range(0, len(parts))) t(gi)),
+        |y AS (SELECT doc_id, sec_idx,
+        |        CASE WHEN sec_idx = 0 THEN h1
+        |             ELSE h1 || ' > ' || regexp_extract(part, '^(.*?)</h2>', 1)
+        |        END AS heading_path,
+        |        trim(regexp_replace(regexp_replace(
+        |          regexp_extract(part, '<p>(.*?)</p>', 1),
+        |          '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS sec_text
+        |      FROM x)
+        |SELECT doc_id, sec_idx, heading_path, sec_text,
+        |       CAST(CASE WHEN length(sec_text) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(sec_text, '\\s+'))
+        |            END AS BIGINT) AS n_tokens
+        |FROM y ORDER BY doc_id, sec_idx""".stripMargin,
+    // t32: markdown conversion — the same capture-group rewrite chain, \\1
+    // refs + 'g' flag (t11 convention), literal newlines via chr(10)
+    "t32_markdown_export" ->
+      s"""WITH $SectionedMarkupCtes,
+        |md AS (SELECT doc_id, markup,
+        |         trim(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(markup,
+        |             '<h1>(.*?)</h1>', '# \\1' || chr(10) || chr(10), 'g'),
+        |             '<h2>(.*?)</h2>', '## \\1' || chr(10) || chr(10), 'g'),
+        |             '<a href="(.*?)">(.*?)</a>', '[\\2](\\1)', 'g'),
+        |             '<b>(.*?)</b>', '**\\1**', 'g'),
+        |             '</p>', chr(10) || chr(10), 'g'),
+        |           '<p>', '', 'g')) AS markdown
+        |       FROM m)
+        |SELECT doc_id, markdown,
+        |       CAST(len(regexp_extract_all(markup, '<h[12]>')) AS BIGINT) AS n_headings,
+        |       CAST(len(regexp_extract_all(markup, '<a href=')) AS BIGINT) AS n_links,
+        |       CAST(len(regexp_extract_all(markup, '<b>')) AS BIGINT) AS n_bold,
+        |       CAST(length(markdown) AS BIGINT) AS md_len
+        |FROM md ORDER BY doc_id""".stripMargin,
     "t23_bpe_pairs" -> BpeOracle,
     "t26_bpe_encode" -> BpeEncodeOracle,
     // t27: all-integer rule arithmetic; regexp_replace needs the 'g' flag
@@ -522,6 +589,31 @@ object SparkEntry {
     // (associativity), so the two keys SHARE the oracle text
     "t30_surprisal" -> SurprisalOracle,
     "s26_census_fold" -> SurprisalOracle,
+    // s27: lateness vs the per-type event-time high-water mark in arrival
+    // (event_id) order — exactly the quantity a Spark watermark compares
+    // against; ppm loss at 1m/10m/1h candidate delays, all-integer
+    "s27_watermark_audit" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+        |hw AS (SELECT event_type, ts_us,
+        |         MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+        |       FROM e),
+        |l AS (SELECT event_type,
+        |        GREATEST(0, COALESCE(hwm_us - ts_us, 0)) AS late_us FROM hw),
+        |a AS (SELECT event_type, COUNT(*) AS n_events,
+        |        CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS late_events,
+        |        MAX(late_us) // 1000000 AS max_late_sec,
+        |        CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1m,
+        |        CAST(SUM(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d10m,
+        |        CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS d1h
+        |      FROM l GROUP BY event_type)
+        |SELECT event_type, n_events, late_events,
+        |       late_events * 1000000 // n_events AS late_ppm,
+        |       max_late_sec,
+        |       d1m * 1000000 // n_events AS drop_ppm_1m,
+        |       d10m * 1000000 // n_events AS drop_ppm_10m,
+        |       d1h * 1000000 // n_events AS drop_ppm_1h
+        |FROM a ORDER BY event_type""".stripMargin,
     // s23: the oracle rebuilds the chunk store GLOBALLY in one shot from
     // the shared CDC CTEs — hash-equality against Spark's 3-batch
     // incremental fold proves the merge is associative (fold ≡ rebuild,

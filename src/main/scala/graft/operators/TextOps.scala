@@ -1044,4 +1044,99 @@ object TextOps {
         expr("sum_surprisal_bits * 1000 div n_toks").as("mean_surprisal_millibits"))
       .orderBy($"doc_id")
   }
+
+  /** Shared sectioned-markup fixture for t31/t32: wraps each doc's text in a
+    * deterministic heading structure BOTH engines rebuild identically (the
+    * t01/t11 wrap-then-process convention — page bodies in the reference ARE
+    * structured markup, html_cleaner.py:47-193): h1 = source, an intro
+    * paragraph carrying inline <b>/<a> spans (bold = the doc's first word,
+    * link target derived from doc_id), then two h2 sections — three for even
+    * doc_ids, so section COUNT varies per row — headed by the doc's own
+    * leading words, bodies = character quarters of the text.
+    */
+  private[graft] val SectionedMarkup: String =
+    """concat(
+      |  '<h1>', source, '</h1><p><b>', element_at(split(trim(text), '\\s+'), 1),
+      |  '</b> ', substring(text, 1, length(text) div 4),
+      |  ' <a href="https://docs.example/', CAST(doc_id AS STRING), '">ref</a></p>',
+      |  '<h2>', element_at(split(trim(text), '\\s+'), 2), '</h2><p>',
+      |  substring(text, length(text) div 4 + 1, length(text) div 4), '</p>',
+      |  '<h2>', element_at(split(trim(text), '\\s+'), 3), '</h2><p>',
+      |  CASE WHEN doc_id % 2 = 0
+      |    THEN concat(
+      |      substring(text, 2 * (length(text) div 4) + 1, length(text) div 4),
+      |      '</p><h2>', element_at(split(trim(text), '\\s+'), 4), '</h2><p>',
+      |      substring(text, 3 * (length(text) div 4) + 1,
+      |                length(text) - 3 * (length(text) div 4)))
+      |    ELSE substring(text, 2 * (length(text) div 4) + 1,
+      |                   length(text) - 2 * (length(text) div 4))
+      |  END,
+      |  '</p>')""".stripMargin
+
+  /** t31: structure-aware sectioning — LLM pipelines chunk long documents,
+    * and the naive fixed-token window (t19) severs a section body from the
+    * heading that gives it meaning ("Configuration > Timeouts" is half the
+    * signal of the paragraph under it). This key splits each document at its
+    * heading boundaries and emits one row per section carrying its FULL
+    * heading path (h1 > h2 breadcrumb), the retrieval-chunk shape RAG and
+    * long-context training sets actually want. Parse = one markup split on
+    * the heading open-tag + posexplode + per-element capture-group regex —
+    * entirely row-local codegen (zero exchanges before the presentation
+    * sort), so sectioning 100 TB parallelizes as pure scan work; section
+    * text is tag-stripped and whitespace-collapsed (t01's law) and token
+    * counts ride along for downstream packing (p26).
+    */
+  def htmlSections(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("markup", expr(SectionedMarkup))
+      .withColumn("h1", regexp_extract($"markup", "<h1>(.*?)</h1>", 1))
+      .select($"doc_id", $"h1", posexplode(split($"markup", "<h2>")))
+      .withColumnRenamed("pos", "sec_idx")
+      .select(
+        $"doc_id", $"sec_idx".cast("long").as("sec_idx"),
+        when($"sec_idx" === 0, $"h1")
+          .otherwise(concat($"h1", lit(" > "),
+            regexp_extract($"col", "^(.*?)</h2>", 1))).as("heading_path"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract($"col", "<p>(.*?)</p>", 1),
+          "<[^>]+>", " "), "\\s+", " ")).as("sec_text"))
+      .withColumn("n_tokens",
+        when(length($"sec_text") === 0, 0L)
+          .otherwise(size(split($"sec_text", "\\s+")).cast("long")))
+      .orderBy($"doc_id", $"sec_idx")
+  }
+
+  /** t32: HTML → Markdown export — the extraction format modern LLM corpora
+    * train on (markup semantics kept, markup noise dropped: headings become
+    * #/##, emphasis **…**, links [text](url), paragraphs blank-line
+    * separated), where t01's cleaner flattens ALL structure to plain text.
+    * The conversion is a fixed chain of capture-group regex rewrites over
+    * the shared sectioned markup — each rewrite a codegen'd regexp_replace,
+    * the whole chain row-local (zero exchanges before the output sort);
+    * structural counters (headings/links/bold spans) ride along as the
+    * conversion audit. Restricted to the regex subset where Java regex and
+    * RE2 agree, so the oracle replays every rewrite bit-for-bit.
+    */
+  def markdownExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.regexCountDirect
+    val md = {
+      val m0 = regexp_replace(expr(SectionedMarkup), "<h1>(.*?)</h1>", "# $1\n\n")
+      val m1 = regexp_replace(m0, "<h2>(.*?)</h2>", "## $1\n\n")
+      val m2 = regexp_replace(m1, "<a href=\"(.*?)\">(.*?)</a>", "[$2]($1)")
+      val m3 = regexp_replace(m2, "<b>(.*?)</b>", "**$1**")
+      trim(regexp_replace(regexp_replace(m3, "</p>", "\n\n"), "<p>", ""))
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id", md.as("markdown"),
+        (regexCountDirect(expr(SectionedMarkup), lit("<h[12]>")))
+          .cast("long").as("n_headings"),
+        (regexCountDirect(expr(SectionedMarkup), lit("<a href=")))
+          .cast("long").as("n_links"),
+        (regexCountDirect(expr(SectionedMarkup), lit("<b>")))
+          .cast("long").as("n_bold"))
+      .withColumn("md_len", length($"markdown").cast("long"))
+      .orderBy($"doc_id")
+  }
 }

@@ -992,4 +992,52 @@ object Streams {
     }
     graft.operators.TextOps.surprisalReadout(toks, census.get)
   }
+
+  /** s27: watermark design audit — every watermarked operator in this
+    * engine (s01-s26's streaming twins) asks the user for ONE number, the
+    * watermark delay, and that number is a bet: too small and late events
+    * are silently dropped, too large and state lingers (the s21 state bound
+    * is watermark-proportional). This key measures the bet against the
+    * feed's OWN disorder: replaying each event type in arrival order
+    * (event_id — the ingest sequence the stream would deliver), an event's
+    * lateness is how far the per-type event-time high-water mark had
+    * already passed it (exactly the quantity Spark's watermark compares
+    * against), and the report gives per type the observed disorder rate,
+    * the worst lateness, and the exact ppm of events a 1-minute / 10-minute
+    * / 1-hour watermark would have dropped — the loss-vs-state curve read
+    * off the data instead of guessed. All integers (µs lateness, whole-sec
+    * max, ppm rates) ⇒ bit-exact oracle. One event_type exchange for the
+    * high-water-mark window, then a partial-aggregated rollup to |types|
+    * rows; at 100 TB this runs per ingest shard and the per-type rollup
+    * merges, because max/count/ppm numerators are all additive.
+    */
+  def watermarkAudit(s: SparkSession, dir: String): DataFrame =
+    watermarkAuditOf(Tables.events(s, dir))
+
+  /** The audit core on any events frame — spec-driven with a planted
+    * disorder pattern whose loss curve is computed by hand. */
+  private[graft] def watermarkAuditOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val byArrival = Window.partitionBy($"event_type").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select($"event_type", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max($"ts_us").over(byArrival) - $"ts_us", lit(0L))))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0L, 1L).otherwise(0L)).as("late_events"),
+        expr("max(late_us) div 1000000").as("max_late_sec"),
+        sum(when($"late_us" > 60L * 1000000L, 1L).otherwise(0L)).as("d1m"),
+        sum(when($"late_us" > 600L * 1000000L, 1L).otherwise(0L)).as("d10m"),
+        sum(when($"late_us" > 3600L * 1000000L, 1L).otherwise(0L)).as("d1h"))
+      .select($"event_type", $"n_events", $"late_events",
+        expr("late_events * 1000000 div n_events").as("late_ppm"),
+        $"max_late_sec",
+        expr("d1m * 1000000 div n_events").as("drop_ppm_1m"),
+        expr("d10m * 1000000 div n_events").as("drop_ppm_10m"),
+        expr("d1h * 1000000 div n_events").as("drop_ppm_1h"))
+      .orderBy($"event_type")
+  }
 }

@@ -732,6 +732,36 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); batch.unpersist() }
   }
 
+  test("s27 watermark audit: planted disorder yields the hand-computed loss curve") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val events = Seq(
+      Event(1, t(10000), 1, "x", 0.0),
+      Event(2, t(20000), 1, "x", 0.0),
+      Event(3, t(19970), 1, "x", 0.0), // 30 s late: disorder, no candidate drops it
+      Event(4, t(16000), 1, "x", 0.0), // 4000 s late: dropped by 1m/10m/1h alike
+      Event(5, t(21000), 1, "x", 0.0),
+      Event(6, t(50), 2, "y", 0.0)) // single in-order type: all-zero row
+    val out = Streams.watermarkAuditOf(events.toDF()).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(out("x") == Seq(5L, 2L, 400000L, 4000L, 200000L, 200000L, 200000L))
+    assert(out("y") == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0L))
+    // on the real feed: the audit must cover every event type, and every
+    // ppm column is a valid rate
+    val real = SparkEntry.queries("s27_watermark_audit")(spark, sfDir).cache()
+    try {
+      val nTypes = Tables.events(spark, sfDir).select("event_type").distinct().count()
+      assert(real.count() == nTypes)
+      Seq("late_ppm", "drop_ppm_1m", "drop_ppm_10m", "drop_ppm_1h").foreach { c =>
+        assert(real.filter(col(c) < 0 || col(c) > 1000000).isEmpty, s"$c out of range")
+      }
+      // loss curve must be monotone: a longer delay never drops MORE events
+      assert(real.filter(col("drop_ppm_1m") < col("drop_ppm_10m") ||
+        col("drop_ppm_10m") < col("drop_ppm_1h")).isEmpty)
+    } finally real.unpersist()
+  }
+
   test("s02 batch sessionizer: session stats are internally consistent") {
     val df = SparkEntry.queries("s02_sessionize")(spark, sfDir)
     assert(df.filter(col("session_end") < col("session_start")).isEmpty)

@@ -574,4 +574,45 @@ class TextOpsSpec extends SparkSpec {
     assert(df.filter($"mean_surprisal_millibits" > 0).count() > 0)
     df.unpersist()
   }
+
+  test("t31 sectioning: heading paths carry context, fan-out follows the parity rule") {
+    val s = spark
+    import s.implicits._
+    val df = SparkEntry.queries("t31_html_sections")(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir).count()
+      // 4 sections for even doc_ids (intro + 3 h2), 3 for odd
+      val byDoc = df.groupBy($"doc_id").count()
+      assert(byDoc.filter(($"doc_id" % 2 === 0 && $"count" =!= 4) ||
+        ($"doc_id" % 2 === 1 && $"count" =!= 3)).isEmpty)
+      assert(byDoc.count() == docs, "every doc must section")
+      // the intro row's path is the bare h1; every h2 row extends it
+      val joined = df.join(Tables.documents(spark, sfDir), "doc_id")
+      assert(joined.filter($"sec_idx" === 0 && $"heading_path" =!= $"source").isEmpty)
+      assert(joined.filter($"sec_idx" > 0 &&
+        !$"heading_path".startsWith(concat($"source", lit(" > ")))).isEmpty)
+      // tag-stripped bodies: no markup survives, every section has tokens
+      assert(df.filter($"sec_text".contains("<") || $"sec_text".contains(">")).isEmpty)
+      assert(df.filter($"n_tokens" <= 0).isEmpty)
+    } finally df.unpersist()
+  }
+
+  test("t32 markdown export: structure converts, markup never leaks") {
+    val s = spark
+    import s.implicits._
+    val df = SparkEntry.queries("t32_markdown_export")(spark, sfDir).cache()
+    try {
+      val joined = df.join(Tables.documents(spark, sfDir), "doc_id")
+      assert(joined.filter(!$"markdown".startsWith(concat(lit("# "), $"source"))).isEmpty)
+      // ## count must equal n_headings - 1 (the h1 is the only # heading)
+      assert(df.filter(
+        graft.functions.GraftFunctions.regexCountDirect($"markdown", lit("## "))
+          .cast("long") =!= $"n_headings" - 1).isEmpty)
+      assert(df.filter($"n_links" =!= 1 || $"n_bold" =!= 1).isEmpty)
+      // conversion is total: no tag survives into the markdown
+      assert(df.filter($"markdown".rlike("</?[a-z]")).isEmpty)
+      assert(df.filter(!$"markdown".contains("](https://docs.example/") ||
+        !$"markdown".contains("**")).isEmpty)
+    } finally df.unpersist()
+  }
 }

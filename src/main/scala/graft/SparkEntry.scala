@@ -175,6 +175,7 @@ object SparkEntry {
     "d36_corpus_overlap"  -> (Dedup.corpusOverlap _),
     "d37_drift_monitor"   -> (Dedup.driftMonitor _),
     "d38_sketch_overlap"  -> (Dedup.sketchOverlap _),
+    "d39_bottomk_containment" -> (Dedup.bottomkContainment _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "m08_resize"           -> (Multimodal.resizeBlobs _),
     "m09_phash_neardup"    -> ((s, d) => Multimodal.phashNeardup(s, d)),
     "m10_modality_route"   -> (Multimodal.modalityRoute _),
+    "m11_header_parse"     -> (Multimodal.headerParse _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -1470,6 +1472,29 @@ object SparkEntry {
         |       CAST(4 + strlen(text) AS BIGINT) AS byte_len,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m11: the oracle rebuilds the header string and replays the GRAMMAR —
+    // fixed-offset substr fields, '0x'-cast hex decode, declared-vs-actual
+    // verdict — rather than shortcutting from the fixture law; header is
+    // ASCII so char offsets are byte offsets, and strlen (BYTES) mirrors
+    // the engine's length(blob) - 14 on the payload
+    "m11_header_parse" ->
+      """WITH b AS (SELECT doc_id, text,
+        |        (CASE WHEN doc_id % 101 = 5 THEN 'XXXX' ELSE 'BLB1' END) ||
+        |        lpad(upper(to_hex(doc_id % 256)), 2, '0') ||
+        |        lpad(CAST(length(text) + CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END
+        |                  AS VARCHAR), 8, '0') ||
+        |        text AS s FROM documents),
+        |p AS (SELECT doc_id, substr(s, 1, 4) AS magic,
+        |        CAST('0x' || substr(s, 5, 2) AS BIGINT) AS version,
+        |        CAST(substr(s, 7, 8) AS BIGINT) AS declared_len,
+        |        CAST(strlen(s) - 14 AS BIGINT) AS actual_len,
+        |        substr(s, 15) AS payload FROM b),
+        |q AS (SELECT *, CASE WHEN magic <> 'BLB1' THEN 'bad_magic'
+        |                     WHEN declared_len <> actual_len THEN 'length_mismatch'
+        |                     ELSE 'ok' END AS status FROM p)
+        |SELECT doc_id, magic, version, declared_len, actual_len, status,
+        |       CASE WHEN status = 'ok' THEN md5(payload) END AS payload_md5
+        |FROM q ORDER BY doc_id""".stripMargin,
     // q44: bit-by-bit interleave replay; 1::BIGINT forces 64-bit shifts
     // (a 32-bit `1 << 31` would overflow); epoch_us//1e6 ≡ unix_timestamp
     // for positive timestamps (s21 precedent)
@@ -2361,6 +2386,35 @@ object SparkEntry {
     // engine-specific, so the oracle asserts the CLAIM booleans (q24/d13
     // referee pattern) — a sketch drifting past its error bound flips a
     // FALSE into the hash and fails the compare
+    // d39: full sketch-AND-exact replay — dh is the sorted distinct
+    // gram-hash set per doc (shared poly31 chain), the bottom-16 slice is
+    // the query signature, candidates = posting-list join + count, top-10
+    // per query (matches DESC, doc_id tiebreak), exact containment joined
+    // back for candidates only; every column integer
+    "d39_bottomk_containment" ->
+      s"""WITH
+         |${CrossHashSql.minhashCtes(3)},
+         |dh AS (SELECT doc_id, list_sort(list_distinct(hv)) AS hv FROM hs),
+         |post AS (SELECT doc_id, unnest(hv) AS h FROM dh),
+         |q AS (SELECT doc_id AS eval_id, hv[1:16] AS bk,
+         |        CAST(least(len(hv), 16) AS BIGINT) AS k_eff
+         |      FROM dh WHERE doc_id % 7 = 3),
+         |qx AS (SELECT eval_id, k_eff, unnest(bk) AS h FROM q),
+         |cand AS (SELECT eval_id, doc_id, k_eff, COUNT(*) AS matches
+         |         FROM post JOIN qx USING (h) WHERE doc_id <> eval_id
+         |         GROUP BY eval_id, doc_id, k_eff HAVING COUNT(*) >= 2),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+         |         ORDER BY matches DESC, doc_id) AS r FROM cand),
+         |v AS (SELECT r.eval_id, r.doc_id, r.matches, r.k_eff,
+         |        CAST(r.matches * 1000 // r.k_eff AS BIGINT) AS est_permille,
+         |        CAST(CAST(len(list_intersect(a.hv, b.hv)) AS BIGINT) * 1000
+         |             // len(a.hv) AS BIGINT) AS exact_permille
+         |      FROM rk r JOIN dh a ON a.doc_id = r.eval_id
+         |                 JOIN dh b ON b.doc_id = r.doc_id
+         |      WHERE r.r <= 10)
+         |SELECT eval_id, doc_id, matches, k_eff, est_permille, exact_permille,
+         |       CAST(abs(est_permille - exact_permille) AS BIGINT) AS err_permille
+         |FROM v ORDER BY eval_id, doc_id""".stripMargin,
     "d38_sketch_overlap" ->
       """WITH w AS (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |           FROM documents),

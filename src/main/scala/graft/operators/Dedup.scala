@@ -1058,4 +1058,61 @@ object Dedup {
 
   private[graft] def driftReport(base: DataFrame): DataFrame =
     driftReadout(driftCounts(base))
+
+  /** d39: bottom-k containment sketch search — the INDEXED path d31
+    * promised ("at 100 TB the candidate source generalizes to an
+    * LSH-Ensemble / containment-minhash index"): a fixed-size bottom-k
+    * signature of each QUERY doc's distinct gram-hash set estimates
+    * asymmetric containment — matches/k of the query's k smallest hashes
+    * found anywhere in a candidate's gram set is an unbiased estimate of
+    * |g(q) ∩ g(d)| / |g(q)| (the bottom-k positions are a uniform sample
+    * of g(q) under the shared poly31 hash) — so "which corpus docs contain
+    * this eval item" costs k posting-list probes per query instead of
+    * d31's band-collision scan. Plan: corpus gram hashes explode ONCE into
+    * a posting list (at 100 TB: the persisted hash-bucketed index, d20's
+    * artifact shape); queries (d09's eval law, doc_id ≡ 3 mod 7) carry k=16
+    * hashes each and BROADCAST (|eval|×16 narrow rows — eval sets are
+    * benchmarks, not corpora); candidates = one hash-keyed join + a
+    * (query, doc) count, WindowGroupLimit top-10 per query; EXACT
+    * containment then verifies candidates only (d31's join-back shape).
+    * Everything integer (permille estimates, count matches) under the
+    * cross-engine poly31 kernel ⇒ the oracle replays sketch AND exact
+    * bit-for-bit — the estimate's measured error rides along per row.
+    */
+  val BottomK = 16
+  def bottomkContainment(s: SparkSession, dir: String): DataFrame =
+    bottomkContainmentOf(Tables.documents(s, dir))
+
+  private[graft] def bottomkContainmentOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val hv = docs
+      .select($"doc_id",
+        array_distinct(expr("gram_hashes31(split(lower(trim(text)), '\\\\s+'), 3)"))
+          .as("hv"))
+    val postings = hv.select($"doc_id", explode($"hv").as("h"))
+    val queries = hv.filter($"doc_id" % 7 === 3)
+      .select($"doc_id".as("eval_id"),
+        slice(array_sort($"hv"), 1, BottomK).as("bk"),
+        least(size($"hv"), lit(BottomK)).cast("long").as("k_eff"))
+    val qx = queries.select($"eval_id", $"k_eff", explode($"bk").as("h"))
+    val cand = postings.join(broadcast(qx), Seq("h"))
+      .filter($"doc_id" =!= $"eval_id")
+      .groupBy($"eval_id", $"doc_id", $"k_eff")
+      .agg(count(lit(1)).as("matches"))
+      .filter($"matches" >= 2)
+    val topPerQuery = cand.withColumn("rk", row_number().over(
+        Window.partitionBy($"eval_id").orderBy($"matches".desc, $"doc_id")))
+      .filter($"rk" <= 10).drop("rk")
+    topPerQuery
+      .join(hv.select($"doc_id".as("eval_id"), $"hv".as("hv_q")), Seq("eval_id"))
+      .join(hv.select($"doc_id", $"hv".as("hv_d")), Seq("doc_id"))
+      .select($"eval_id", $"doc_id", $"matches", $"k_eff",
+        expr("matches * 1000 div k_eff").as("est_permille"),
+        expr("CAST(size(array_intersect(hv_q, hv_d)) AS BIGINT) * 1000 " +
+             "div CAST(size(hv_q) AS BIGINT)").as("exact_permille"))
+      .withColumn("err_permille", abs($"est_permille" - $"exact_permille").cast("long"))
+      .orderBy($"eval_id", $"doc_id")
+  }
 }

@@ -416,4 +416,53 @@ object Multimodal {
       .toDF()
       .orderBy($"doc_id")
   }
+
+  /** m11: binary header STRUCT parsing — after m10 routes a blob by its
+    * magic, real ingest must decode the fixed-layout header every container
+    * format carries (EXIF tags, ID3 frames, MP4 atoms, RIFF chunk sizes):
+    * typed fields at fixed byte offsets, numeric fields in a rendered base,
+    * and a declared payload length whose disagreement with the actual byte
+    * count is THE standard corruption signal (truncated transfer / stale
+    * index). The fixture header is magic(4) + version (2 hex bytes) +
+    * declared payload length (8 zero-padded decimal bytes) + payload, with
+    * two planted fault families: a foreign magic (doc_id ≡ 5 mod 101) and a
+    * +3 length over-declaration (doc_id ≡ 0 mod 7, the truncated-transfer
+    * model). The parser works from the BYTES (binary substring at fixed
+    * offsets — never from doc_id), classifies bad_magic before
+    * length_mismatch (an unknown container's length field is untrusted),
+    * digests the payload slice only for rows that parse clean, and routes
+    * faults as rows instead of failing the batch (p21 posture). All
+    * scan-local codegen; blob bytes never shuffle. The oracle replays the
+    * header grammar over the equivalent VARCHAR (payload ASCII-verified,
+    * m05 precedent) including the hex-field decode.
+    */
+  private[graft] def withHeaderBlob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val magic = when(pmod($"doc_id", lit(101L)) === 5L, lit("XXXX")).otherwise(lit("BLB1"))
+    val decl = length($"text").cast("long") +
+      when(pmod($"doc_id", lit(7L)) === 0L, 3L).otherwise(0L)
+    Tables.documents(s, dir).select($"doc_id",
+      concat(magic, lpad(hex(pmod($"doc_id", lit(256L))), 2, "0"),
+             lpad(decl.cast("string"), 8, "0"), $"text").cast("binary").as("blob"))
+  }
+
+  def headerParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withHeaderBlob(s, dir)
+      .select($"doc_id", $"blob",
+        expr("CAST(substring(blob, 1, 4) AS STRING)").as("magic"),
+        conv(expr("CAST(substring(blob, 5, 2) AS STRING)"), 16, 10)
+          .cast("long").as("version"),
+        expr("CAST(CAST(substring(blob, 7, 8) AS STRING) AS BIGINT)").as("declared_len"),
+        (length($"blob").cast("long") - 14L).as("actual_len"))
+      .withColumn("status",
+        when($"magic" =!= "BLB1", "bad_magic")
+          .when($"declared_len" =!= $"actual_len", "length_mismatch")
+          .otherwise("ok"))
+      .select($"doc_id", $"magic", $"version", $"declared_len", $"actual_len",
+        $"status",
+        when($"status" === "ok", md5(expr("substring(blob, 15, 2147483647)")))
+          .as("payload_md5"))
+      .orderBy($"doc_id")
+  }
 }

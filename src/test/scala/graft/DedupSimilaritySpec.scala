@@ -781,6 +781,56 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("d39 bottom-k containment: planted full containment scores 1000, estimates bounded") {
+    import spark.implicits._
+    // doc 3 (eval law: 3 % 7 == 3) is copied wholesale into host doc 10 —
+    // asymmetric containment(3 in 10) must be exact 1000 permille, and the
+    // bottom-k estimate must agree (every query hash is in the host)
+    val inner = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val planted = Seq(
+      (3L, inner),
+      (10L, inner + " host filler words continue the much larger document body"),
+      (11L, "completely different vocabulary nothing shared here at all today"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.bottomkContainmentOf(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("est_permille"), r.getAs[Long]("exact_permille")))).toMap
+    assert(got((3L, 10L)) == ((1000L, 1000L)), s"full containment drifted: $got")
+    assert(!got.contains((3L, 11L)), "disjoint docs must not be candidates")
+    // corpus: bounded estimates, self excluded, top-10 per query respected
+    val df = SparkEntry.queries("d39_bottomk_containment")(spark, sfDir).cache()
+    try {
+      assert(df.count() > 0, "planted near-dups must surface containment candidates")
+      assert(df.filter($"eval_id" === $"doc_id").isEmpty)
+      assert(df.filter($"est_permille" > 1000 || $"matches" > $"k_eff").isEmpty)
+      assert(df.groupBy($"eval_id").count().filter($"count" > 10).isEmpty)
+      // sketch quality on real data: mean absolute error within 2 bottom-k
+      // slots (2/16 = 125 permille) of the exact containment
+      val meanErr = df.agg(avg($"err_permille")).head().getDouble(0)
+      assert(meanErr <= 125.0, s"bottom-k estimate degraded: mean err $meanErr")
+    } finally df.unpersist()
+  }
+
+  test("m11 header parse: fields decode from byte offsets, faults route as rows") {
+    import spark.implicits._
+    val df = SparkEntry.queries("m11_header_parse")(spark, sfDir).cache()
+    try {
+      val docs = Tables.documents(spark, sfDir).count()
+      assert(df.count() == docs, "tolerant parse: every blob yields a row")
+      // the planted fault laws, recovered from the parsed fields alone
+      assert(df.filter($"status" === "bad_magic" && $"doc_id" % 101 =!= 5).isEmpty)
+      assert(df.filter($"doc_id" % 101 === 5 && $"status" =!= "bad_magic").isEmpty)
+      assert(df.filter($"status" === "length_mismatch" &&
+        ($"doc_id" % 7 =!= 0 || $"declared_len" - $"actual_len" =!= 3)).isEmpty)
+      // hex version field round-trips: version == doc_id % 256
+      assert(df.filter($"version" =!= $"doc_id" % 256).isEmpty)
+      // digest only on clean rows — an untrusted header must not be hashed as good
+      assert(df.filter($"status" === "ok" && $"payload_md5".isNull).isEmpty)
+      assert(df.filter($"status" =!= "ok" && $"payload_md5".isNotNull).isEmpty)
+      assert(df.filter($"status" === "ok").count() > 0)
+    } finally df.unpersist()
+  }
+
   test("m09 profile hash: hand-computed bits, shift invariance, gated pair view") {
     import spark.implicits._
     // "ABABAB": 5 adjacent pairs — (A,B)×3 → cell (65·131+66)%60 = 1,

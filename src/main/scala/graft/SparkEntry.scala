@@ -130,6 +130,7 @@ object SparkEntry {
     "p30_global_index"      -> (PipelineOps.globalIndex _),
     "p31_point_in_time"     -> (PipelineOps.pointInTime _),
     "p32_pagerank"          -> ((s, d) => PipelineOps.pageRank(s, d)),
+    "p37_publish_diff"      -> (PipelineOps.publishDiff _),
     "p25_subtree_rollup"    -> (PipelineOps.subtreeRollup _),
     "p26_sequence_packing"  -> (PipelineOps.sequencePacking _),
     "p27_curated_packing"   -> (EndToEnd.curatedPacking _),
@@ -1477,6 +1478,48 @@ object SparkEntry {
     // verdict — rather than shortcutting from the fixture law; header is
     // ASCII so char offsets are byte offsets, and strlen (BYTES) mirrors
     // the engine's length(blob) - 14 on the payload
+    // p37: the fixed side replays BOTH snapshots' shard assignments from
+    // one window (current cumsum + a conditional cumsum that skips new
+    // docs), manifests digest member md5s in doc_id order (m06's
+    // string_agg law); the CDC side reuses the shared chunk CTEs and
+    // classifies each (source, digest) by old-occurrence presence
+    "p37_publish_diff" ->
+      s"""WITH $CdcChunkCtes,
+        |fb AS (SELECT doc_id, source, doc_id % 3 = 0 AS is_new,
+        |         CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,
+        |         md5('IMG0' || text) AS blob_md5
+        |       FROM documents),
+        |fc AS (SELECT *,
+        |         COALESCE(SUM(byte_len) OVER wp, 0)
+        |           // ${operators.Multimodal.ShardBytes} AS shard_cur,
+        |         COALESCE(SUM(CASE WHEN NOT is_new THEN byte_len END) OVER wp, 0)
+        |           // ${operators.Multimodal.ShardBytes} AS shard_base
+        |       FROM fb
+        |       WINDOW wp AS (PARTITION BY source ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |mc AS (SELECT source, shard_cur AS shard_idx,
+        |         md5(string_agg(blob_md5, ',' ORDER BY doc_id)) AS cur_md5
+        |       FROM fc GROUP BY 1, 2),
+        |mb AS (SELECT source, shard_base AS shard_idx,
+        |         md5(string_agg(blob_md5, ',' ORDER BY doc_id)) AS base_md5
+        |       FROM fc WHERE NOT is_new GROUP BY 1, 2),
+        |fx AS (SELECT mc.source, COUNT(*) AS fixed_total,
+        |         CAST(SUM(CASE WHEN mb.base_md5 IS NULL OR mb.base_md5 <> mc.cur_md5
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS fixed_changed
+        |       FROM mc LEFT JOIN mb
+        |         ON mb.source = mc.source AND mb.shard_idx = mc.shard_idx
+        |       GROUP BY 1),
+        |cds AS (SELECT d.source, cr.chunk_hash,
+        |          MAX(CASE WHEN d.doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS in_base
+        |        FROM cr JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |cdt AS (SELECT source, COUNT(*) AS cdc_total,
+        |          CAST(SUM(CASE WHEN in_base = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cdc_new
+        |        FROM cds GROUP BY 1)
+        |SELECT fx.source, fixed_total, fixed_changed,
+        |       fixed_changed * 1000000 // fixed_total AS fixed_changed_ppm,
+        |       cdc_total, cdc_new,
+        |       cdc_new * 1000000 // cdc_total AS cdc_new_ppm
+        |FROM fx JOIN cdt ON cdt.source = fx.source ORDER BY fx.source""".stripMargin,
     "m11_header_parse" ->
       """WITH b AS (SELECT doc_id, text,
         |        (CASE WHEN doc_id % 101 = 5 THEN 'XXXX' ELSE 'BLB1' END) ||

@@ -683,4 +683,80 @@ object PipelineOps {
       .unionByName(quart(0.75, "quality_q3_e4"))
       .orderBy($"metric")
   }
+
+  /** p37: incremental-publish diff — fixed-boundary vs content-defined
+    * layout stability. When a release adds documents (baseline = the
+    * previous snapshot, d37's doc_id % 3 ≠ 0 law; current = the full
+    * corpus), the re-publish bill depends entirely on the artifact LAYOUT:
+    * m06's fixed-boundary shards pack in (source, doc_id) byte order, so
+    * one inserted doc shifts every later offset in its source and the
+    * shard digests CASCADE — while t28's content-defined chunks depend
+    * only on local content, so existing docs' digests survive verbatim
+    * and only genuinely new content ships (the rsync/CDC-store argument,
+    * measured instead of asserted; p36 uses the same cascade fact for
+    * erasure). Per source: shard count + changed-shard count + ppm under
+    * the fixed layout, chunk-digest count + new-digest count + ppm under
+    * CDC.
+    *
+    * Plan: ONE corpus scan lineage per layout family. The fixed side
+    * computes BOTH snapshots' shard assignments from one window pass —
+    * two cumsums over the same (source, doc_id) partitioning (the current
+    * offset and a baseline offset that conditionally skips new docs), each
+    * row exploding into its snapshot memberships — so the baseline
+    * manifest costs one extra column, not a second scan-sort. The CDC
+    * side chunks the CURRENT corpus once (chunk digests are per-doc local,
+    * so baseline digests are exactly the old docs' digests) and one
+    * (source, digest) aggregate classifies every digest as carried or new.
+    * All integers ⇒ bit-exact oracle.
+    */
+  def publishDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val isNew = $"doc_id" % 3 === 0
+    // fixed-boundary family: one window pass, both snapshots' offsets
+    val sb = graft.operators.Multimodal.ShardBytes
+    val rows = docs
+      .select($"doc_id", $"source",
+        concat(lit("IMG0"), $"text").cast("binary").as("blob"), isNew.as("is_new"))
+      .select($"doc_id", $"source", $"is_new",
+        length($"blob").cast("long").as("byte_len"), md5($"blob").as("blob_md5"))
+      .withColumn("shard_cur",
+        expr(s"coalesce(sum(byte_len) over (partition by source order by doc_id " +
+          s"rows between unbounded preceding and 1 preceding), 0L) div $sb"))
+      .withColumn("shard_base", expr(s"coalesce(sum(CASE WHEN NOT is_new THEN byte_len END) " +
+        s"over (partition by source order by doc_id " +
+        s"rows between unbounded preceding and 1 preceding), 0L) div $sb"))
+    val manifests = rows
+      .select($"source", $"doc_id", $"blob_md5", explode(
+        when($"is_new", array(struct(lit("cur").as("snap"), $"shard_cur".as("shard_idx"))))
+          .otherwise(array(
+            struct(lit("cur").as("snap"), $"shard_cur".as("shard_idx")),
+            struct(lit("base").as("snap"), $"shard_base".as("shard_idx"))))).as("m"))
+      .groupBy($"source", $"m.snap".as("snap"), $"m.shard_idx".as("shard_idx"))
+      .agg(expr("md5(array_join(transform(array_sort(collect_list(" +
+        "struct(doc_id, blob_md5))), x -> x.blob_md5), ','))").as("manifest_md5"))
+    val fixed = manifests.filter($"snap" === "cur")
+      .select($"source", $"shard_idx", $"manifest_md5".as("cur_md5"))
+      .join(manifests.filter($"snap" === "base")
+        .select($"source", $"shard_idx", $"manifest_md5".as("base_md5")),
+        Seq("source", "shard_idx"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("fixed_total"),
+        sum(when($"base_md5".isNull || $"base_md5" =!= $"cur_md5", 1L)
+          .otherwise(0L)).as("fixed_changed"))
+    // CDC family: chunk once, classify digests by old-occurrence presence
+    val cdc = graft.operators.TextOps.chunkRows(docs)
+      .join(docs.select($"doc_id", $"source", isNew.as("is_new")), Seq("doc_id"))
+      .groupBy($"source", $"chunk_hash")
+      .agg(max(when(!$"is_new", 1L).otherwise(0L)).as("in_base"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("cdc_total"),
+        sum(when($"in_base" === 0L, 1L).otherwise(0L)).as("cdc_new"))
+    fixed.join(cdc, Seq("source"))
+      .select($"source", $"fixed_total", $"fixed_changed",
+        expr("fixed_changed * 1000000 div fixed_total").as("fixed_changed_ppm"),
+        $"cdc_total", $"cdc_new",
+        expr("cdc_new * 1000000 div cdc_total").as("cdc_new_ppm"))
+      .orderBy($"source")
+  }
 }

@@ -451,4 +451,26 @@ class PipelineSpec extends SparkSpec {
     }
     assert(expected.size == rows.length, "a key with history before T went missing")
   }
+
+  test("p37 publish diff: fixed shards cascade, CDC chunks stay put") {
+    val s = spark
+    import s.implicits._
+    val df = SparkEntry.queries("p37_publish_diff")(spark, sfDir).cache()
+    try {
+      val srcs = Tables.documents(spark, sfDir).select("source").distinct().count()
+      assert(df.count() == srcs, "one row per source")
+      assert(df.filter($"fixed_changed" > $"fixed_total" ||
+        $"cdc_new" > $"cdc_total" || $"fixed_total" <= 0 || $"cdc_total" <= 0).isEmpty)
+      // the layout argument, measured: content-defined re-publish is
+      // strictly cheaper than fixed-boundary for EVERY source (new docs
+      // are interleaved through each source, so fixed shards cascade)
+      assert(df.filter($"fixed_changed_ppm" <= $"cdc_new_ppm").isEmpty,
+        "fixed layout must churn more than CDC on interleaved inserts")
+      // CDC new-digest share is bounded by the new-doc share's chunk mass:
+      // new docs are 1/3 of the corpus — allow headroom for unique-chunk
+      // skew but it must stay well below the fixed cascade
+      assert(df.agg(max($"cdc_new_ppm")).head().getLong(0) < 700000L)
+      assert(df.agg(min($"fixed_changed_ppm")).head().getLong(0) > 700000L)
+    } finally df.unpersist()
+  }
 }

@@ -177,6 +177,7 @@ object SparkEntry {
     "d37_drift_monitor"   -> (Dedup.driftMonitor _),
     "d38_sketch_overlap"  -> (Dedup.sketchOverlap _),
     "d39_bottomk_containment" -> (Dedup.bottomkContainment _),
+    "d40_hard_negatives"  -> (Similarity.hardNegatives _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -2541,6 +2542,37 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
          |         / ${Similarity.K}.0 AS knn_purity
          |FROM r WHERE rank <= ${Similarity.K} GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // d40: full score-matrix replay (d30 pattern); the negatives-only rank
+    // is a windowed conditional SUM (CAST — the s19 HUGEINT lesson), the
+    // best positive an unordered MAX over the same partition; doubles are
+    // the engine-exact cosine kernel, floor-rounded only at the output.
+    // list_cosine_similarity RETURNS FLOAT32 on FLOAT[] inputs (the
+    // accumulation is double, d05 precedent) — every output expression
+    // must CAST to DOUBLE first or the /10000 stays float32 and hashes
+    // 0.188199997 against Spark's 0.1882
+    "d40_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+         |           FROM embeddings
+         |           WHERE vec_id % ${Similarity.KnnEvalEvery} = ${Similarity.KnnEvalResidue}
+         |             AND vec_id < ${Similarity.KnnEvalCap}),
+         |c AS (SELECT query_id, q_label, e.vec_id AS neighbor_id, e.label AS n_label,
+         |             list_cosine_similarity(qe, e.embedding) AS sim
+         |      FROM embeddings e, q WHERE e.vec_id <> query_id),
+         |r AS (SELECT *,
+         |        CAST(SUM(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS BIGINT) AS neg_rank,
+         |        MAX(CASE WHEN n_label = q_label THEN sim END)
+         |          OVER (PARTITION BY query_id) AS pos_sim
+         |      FROM c)
+         |SELECT query_id, q_label, neg_rank AS rank, neighbor_id, n_label,
+         |       FLOOR(CAST(sim AS DOUBLE) * 10000 + 0.5) / 10000 AS neg_sim,
+         |       FLOOR(CAST(pos_sim AS DOUBLE) * 10000 + 0.5) / 10000 AS best_pos_sim,
+         |       FLOOR((CAST(pos_sim AS DOUBLE) - CAST(sim AS DOUBLE)) * 10000 + 0.5)
+         |         / 10000 AS margin
+         |FROM r WHERE n_label <> q_label AND neg_rank <= ${Similarity.HardNegK}
+         |ORDER BY query_id, rank""".stripMargin,
     // d31: d02's band collisions UNGATED (no est_jaccard cut — containment
     // pairs are low-Jaccard by construction), distinct 3-gram sets joined
     // back, directional containment with the empty-set=1.0 d04 convention

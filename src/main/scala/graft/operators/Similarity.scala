@@ -804,4 +804,52 @@ object Similarity {
         $"n".as("top_source_n"))
       .orderBy($"cell_id")
   }
+
+  /** d40: hard-negative mining — the data-prep step of contrastive
+    * embedding training (SimCLR/DPR curricula): per anchor, the
+    * highest-similarity candidates with a DIFFERENT label are exactly the
+    * negatives worth training on (random negatives are trivially separable
+    * and teach nothing), and the margin against the anchor's best POSITIVE
+    * turns d30's purity readout actionable — a negative margin names a
+    * confusable pair (label noise or genuinely hard example, the rows a
+    * curation pass reviews first). Same sampled-anchor law as d30 (anchors
+    * broadcast WITH labels so candidate labels ride the corpus scan, no
+    * join-back); the corpus crosses ZERO exchanges before the per-anchor
+    * window — one partitioning carries both the negatives-only rank (an
+    * ordered conditional cumsum: row_number can't count a subset) and the
+    * best-positive max (unordered frame, same key, no second exchange).
+    * Doubles are the engine-exact cosine kernel (d05 precedent), rounded
+    * by the shared floor(x·1e4 + 0.5) convention only at the OUTPUT. At
+    * 100 TB the same window consumes ANN candidate lists (d06/d08/d12)
+    * instead of the exact scan, d13 gating the recall cost.
+    */
+  val HardNegK = 5
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegativesOf(Tables.embeddings(s, dir))
+
+  private[graft] def hardNegativesOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val q = emb
+      .filter($"vec_id" % KnnEvalEvery === KnnEvalResidue && $"vec_id" < KnnEvalCap)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"), $"embedding".as("qe"))
+    val byQuery = Window.partitionBy($"query_id")
+    val ordered = byQuery.orderBy($"sim".desc, $"neighbor_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"q_label", $"vec_id".as("neighbor_id"),
+              $"label".as("n_label"), cosineSim($"qe", $"embedding").as("sim"))
+      .withColumn("is_neg", $"n_label" =!= $"q_label")
+      .withColumn("neg_rank", sum(when($"is_neg", 1L).otherwise(0L)).over(ordered))
+      .withColumn("pos_sim", max(when(!$"is_neg", $"sim")).over(byQuery))
+      .filter($"is_neg" && $"neg_rank" <= HardNegK)
+      .select($"query_id", $"q_label", $"neg_rank".as("rank"),
+        $"neighbor_id", $"n_label",
+        (floor($"sim" * 1e4 + 0.5) / 1e4).as("neg_sim"),
+        (floor($"pos_sim" * 1e4 + 0.5) / 1e4).as("best_pos_sim"),
+        (floor(($"pos_sim" - $"sim") * 1e4 + 0.5) / 1e4).as("margin"))
+      .orderBy($"query_id", $"rank")
+  }
 }

@@ -811,6 +811,35 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("d40 hard negatives: planted confusable pair flags negative margin") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),   // anchor (1 % 20 == 1)
+      (2L, Seq(1f, 0.1f, 0f, 0f), 1), // hard negative: nearly parallel, other label
+      (3L, Seq(0f, 1f, 0f, 0f), 0),   // best positive sits orthogonal (sim 0)
+      (4L, Seq(-1f, 0f, 0f, 0f), 1))  // easy negative: antiparallel
+      .toDF("vec_id", "embedding", "label")
+    val rows = operators.Similarity.hardNegativesOf(emb).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == Set(1L), "only vec 1 anchors")
+    val byRank = rows.map(r => r.getAs[Long]("rank") -> r).toMap
+    assert(byRank(1L).getAs[Long]("neighbor_id") == 2L, "hard negative ranks first")
+    assert(byRank(2L).getAs[Long]("neighbor_id") == 4L)
+    assert(byRank(1L).getAs[Double]("margin") < 0,
+      "confusable pair must surface as negative margin")
+    assert(byRank(2L).getAs[Double]("margin") == 1.0)
+    assert(rows.forall(_.getAs[Double]("best_pos_sim") == 0.0))
+    // corpus: ranks dense from 1, at most K per anchor, margin consistent
+    val df = SparkEntry.queries("d40_hard_negatives")(spark, sfDir).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.groupBy($"query_id")
+        .agg(count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+        .filter($"mx" =!= $"n" || $"mn" =!= 1 || $"n" > operators.Similarity.HardNegK)
+        .isEmpty, "negative ranks must be dense 1..n, capped at K")
+      assert(df.filter(abs($"margin" - ($"best_pos_sim" - $"neg_sim")) > 2e-4).isEmpty)
+    } finally df.unpersist()
+  }
+
   test("m11 header parse: fields decode from byte offsets, faults route as rows") {
     import spark.implicits._
     val df = SparkEntry.queries("m11_header_parse")(spark, sfDir).cache()

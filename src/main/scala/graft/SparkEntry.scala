@@ -66,6 +66,7 @@ object SparkEntry {
     "q43_rfm_segments"    -> (Relational.rfmSegments _),
     "q44_zorder"          -> (Relational.zorderLayout _),
     "q45_mv_maintenance"  -> (Relational.mvMaintenance _),
+    "q46_gap_fill"        -> (Relational.gapFill _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -719,6 +720,33 @@ object SparkEntry {
     // q45: the oracle IS the full rebuild (q01's exact-decimal convention,
     // identical derivations) — hash-equality against the 3-batch partial
     // fold proves incremental MV refresh reaches the rebuild bit-for-bit
+    // q46: dense hourly axis per type via range off the |types|-row
+    // min/max agg; LAST_VALUE IGNORE NULLS is the carry-forward on both
+    // engines; value sums DECIMAL-then-double (s01 law)
+    "q46_gap_fill" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+        |             CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |h AS (SELECT event_type, hb, COUNT(*) AS n_events,
+        |             CAST(SUM(v) AS DOUBLE) AS sum_value
+        |      FROM e GROUP BY 1, 2),
+        |mm AS (SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi
+        |       FROM h GROUP BY 1),
+        |ax AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hb FROM mm),
+        |j AS (SELECT ax.event_type, ax.hb, h.n_events, h.sum_value
+        |      FROM ax LEFT JOIN h ON h.event_type = ax.event_type AND h.hb = ax.hb),
+        |f AS (SELECT event_type, hb, n_events, sum_value,
+        |        n_events IS NULL AS is_gap,
+        |        LAST_VALUE(n_events IGNORE NULLS) OVER w AS filled_events,
+        |        LAST_VALUE(sum_value IGNORE NULLS) OVER w AS filled_value,
+        |        MAX(CASE WHEN n_events IS NOT NULL THEN hb END) OVER w AS last_obs_hb
+        |      FROM j
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY hb
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, make_timestamp(hb * 3600000000) AS bucket_ts,
+        |       COALESCE(n_events, 0) AS n_events, is_gap,
+        |       filled_events, filled_value,
+        |       CAST(hb - last_obs_hb AS BIGINT) AS hours_since_obs
+        |FROM f ORDER BY event_type, bucket_ts""".stripMargin,
     "q45_mv_maintenance" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1022,4 +1022,48 @@ object Relational {
         $"n".as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
+
+  /** q46: time-series gap fill — the resample step every monitoring /
+    * feature-engineering consumer of q14's bucketed aggregates actually
+    * needs: an hourly aggregate SKIPS silent hours entirely, and a model
+    * (or alert rule) fed only observed buckets cannot tell "no events" from
+    * "no data row". This key densifies each event type's hourly series over
+    * its OWN observed [min, max] span (a sequence explode off a |types|-row
+    * agg — never a global calendar table) and forward-fills the last
+    * observation (last_value IGNORE NULLS — the carry-forward idiom), with
+    * is_gap and hours-since-observation carried so downstream can
+    * distinguish fact from fill (p28's staleness question, answered per
+    * bucket instead of per feed). ONE corpus exchange (the (type, hour)
+    * partial agg); the dense axis, join and both fill windows run over
+    * |types|×|hours| rows. Hour buckets are integer epoch-hours (exact),
+    * the value sum goes through DECIMAL before double (s01's law).
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillOf(graft.Tables.events(s, dir))
+
+  private[graft] def gapFillOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val hourly = events
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hb"),
+              $"value".cast("decimal(18,6)").as("v"))
+      .groupBy($"event_type", $"hb")
+      .agg(count(lit(1)).as("n_events"), sum($"v").cast("double").as("sum_value"))
+    val axis = hourly.groupBy($"event_type")
+      .agg(min($"hb").as("lo"), max($"hb").as("hi"))
+      .select($"event_type", explode(sequence($"lo", $"hi")).as("hb"))
+    val w = Window.partitionBy($"event_type").orderBy($"hb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    axis.join(hourly, Seq("event_type", "hb"), "left")
+      .withColumn("is_gap", $"n_events".isNull)
+      .withColumn("filled_events", last($"n_events", ignoreNulls = true).over(w))
+      .withColumn("filled_value", last($"sum_value", ignoreNulls = true).over(w))
+      .withColumn("last_obs_hb", max(when(!$"is_gap", $"hb")).over(w))
+      .select($"event_type",
+        timestamp_micros($"hb" * 3600000000L).as("bucket_ts"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        $"is_gap", $"filled_events", $"filled_value",
+        ($"hb" - $"last_obs_hb").as("hours_since_obs"))
+      .orderBy($"event_type", $"bucket_ts")
+  }
 }

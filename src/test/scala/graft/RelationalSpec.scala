@@ -512,4 +512,42 @@ class RelationalSpec extends SparkSpec {
     // rebuild's group count
     assert(mv.count() == direct.count())
   }
+
+  test("q46 gap fill: planted silent hours fill forward with gap accounting") {
+    val s = spark
+    import s.implicits._
+    def t(h: Int) = new java.sql.Timestamp(3600000L * (500000 + h))
+    // type "x": events in hours 0, 1 and 4 — hours 2 and 3 are silent
+    val events = Seq(
+      (1L, t(0), 1L, "x", 2.0), (2L, t(1), 1L, "x", 3.0),
+      (3L, t(1), 2L, "x", 5.0), (4L, t(4), 2L, "x", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = operators.Relational.gapFillOf(events)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("bucket_ts").getTime -> r).toMap
+    assert(rows.size == 5, "dense axis must cover min..max hours inclusive")
+    val h = (i: Int) => rows(3600000L * (500000 + i))
+    assert(!h(0).getAs[Boolean]("is_gap") && h(2).getAs[Boolean]("is_gap")
+      && h(3).getAs[Boolean]("is_gap") && !h(4).getAs[Boolean]("is_gap"))
+    // the fill carries hour 1's observation through the silent hours
+    Seq(2, 3).foreach { i =>
+      assert(h(i).getAs[Long]("n_events") == 0L)
+      assert(h(i).getAs[Long]("filled_events") == 2L)
+      assert(h(i).getAs[Double]("filled_value") == 8.0)
+      assert(h(i).getAs[Long]("hours_since_obs") == i - 1L)
+    }
+    assert(h(4).getAs[Long]("hours_since_obs") == 0L
+      && h(4).getAs[Double]("filled_value") == 7.0)
+    // real feed: axis is dense per type, fill never null, gaps consistent
+    val df = SparkEntry.queries("q46_gap_fill")(spark, sfDir).cache()
+    try {
+      assert(df.filter($"filled_events".isNull || $"filled_value".isNull).isEmpty)
+      assert(df.filter($"is_gap" =!= ($"n_events" === 0L)).isEmpty)
+      assert(df.filter($"is_gap" && $"hours_since_obs" <= 0).isEmpty)
+      val spanCheck = df.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          ((max(unix_micros($"bucket_ts")) - min(unix_micros($"bucket_ts")))
+            / 3600000000L + 1).as("span"))
+      assert(spanCheck.filter($"n" =!= $"span").isEmpty, "axis must be dense")
+    } finally df.unpersist()
+  }
 }

@@ -2574,17 +2574,20 @@ object SparkEntry {
     // is a windowed conditional SUM (CAST — the s19 HUGEINT lesson), the
     // best positive an unordered MAX over the same partition; doubles are
     // the engine-exact cosine kernel, floor-rounded only at the output.
-    // list_cosine_similarity RETURNS FLOAT32 on FLOAT[] inputs (the
-    // accumulation is double, d05 precedent) — every output expression
-    // must CAST to DOUBLE first or the /10000 stays float32 and hashes
-    // 0.188199997 against Spark's 0.1882
+    // list_cosine_similarity on FLOAT[] RETURNS FLOAT32, and a float32
+    // sim that lands on the other side of a x.5×10⁻⁴ boundary flips the
+    // rounded output (seen at 10×: 0.3849 vs 0.385) — so the oracle runs
+    // the kernel over DOUBLE[] (widen-then-accumulate, exactly
+    // kernels.cosineF's arithmetic) and every output expression works on
+    // the bit-identical double
     "d40_hard_negatives" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+         |                  CAST(embedding AS DOUBLE[]) AS qe
          |           FROM embeddings
          |           WHERE vec_id % ${Similarity.KnnEvalEvery} = ${Similarity.KnnEvalResidue}
          |             AND vec_id < ${Similarity.KnnEvalCap}),
          |c AS (SELECT query_id, q_label, e.vec_id AS neighbor_id, e.label AS n_label,
-         |             list_cosine_similarity(qe, e.embedding) AS sim
+         |             list_cosine_similarity(qe, CAST(e.embedding AS DOUBLE[])) AS sim
          |      FROM embeddings e, q WHERE e.vec_id <> query_id),
          |r AS (SELECT *,
          |        CAST(SUM(CASE WHEN n_label <> q_label THEN 1 ELSE 0 END)

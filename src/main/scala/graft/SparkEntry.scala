@@ -67,6 +67,8 @@ object SparkEntry {
     "q44_zorder"          -> (Relational.zorderLayout _),
     "q45_mv_maintenance"  -> (Relational.mvMaintenance _),
     "q46_gap_fill"        -> (Relational.gapFill _),
+    "q47_array_suite"     -> (Relational.arraySuite _),
+    "q48_skyline"         -> (Relational.skyline _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
     "p23_cdc_merge"       -> (PipelineOps.cdcMerge _),
@@ -120,6 +122,7 @@ object SparkEntry {
     "t25_substr_removal"    -> (TextOps.substrRemoval _),
     "t26_bpe_encode"        -> (TextOps.bpeEncode _),
     "t27_rule_gate"         -> (TextOps.ruleGate _),
+    "t33_classifier_gate"   -> (TextOps.classifierGate _),
     "t28_cdc_chunks"        -> (TextOps.cdcChunks _),
     "t29_chunk_boilerplate" -> (TextOps.chunkBoilerplate _),
     "t30_surprisal"         -> (TextOps.surprisalScore _),
@@ -542,6 +545,33 @@ object SparkEntry {
          |        AND (n_stop_types >= 2)
          |        AND (n_distinct * 2 >= n_words)) AS pass
          |FROM s ORDER BY doc_id""".stripMargin,
+    // t33: the linear-classifier score replayed feature by feature — all
+    // integer ppm arithmetic (// ≡ div, greatest-guarded denominators),
+    // weights inlined from the shared Scala constants
+    "t33_classifier_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         |         CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS w_chars
+         |  FROM documents),
+         |f AS (SELECT doc_id, source, w_chars,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CAST(len(list_filter(toks, x -> list_contains(
+         |          ['the','a','and','of','to','in','is'], x))) AS BIGINT) AS n_stop,
+         |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |      FROM t),
+         |g AS (SELECT doc_id, source, n_words,
+         |        1000000 * n_stop // greatest(n_words, 1) AS f_stop_ppm,
+         |        1000000 * n_distinct // greatest(n_words, 1) AS f_div_ppm,
+         |        1000 * w_chars // greatest(n_words, 1) AS f_len_x1000
+         |      FROM f),
+         |sc AS (SELECT *,
+         |         4 * f_stop_ppm + f_div_ppm - 150 * abs(f_len_x1000 - 4500)
+         |           + 2000 * least(n_words, 100) - ${operators.TextOps.ClfBias} AS score
+         |       FROM g)
+         |SELECT doc_id, source, n_words, f_stop_ppm, f_div_ppm, f_len_x1000,
+         |       score, score >= 0 AS keep, abs(score) AS margin
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // t28: the full CDC law replayed — W-token window poly31 hashes
     // (d02's gram CTE shape at k=4), cut ends where hash ≡ 0 mod D,
     // boundary lists rebuilt with list ops (DuckDB arrays 1-based like
@@ -747,6 +777,44 @@ object SparkEntry {
         |       filled_events, filled_value,
         |       CAST(hb - last_obs_hb AS BIGINT) AS hours_since_obs
         |FROM f ORDER BY event_type, bucket_ts""".stripMargin,
+    // q47: the per-order fold replayed with DuckDB's list machinery —
+    // list(... ORDER BY l_linenumber) pins the element order the Spark
+    // struct-sort pins; every measure is the same exact-cents fold
+    "q47_array_suite" ->
+      """WITH l AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
+        |             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |             l_returnflag AS flag
+        |           FROM lineitem),
+        |a AS (SELECT l_orderkey,
+        |        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |        CAST(SUM(qty_c) AS BIGINT) AS qty_cents,
+        |        CAST(SUM(qty_c * price_c) AS BIGINT) AS weighted_cents,
+        |        CAST(SUM((qty_c >= 3000)::INT) AS BIGINT) AS n_heavy,
+        |        array_to_string(list_sort(list_distinct(list(flag))), '') AS flags,
+        |        array_to_string(list_transform(
+        |          list_slice(list_sort(list(qty_c), 'DESC'), 1, 3),
+        |          x -> CAST(x AS VARCHAR)), ',') AS top3_qty
+        |      FROM l GROUP BY l_orderkey)
+        |SELECT * FROM a ORDER BY l_orderkey""".stripMargin,
+    // q48: the window law replayed on DuckDB's window engine (an
+    // independent RANGE-frame implementation); the spec additionally pins
+    // the law against brute-force NOT EXISTS dominance on small data
+    "q48_skyline" ->
+      """WITH o AS (SELECT o_orderpriority AS pri, o_orderkey, o_totalprice,
+        |             o_orderdate,
+        |             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |             epoch_us(o_orderdate) AS date_us
+        |           FROM orders),
+        |w AS (SELECT *,
+        |        MIN(date_us) OVER (PARTITION BY pri ORDER BY price_c DESC
+        |          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin,
+        |        MIN(date_us) OVER (PARTITION BY pri, price_c) AS eqmin
+        |      FROM o)
+        |SELECT pri, o_orderkey, o_totalprice, o_orderdate
+        |FROM w
+        |WHERE (runmin IS NULL OR runmin > date_us) AND date_us = eqmin
+        |ORDER BY pri, o_totalprice DESC, o_orderkey""".stripMargin,
     "q45_mv_maintenance" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1049,6 +1049,17 @@ object Relational {
               $"value".cast("decimal(18,6)").as("v"))
       .groupBy($"event_type", $"hb")
       .agg(count(lit(1)).as("n_events"), sum($"v").cast("double").as("sum_value"))
+    fillFromHourly(hourly)
+  }
+
+  /** The fill-on-read derivation shared by q46 (one-shot) and s28 (the
+    * streaming fold): takes the OBSERVED hourly table
+    * (event_type, hb, n_events, sum_value) and densifies + forward-fills.
+    * Everything here is |types|×|hours|-sized — the corpus never re-enters.
+    */
+  private[graft] def fillFromHourly(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
     val axis = hourly.groupBy($"event_type")
       .agg(min($"hb").as("lo"), max($"hb").as("hi"))
       .select($"event_type", explode(sequence($"lo", $"hi")).as("hb"))
@@ -1065,5 +1076,83 @@ object Relational {
         $"is_gap", $"filled_events", $"filled_value",
         ($"hb" - $"last_obs_hb").as("hours_since_obs"))
       .orderBy($"event_type", $"bucket_ts")
+  }
+
+  /** q47: the array / higher-order-function suite — collection columns as
+    * first-class values: per order, the line items fold into ONE ordered
+    * array (struct sort on linenumber pins the order deterministically —
+    * collect_list alone guarantees nothing), and every downstream measure
+    * is row-local array math: aggregate() folds, zip_with() pairs two
+    * projections positionally, filter() counts by predicate, array_distinct
+    * / array_sort / slice / reverse / array_join shape presentation
+    * strings. This is the sanctioned HOF habitat (SURVEY §7f): per-order
+    * arrays are ≤7 elements, so interpreted lambda evaluation is noise —
+    * the 30× corpus-scale HOF lesson applies to corpus-length strings, not
+    * bounded nests. Money stays exact: DECIMAL(18,2)→cents BIGINT before
+    * any fold (q01's law), so every output hash-checks. Plan: ONE exchange
+    * (the per-order collect), then pure codegen'd projection.
+    */
+  def arraySuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def cents(c: Column) = (c.cast("decimal(18,2)") * 100).cast("long")
+    val li = graft.Tables.lineitem(s, dir).select($"l_orderkey",
+      struct($"l_linenumber", cents($"l_quantity").as("qty_c"),
+        cents($"l_extendedprice").as("price_c"),
+        $"l_returnflag".as("flag")).as("ln"))
+    li.groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"ln")).as("lines"))
+      .withColumn("qtys", expr("transform(lines, x -> x.qty_c)"))
+      .select($"l_orderkey",
+        size($"lines").cast("long").as("n_lines"),
+        expr("aggregate(qtys, 0L, (acc, x) -> acc + x)").as("qty_cents"),
+        expr("""aggregate(
+                  zip_with(qtys, transform(lines, x -> x.price_c),
+                           (q, p) -> q * p),
+                  0L, (acc, x) -> acc + x)""").as("weighted_cents"),
+        expr("size(filter(lines, x -> x.qty_c >= 3000))")
+          .cast("long").as("n_heavy"),
+        array_join(array_sort(array_distinct(
+          expr("transform(lines, x -> x.flag)"))), "").as("flags"),
+        array_join(expr(
+          "transform(slice(reverse(array_sort(qtys)), 1, 3), x -> cast(x as string))"),
+          ",").as("top3_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  /** q48: per-group skyline (Pareto frontier) — the multi-objective "best"
+    * the single-key top-k (q05) cannot express: within each order priority,
+    * keep orders no other order beats on BOTH axes (total price ↑, order
+    * date ↓ — "at least as expensive AND at least as early, strictly better
+    * on one"). Quadratic NOT-EXISTS is the textbook phrasing; the engine
+    * computes it in one window pass over integer cents: sorted by price
+    * descending, a row survives the strict-price axis iff its date beats
+    * the running MIN date over STRICTLY higher-priced rows (a RANGE frame
+    * to 1 PRECEDING on integer cents — exactly "strictly greater"), and
+    * survives the tie axis iff it holds the MIN date among its price peers
+    * (equal-price-equal-date duplicates all survive: no strict edge).
+    * O(n log n) per group, ONE exchange on the group key; at 100 TB the
+    * skyline identity skyline(∪ skyline(partᵢ)) = skyline(∪ partᵢ) makes
+    * this a map-side pre-filter + tiny global pass — the frontier is
+    * near-constant-sized while the corpus grows. The spec proves the
+    * window law ≡ brute-force dominance on data small enough to afford it.
+    */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = graft.Tables.orders(s, dir).select(
+      $"o_orderpriority".as("pri"), $"o_orderkey", $"o_totalprice",
+      $"o_orderdate",
+      ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+      // o_orderdate reads as TIMESTAMP_NTZ; the session TZ is pinned UTC,
+      // so the cast is the identity epoch mapping DuckDB's epoch_us uses
+      expr("unix_micros(cast(o_orderdate as timestamp))").as("date_us"))
+    val strictlyPricier = Window.partitionBy($"pri").orderBy($"price_c".desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val pricePeers = Window.partitionBy($"pri", $"price_c")
+    o.withColumn("runmin", min($"date_us").over(strictlyPricier))
+      .withColumn("eqmin", min($"date_us").over(pricePeers))
+      .filter(($"runmin".isNull || $"runmin" > $"date_us") &&
+              $"date_us" === $"eqmin")
+      .select($"pri", $"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"pri", $"o_totalprice".desc, $"o_orderkey")
   }
 }

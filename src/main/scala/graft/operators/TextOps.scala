@@ -1139,4 +1139,45 @@ object TextOps {
       .withColumn("md_len", length($"markdown").cast("long"))
       .orderBy($"doc_id")
   }
+
+  /** t33: model-based quality gate — the classifier-filter stage of modern
+    * curation stacks (fastText-style quality classifiers, DCLM/FineWeb-Edu
+    * shape): score each doc with a LINEAR model over exact integer features
+    * and keep docs whose score clears the decision boundary. The weight
+    * vector here is a fixed stub (training needs a labeled set and a
+    * learner, neither in this sandbox); everything around it — feature
+    * extraction, integer dot-product scoring, margin audit, gate — is the
+    * production plumbing, and a trained vector drops in without touching
+    * the plan. Features are exact integers (ppm ratios via `div`, never
+    * floats) so score and margin hash-check cross-engine. Relative to the
+    * neighbors: t27's named rules answer "WHY was this dropped", t06's
+    * blended score ranks, THIS answers "HOW CLOSE to the boundary" — the
+    * margin is the triage signal for threshold tuning and active labeling
+    * (docs with |margin| near 0 are what a curator sends for annotation).
+    * All scan-local codegen column math; zero exchanges before the
+    * presentation sort; at 100 TB this is a pure map stage.
+    */
+  val ClfBias = 700000L
+  def classifierGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(trim(lower($"text")), "\\s+")
+    val df = Tables.documents(s, dir)
+      .withColumn("n_words", size(toks).cast("long"))
+      .withColumn("w_chars", length(regexp_replace($"text", "\\s+", "")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isInCollection(Stopwords))).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("f_stop_ppm", expr("1000000 * n_stop div greatest(n_words, 1L)"))
+      .withColumn("f_div_ppm", expr("1000000 * n_distinct div greatest(n_words, 1L)"))
+      .withColumn("f_len_x1000", expr("1000 * w_chars div greatest(n_words, 1L)"))
+      .withColumn("score",
+        lit(4L) * $"f_stop_ppm" + $"f_div_ppm"
+          - lit(150L) * abs($"f_len_x1000" - 4500L)
+          + lit(2000L) * least($"n_words", lit(100L))
+          - lit(ClfBias))
+    df.select($"doc_id", $"source", $"n_words",
+        $"f_stop_ppm", $"f_div_ppm", $"f_len_x1000",
+        $"score", ($"score" >= 0L).as("keep"), abs($"score").as("margin"))
+      .orderBy($"doc_id")
+  }
 }

@@ -550,4 +550,70 @@ class RelationalSpec extends SparkSpec {
       assert(spanCheck.filter($"n" =!= $"span").isEmpty, "axis must be dense")
     } finally df.unpersist()
   }
+
+  test("q47 array suite: folds agree with flat SQL aggregation; one exchange") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q47_array_suite")(spark, sfDir).cache()
+    try {
+      // independent flat-aggregation replay of the array folds
+      val flat = Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey",
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("qc"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("pc"))
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("e_n"), sum($"qc").as("e_qty"),
+             sum($"qc" * $"pc").as("e_w"),
+             sum(when($"qc" >= 3000, 1L).otherwise(0L)).as("e_heavy"))
+      val bad = df.join(flat, "l_orderkey")
+        .filter($"n_lines" =!= $"e_n" || $"qty_cents" =!= $"e_qty" ||
+                $"weighted_cents" =!= $"e_w" || $"n_heavy" =!= $"e_heavy")
+      assert(bad.isEmpty, "array folds must equal flat aggregation")
+      // top3 is a descending prefix of at most 3 comma-separated cents
+      val t3 = df.select(split($"top3_qty", ",").as("t"), $"n_lines").cache()
+      try {
+        assert(t3.filter(size($"t") =!= least($"n_lines", lit(3L))).isEmpty)
+        assert(t3.filter(size($"t") >= 2 &&
+          element_at($"t", 1).cast("long") < element_at($"t", 2).cast("long")).isEmpty)
+      } finally t3.unpersist()
+      // flags are sorted distinct single chars from {A,N,R}
+      assert(df.filter(!$"flags".rlike("^A?N?R?$") || length($"flags") === 0).isEmpty)
+      // plan: the per-order collect is the ONLY exchange before the sort
+      val ex = deepExchanges(physical(
+        SparkEntry.queries("q47_array_suite")(spark, sfDir)))
+      assert(ex.count(e => !e.outputPartitioning.toString.contains("range")) <= 1,
+        s"expected one hash exchange, got ${ex.map(_.outputPartitioning)}")
+    } finally df.unpersist()
+  }
+
+  test("q48 skyline: window law equals brute-force dominance; frontier is Pareto") {
+    import spark.implicits._
+    val sky = SparkEntry.queries("q48_skyline")(spark, sfDir).cache()
+    try {
+      val o = Tables.orders(spark, sfDir).select(
+        $"o_orderpriority".as("pri"), $"o_orderkey".as("k"),
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("p"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("d"))
+      // brute force: dominated rows (affordable at sf0.001 within priority)
+      val l = o; val r = o.select($"pri", $"k".as("k2"), $"p".as("p2"), $"d".as("d2"))
+      val dominated = l.join(r, Seq("pri"))
+        .filter($"p2" >= $"p" && $"d2" <= $"d" && ($"p2" > $"p" || $"d2" < $"d"))
+        .select($"pri", $"k").distinct()
+      val brute = o.join(dominated, Seq("pri", "k"), "left_anti")
+        .select($"pri", $"k").collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      val win = sky.select($"pri", $"o_orderkey")
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(win == brute, s"window skyline != brute force (${win.size} vs ${brute.size})")
+      // Pareto sanity: within a priority, ordered by price desc the dates
+      // strictly improve (no row is dominated by a pricier frontier row)
+      val viol = sky
+        .select($"pri",
+          ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("p"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("d"))
+        .withColumn("prevd", min($"d").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"pri")
+            .orderBy($"p".desc).rangeBetween(Long.MinValue, -1)))
+        .filter($"prevd".isNotNull && $"prevd" <= $"d")
+      assert(viol.isEmpty, "frontier rows must strictly improve on date as price drops")
+    } finally sky.unpersist()
+  }
 }

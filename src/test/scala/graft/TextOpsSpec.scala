@@ -615,4 +615,30 @@ class TextOpsSpec extends SparkSpec {
         !$"markdown".contains("**")).isEmpty)
     } finally df.unpersist()
   }
+
+  test("t33 classifier gate: score is the exact feature dot product, gate non-degenerate") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t33_classifier_gate")(spark, sfDir).cache()
+    try {
+      // the score column IS the inlined linear model — replay it
+      val bad = df.filter($"score" =!=
+        lit(4L) * $"f_stop_ppm" + $"f_div_ppm"
+          - lit(150L) * abs($"f_len_x1000" - 4500L)
+          + lit(2000L) * least($"n_words", lit(100L))
+          - lit(operators.TextOps.ClfBias))
+      assert(bad.isEmpty, "score must equal the weight dot product")
+      assert(df.filter($"keep" =!= ($"score" >= 0L)).isEmpty)
+      assert(df.filter($"margin" =!= abs($"score")).isEmpty)
+      // decision boundary must cut the corpus, not rubber-stamp it
+      val n = df.count(); val kept = df.filter($"keep").count()
+      assert(kept > 0 && kept < n, s"degenerate gate: $kept/$n")
+      // margin is the triage signal: some docs live near the boundary
+      assert(df.filter($"margin" < 50000L).count() > 0, "no near-boundary docs")
+      // pure map stage: zero exchanges before the presentation sort
+      val ex = deepExchanges(physical(
+        SparkEntry.queries("t33_classifier_gate")(spark, sfDir)))
+      assert(ex.forall(_.outputPartitioning.toString.contains("range")),
+        s"classifier gate must be scan-local, got ${ex.map(_.outputPartitioning)}")
+    } finally df.unpersist()
+  }
 }

@@ -193,6 +193,7 @@ object SparkEntry {
     "m09_phash_neardup"    -> ((s, d) => Multimodal.phashNeardup(s, d)),
     "m10_modality_route"   -> (Multimodal.modalityRoute _),
     "m11_header_parse"     -> (Multimodal.headerParse _),
+    "m12_align_gate"       -> (Multimodal.alignGate _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -215,6 +216,7 @@ object SparkEntry {
     "s25_erasure_fold" -> (graft.streaming.Streams.erasureFoldBatch _),
     "s26_census_fold"  -> (graft.streaming.Streams.censusFoldBatch _),
     "s27_watermark_audit" -> (graft.streaming.Streams.watermarkAudit _),
+    "s28_fill_fold"    -> (graft.streaming.Streams.fillFoldBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -433,6 +435,36 @@ object SparkEntry {
        |FROM dw JOIN et USING (term) WHERE term <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared by q46 (one-shot resample) and s28 (the ingest fold): dense
+    * hourly axis per type via range off the |types|-row min/max agg;
+    * LAST_VALUE IGNORE NULLS is the carry-forward on both engines; value
+    * sums DECIMAL-then-double (s01 law).
+    */
+  private val GapFillOracle: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+      |             CAST(value AS DECIMAL(18,6)) AS v FROM events),
+      |h AS (SELECT event_type, hb, COUNT(*) AS n_events,
+      |             CAST(SUM(v) AS DOUBLE) AS sum_value
+      |      FROM e GROUP BY 1, 2),
+      |mm AS (SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi
+      |       FROM h GROUP BY 1),
+      |ax AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hb FROM mm),
+      |j AS (SELECT ax.event_type, ax.hb, h.n_events, h.sum_value
+      |      FROM ax LEFT JOIN h ON h.event_type = ax.event_type AND h.hb = ax.hb),
+      |f AS (SELECT event_type, hb, n_events, sum_value,
+      |        n_events IS NULL AS is_gap,
+      |        LAST_VALUE(n_events IGNORE NULLS) OVER w AS filled_events,
+      |        LAST_VALUE(sum_value IGNORE NULLS) OVER w AS filled_value,
+      |        MAX(CASE WHEN n_events IS NOT NULL THEN hb END) OVER w AS last_obs_hb
+      |      FROM j
+      |      WINDOW w AS (PARTITION BY event_type ORDER BY hb
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, make_timestamp(hb * 3600000000) AS bucket_ts,
+      |       COALESCE(n_events, 0) AS n_events, is_gap,
+      |       filled_events, filled_value,
+      |       CAST(hb - last_obs_hb AS BIGINT) AS hours_since_obs
+      |FROM f ORDER BY event_type, bucket_ts""".stripMargin
 
   private val SurprisalOracle: String =
     """WITH tk AS (SELECT doc_id,
@@ -752,31 +784,35 @@ object SparkEntry {
     // fold proves incremental MV refresh reaches the rebuild bit-for-bit
     // q46: dense hourly axis per type via range off the |types|-row
     // min/max agg; LAST_VALUE IGNORE NULLS is the carry-forward on both
-    // engines; value sums DECIMAL-then-double (s01 law)
-    "q46_gap_fill" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
-        |             CAST(value AS DECIMAL(18,6)) AS v FROM events),
-        |h AS (SELECT event_type, hb, COUNT(*) AS n_events,
-        |             CAST(SUM(v) AS DOUBLE) AS sum_value
-        |      FROM e GROUP BY 1, 2),
-        |mm AS (SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi
-        |       FROM h GROUP BY 1),
-        |ax AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hb FROM mm),
-        |j AS (SELECT ax.event_type, ax.hb, h.n_events, h.sum_value
-        |      FROM ax LEFT JOIN h ON h.event_type = ax.event_type AND h.hb = ax.hb),
-        |f AS (SELECT event_type, hb, n_events, sum_value,
-        |        n_events IS NULL AS is_gap,
-        |        LAST_VALUE(n_events IGNORE NULLS) OVER w AS filled_events,
-        |        LAST_VALUE(sum_value IGNORE NULLS) OVER w AS filled_value,
-        |        MAX(CASE WHEN n_events IS NOT NULL THEN hb END) OVER w AS last_obs_hb
-        |      FROM j
-        |      WINDOW w AS (PARTITION BY event_type ORDER BY hb
-        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_type, make_timestamp(hb * 3600000000) AS bucket_ts,
-        |       COALESCE(n_events, 0) AS n_events, is_gap,
-        |       filled_events, filled_value,
-        |       CAST(hb - last_obs_hb AS BIGINT) AS hours_since_obs
-        |FROM f ORDER BY event_type, bucket_ts""".stripMargin,
+    // engines; value sums DECIMAL-then-double (s01 law). SHARED with s28:
+    // the fold's readout must hash-equal the one-shot resample.
+    "q46_gap_fill" -> GapFillOracle,
+    "s28_fill_fold" -> GapFillOracle,
+    // m12: the two-tower alignment replayed — hash-trick text vector via
+    // the shared poly31 (d = h % dims, sign = (h // dims) % 2), cosine on
+    // DOUBLE[] (the d40 float32-return lesson), keep from the ROUNDED value
+    "m12_align_gate" ->
+      s"""WITH w AS (SELECT doc_id, source,
+         |            regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |          FROM documents),
+         |hs AS (SELECT doc_id, source,
+         |         list_transform(toks, t -> ${CrossHashSql.poly31("t", 0)}) AS hs
+         |       FROM w),
+         |tv AS (SELECT doc_id, source, list_transform(range(0, ${operators.Multimodal.AlignDims}), d ->
+         |         CAST(COALESCE(list_sum(list_transform(
+         |           list_filter(hs, hh -> hh % ${operators.Multimodal.AlignDims} = d),
+         |           hh -> CASE WHEN (hh // ${operators.Multimodal.AlignDims}) % 2 = 1
+         |                      THEN 1 ELSE -1 END)), 0) AS DOUBLE)) AS tvec
+         |       FROM hs),
+         |j AS (SELECT tv.doc_id, tv.source,
+         |        CASE WHEN list_sum(list_transform(tv.tvec, x -> abs(x))) = 0 THEN 0.0
+         |             ELSE list_cosine_similarity(tv.tvec, CAST(e.embedding AS DOUBLE[]))
+         |        END AS c
+         |      FROM tv JOIN embeddings e ON e.vec_id = tv.doc_id)
+         |SELECT doc_id, source,
+         |       FLOOR(c * 1000000 + 0.5) / 1000000 AS align,
+         |       FLOOR(c * 1000000 + 0.5) / 1000000 >= 0 AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
     // q47: the per-order fold replayed with DuckDB's list machinery —
     // list(... ORDER BY l_linenumber) pins the element order the Spark
     // struct-sort pins; every measure is the same exact-cents fold

@@ -39,6 +39,7 @@ object GraftFunctions {
     "regex_count"     -> (es => RegexCountExpr(es(0), es(1))),
     "non_alnum_count" -> (es => NonAlnumCountExpr(es(0))),
     "interleave_bits" -> (es => InterleaveBitsExpr(es(0), es(1))),
+    "hash_embed"      -> (es => HashEmbedExpr(es(0), es(1))),
   )
 
   /** Idempotently register all graft functions on a session. */
@@ -49,6 +50,7 @@ object GraftFunctions {
   import org.apache.spark.sql.functions.call_function
 
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def hashEmbed(tokens: Column, dims: Column): Column = call_function("hash_embed", tokens, dims)
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def shingleHashes(tokens: Column, k: Column): Column = call_function("shingle_hashes", tokens, k)
   def minhashSig(hashes: Column, n: Column): Column = call_function("minhash_sig", hashes, n)

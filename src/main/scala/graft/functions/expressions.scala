@@ -48,6 +48,27 @@ object kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Feature-hashing ("hash trick") text projection: each token lands in
+    * dimension poly31(t) mod dims with sign ±1 from the next hash bit, the
+    * classic Weinberger et al. 2009 construction. One pass, zero
+    * allocation beyond the output; values are small integers stored as
+    * floats (exact well below 2^24) so the result feeds cosine_sim
+    * directly against a stored embedding column. DuckDB mirror: the same
+    * poly31 per token, d = h % dims, sign = (h // dims) % 2.
+    */
+  def hashEmbed(tokens: ArrayData, dims: Int): ArrayData = {
+    val acc = new Array[Float](dims)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = CrossHash.poly31(tokens.getUTF8String(i), 0L)
+      val d = (h % dims).toInt
+      acc(d) = acc(d) + (if (((h / dims) % 2L) == 1L) 1f else -1f)
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
   /** 64-bit simhash over a token array: per-token 64-bit hash votes on each
     * bit position; the sign of the tally sets the output bit.
     */
@@ -581,6 +602,23 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** hash_embed(array<string>, dims) -> array<float>: feature-hashing text
+  * projection (the deterministic "text tower" for cross-modal alignment).
+  */
+case class HashEmbedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(ArrayType(StringType), IntegerType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(tokens: Any, dims: Any): Any =
+    kernels.hashEmbed(tokens.asInstanceOf[ArrayData], dims.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) => s"graft.functions.kernels.hashEmbed($t, $d)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "hash_embed"
 }
 
 /** simhash64(array<string>) -> long, codegen'd. */

@@ -465,4 +465,38 @@ object Multimodal {
           .as("payload_md5"))
       .orderBy($"doc_id")
   }
+
+  /** m12: cross-modal alignment gate — the CLIP-score filtering stage of
+    * image-text corpus curation (keep pairs whose two-tower similarity
+    * clears a floor; LAION's construction): the stored embedding column is
+    * the "image tower" output (the encoder is the stub, per the m07/m08
+    * convention — a model swap changes no plumbing), and the "text tower"
+    * is a REAL deterministic encoder: the feature-hashing projection
+    * (hash_embed kernel — poly31 token hash → dimension + sign, Weinberger
+    * et al. 2009), so the whole gate is reproducible and hash-oracled
+    * end to end. Alignment = cosine between the two towers, computed by
+    * the same double-accumulation kernel d05/d40 pinned cross-engine;
+    * emitted floor-rounded at 1e-6 with the keep verdict derived from the
+    * ROUNDED value (both engines compare identical doubles). Plan: the
+    * projection is scan-local codegen over the docs scan; the ONE exchange
+    * is the id equi-join against the embedding store — at 100 TB both
+    * sides bucket by id and the join is zero-shuffle; nothing pairwise,
+    * nothing collected. Docs without a stored embedding simply don't
+    * gate (inner join — the un-embedded backlog is p07's question).
+    */
+  val AlignDims = 64
+  def alignGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    import graft.functions.GraftFunctions.{cosineSim, hashEmbed}
+    val txt = Tables.documents(s, dir).select($"doc_id", $"source",
+      hashEmbed(split(trim(lower($"text")), "\\s+"), lit(AlignDims)).as("tvec"))
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id".as("doc_id"), $"embedding")
+    txt.join(emb, "doc_id")
+      .select($"doc_id", $"source",
+        (floor(cosineSim($"tvec", $"embedding") * 1e6 + 0.5) / 1e6).as("align"))
+      .withColumn("keep", $"align" >= 0.0)
+      .orderBy($"doc_id")
+  }
 }

@@ -1040,4 +1040,43 @@ object Streams {
         expr("d1h * 1000000 div n_events").as("drop_ppm_1h"))
       .orderBy($"event_type")
   }
+
+  /** s28: gap fill maintained at ingest — q46's resample as a fold. The
+    * state is the OBSERVED hourly table only: (type, hour) → (count,
+    * DECIMAL sum), merged additively per micro-batch (s01's watermarked
+    * hourly aggregate is the stream-side producer of exactly these rows),
+    * and the dense axis + forward fill DERIVE from state at read time
+    * (fill-on-read — materializing filled gap rows into state would make
+    * state grow with silent time instead of with data, and a late event
+    * landing in a "gap" hour would have to retract fabricated rows; as a
+    * derivation, a late arrival just flips that hour on the next read).
+    * Counts and DECIMAL sums are associative+commutative, so ANY batch
+    * split folds to the same state — the 3-batch replay's readout
+    * hash-equals the one-shot q46 through the SHARED oracle text, proving
+    * the ingest loop and the batch resample can never drift. State is
+    * |types|×|observed hours| regardless of corpus size; the fill axis
+    * never touches the corpus.
+    */
+  val FillReplayBatches = 3
+  def fillFoldBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hb"),
+              $"value".cast("decimal(18,6)").as("v"), $"event_id")
+    var state: Option[DataFrame] = None
+    for (b <- 0 until FillReplayBatches) {
+      val inc = rows.filter(pmod($"event_id", lit(FillReplayBatches.toLong)) === b)
+        .groupBy($"event_type", $"hb")
+        .agg(count(lit(1)).as("n_events"), sum($"v").as("sum_v"))
+      state = Some((state match {
+        case None => inc
+        case Some(st) => st.unionByName(inc)
+          .groupBy($"event_type", $"hb")
+          .agg(sum($"n_events").as("n_events"), sum($"sum_v").as("sum_v"))
+      }).localCheckpoint(true))
+    }
+    graft.operators.Relational.fillFromHourly(
+      state.get.select($"event_type", $"hb", $"n_events",
+                       $"sum_v".cast("double").as("sum_value")))
+  }
 }

@@ -1139,4 +1139,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(executed.queryExecution.executedPlan.toString.contains("ReusedExchange"),
       "totals and pair consumers must share the shingle aggregate")
   }
+
+  test("m12 align gate: hash-trick tower is deterministic, cosine bounded, gate cuts") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    // kernel law on a hand vector: signs/dims from poly31 exactly
+    val toks = Seq("alpha", "beta", "alpha").toDF("t")
+      .agg(collect_list($"t").as("ts"))
+      .select(graft.functions.GraftFunctions.hashEmbed($"ts", lit(8)).as("v"))
+      .head().getSeq[Float](0)
+    val h = (t: String) => graft.functions.CrossHash.poly31(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), 0L)
+    val expect = new Array[Float](8)
+    Seq("alpha", "beta", "alpha").foreach { t =>
+      val hv = h(t)
+      expect((hv % 8).toInt) += (if (((hv / 8) % 2L) == 1L) 1f else -1f)
+    }
+    assert(toks == expect.toSeq, s"kernel $toks != law ${expect.toSeq}")
+    // the keyed gate: every align in [-1, 1], keep == (align >= 0), both
+    // verdicts present (random towers straddle zero), join is id-exact
+    val df = SparkEntry.queries("m12_align_gate")(spark, sfDir).cache()
+    try {
+      assert(df.filter($"align" < -1.0 || $"align" > 1.0).isEmpty)
+      assert(df.filter($"keep" =!= ($"align" >= 0.0)).isEmpty)
+      assert(df.filter($"keep").count() > 0 && df.filter(!$"keep").count() > 0)
+      val nEmb = Tables.embeddings(spark, sfDir).count()
+      val nDocs = Tables.documents(spark, sfDir).count()
+      assert(df.count() == math.min(nEmb, nDocs),
+        "gate must cover exactly the embedded docs")
+    } finally df.unpersist()
+  }
 }

@@ -770,4 +770,20 @@ class StreamingSpec extends SparkSpec {
     val inSessions = df.agg(sum("n_events")).head().getLong(0)
     assert(inSessions == events, s"sessionizer lost rows: $inSessions != $events")
   }
+
+  test("s28 fill fold: folded hourly state derives the one-shot q46 resample bit-for-bit") {
+    val s = spark
+    val fold = SparkEntry.queries("s28_fill_fold")(s, sfDir)
+    val oneShot = SparkEntry.queries("q46_gap_fill")(s, sfDir)
+    assert(fold.except(oneShot).isEmpty && oneShot.except(fold).isEmpty,
+      "fill derived from folded state must equal the batch resample")
+    // fill-on-read: state carries only OBSERVED hours — the fold's axis
+    // size equals the batch one, but its pre-derivation state is bounded
+    // by distinct (type, hour) pairs, which the observed table pins
+    val observed = Tables.events(s, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .distinct().count()
+    val filled = fold.count()
+    assert(observed <= filled, s"state rows $observed exceed dense axis $filled")
+  }
 }

@@ -68,6 +68,7 @@ object SparkEntry {
     "q45_mv_maintenance"  -> (Relational.mvMaintenance _),
     "q46_gap_fill"        -> (Relational.gapFill _),
     "q47_array_suite"     -> (Relational.arraySuite _),
+    "q49_anomaly_mad"     -> (Relational.anomalyMad _),
     "q48_skyline"         -> (Relational.skyline _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
@@ -813,6 +814,24 @@ object SparkEntry {
          |       FLOOR(c * 1000000 + 0.5) / 1000000 AS align,
          |       FLOOR(c * 1000000 + 0.5) / 1000000 >= 0 AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
+    // q49: exact lower medians selected from sorted lists (1-based index
+    // on both engines), cross-multiplied k·MAD verdict — all integer
+    "q49_anomaly_mad" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb FROM events),
+        |h AS (SELECT event_type, hb, CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM e GROUP BY 1, 2),
+        |m1 AS (SELECT event_type, list_sort(list(n_events)) AS ls FROM h GROUP BY 1),
+        |md AS (SELECT event_type, ls[(len(ls) + 1) // 2] AS med FROM m1),
+        |d AS (SELECT h.event_type, h.hb, h.n_events, md.med,
+        |             abs(h.n_events - md.med) AS dev
+        |      FROM h JOIN md USING (event_type)),
+        |m2 AS (SELECT event_type, list_sort(list(dev)) AS ls FROM d GROUP BY 1),
+        |ma AS (SELECT event_type, ls[(len(ls) + 1) // 2] AS mad FROM m2)
+        |SELECT d.event_type, make_timestamp(hb * 3600000000) AS bucket_ts,
+        |       n_events, med, ma.mad, dev,
+        |       dev * 1000 > 4500 * greatest(ma.mad, 1) AS is_anomaly
+        |FROM d JOIN ma USING (event_type)
+        |ORDER BY event_type, bucket_ts""".stripMargin,
     // q47: the per-order fold replayed with DuckDB's list machinery —
     // list(... ORDER BY l_linenumber) pins the element order the Spark
     // struct-sort pins; every measure is the same exact-cents fold

@@ -1078,6 +1078,49 @@ object Relational {
       .orderBy($"event_type", $"bucket_ts")
   }
 
+  /** q49: robust time-series anomaly detection — the alerting consumer of
+    * q46's resample: flag hours whose event volume sits more than k MADs
+    * from the typical hour, per type. Median/MAD instead of mean/stddev
+    * because volume anomalies are exactly what corrupts the mean (one burst
+    * hour drags the z-score baseline toward itself; the median ignores it)
+    * — and both medians are EXACT lower medians selected from sorted
+    * arrays, all-integer, so the verdict hash-checks cross-engine where a
+    * float stddev would sit at libm's mercy. Shape: one corpus exchange
+    * (the (type, hour) agg — q46's), then two |types|-row aggregates
+    * (collect the ≤|hours| counts per type — bounded by the time span, NOT
+    * the corpus; a year is 8760 values) broadcast back against the hourly
+    * table. The k·MAD compare is cross-multiplied (dev·1000 > 4500·mad, no
+    * division); an all-quiet type (mad = 0) falls back to "any deviation
+    * from the median" via greatest(mad, 1).
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame =
+    anomalyMadOf(graft.Tables.events(s, dir))
+
+  private[graft] def anomalyMadOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val hourly = events
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hb"))
+      .groupBy($"event_type", $"hb")
+      .agg(count(lit(1)).as("n_events"))
+    def lowerMedian(df: DataFrame, c: String, as: String) = {
+      import df.sparkSession.implicits._
+      df.groupBy($"event_type")
+        .agg(array_sort(collect_list(col(c))).as("arr"))
+        .select($"event_type",
+          expr("element_at(arr, cast((size(arr) + 1) div 2 as int))").as(as))
+    }
+    val med = lowerMedian(hourly, "n_events", "med")
+    val withMed = hourly.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"n_events" - $"med"))
+    val mad = lowerMedian(withMed, "dev", "mad")
+    withMed.join(broadcast(mad), "event_type")
+      .select($"event_type", timestamp_micros($"hb" * 3600000000L).as("bucket_ts"),
+        $"n_events", $"med", $"mad", $"dev",
+        ($"dev" * 1000L > lit(4500L) * greatest($"mad", lit(1L))).as("is_anomaly"))
+      .orderBy($"event_type", $"bucket_ts")
+  }
+
   /** q47: the array / higher-order-function suite — collection columns as
     * first-class values: per order, the line items fold into ONE ordered
     * array (struct sort on linenumber pins the order deterministically —

@@ -585,6 +585,34 @@ class RelationalSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q49 anomaly MAD: planted burst flags, quiet hours don't, medians exact") {
+    import spark.implicits._
+    // type A: four 2-event hours + one 50-event burst (med=2, mad=0 ->
+    // greatest-guard path); type B: counts 1..5 (med=3, mad=1)
+    val rows =
+      (0 until 4).flatMap(h => (0 until 2).map(i =>
+        (h.toLong * 2 + i, java.sql.Timestamp.valueOf(s"2024-01-01 0$h:10:00"), "A"))) ++
+      (0 until 50).map(i =>
+        (100L + i, java.sql.Timestamp.valueOf("2024-01-01 04:10:00"), "A")) ++
+      (1 to 5).flatMap(h => (0 until h).map(i =>
+        (200L + h * 10 + i, java.sql.Timestamp.valueOf(s"2024-01-01 0$h:20:00"), "B")))
+    val events = rows.toDF("event_id", "ts", "event_type")
+    val out = operators.Relational.anomalyMadOf(events)
+      .collect().map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("bucket_ts").getTime,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toSeq
+    val a = out.filter(_._1 == "A")
+    assert(a.forall(x => x._4 == 2 && x._5 == 0), s"A med/mad wrong: $a")
+    assert(a.count(_._6) == 1 && a.find(_._6).get._3 == 50L,
+      "exactly the burst hour must flag for A")
+    val b = out.filter(_._1 == "B")
+    assert(b.forall(x => x._4 == 3 && x._5 == 1), s"B med/mad wrong: $b")
+    assert(b.forall(!_._6), "counts 1..5 with mad=1 are within 4.5 MADs")
+    // real feed: verdicts exist on both sides and the rate is alert-like
+    val df = SparkEntry.queries("q49_anomaly_mad")(spark, sfDir)
+    val n = df.count(); val flagged = df.filter($"is_anomaly").count()
+    assert(flagged < n / 10, s"anomaly rate implausibly high: $flagged/$n")
+  }
+
   test("q48 skyline: window law equals brute-force dominance; frontier is Pareto") {
     import spark.implicits._
     val sky = SparkEntry.queries("q48_skyline")(spark, sfDir).cache()

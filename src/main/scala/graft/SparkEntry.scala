@@ -124,6 +124,7 @@ object SparkEntry {
     "t26_bpe_encode"        -> (TextOps.bpeEncode _),
     "t27_rule_gate"         -> (TextOps.ruleGate _),
     "t33_classifier_gate"   -> (TextOps.classifierGate _),
+    "t34_dsir_weights"      -> (TextOps.dsirWeights _),
     "t28_cdc_chunks"        -> (TextOps.cdcChunks _),
     "t29_chunk_boilerplate" -> (TextOps.chunkBoilerplate _),
     "t30_surprisal"         -> (TextOps.surprisalScore _),
@@ -605,6 +606,48 @@ object SparkEntry {
          |SELECT doc_id, source, n_words, f_stop_ppm, f_div_ppm, f_len_x1000,
          |       score, score >= 0 AS keep, abs(score) AS margin
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // t34: the importance-ratio law replayed — HALF-bit logs via
+    // printf('%b') of the SQUARE (t30's rendering-length law, one digit
+    // finer), add-one target smoothing as +1/vocab-mass integers, negative
+    // milli division truncates toward zero on both engines, and the
+    // top-quarter histogram cutoff keeps the boundary tie block
+    "t34_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, source,
+         |              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         |            FROM documents),
+         |tk2 AS (SELECT doc_id, source, term FROM tk WHERE term <> ''),
+         |raw AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt_raw,
+         |               CAST(SUM(CASE WHEN source = '${operators.TextOps.DsirTarget}'
+         |                             THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+         |        FROM tk2 GROUP BY 1),
+         |model AS (SELECT term, cnt_raw, cnt_t + 1 AS cnt_tgt FROM raw),
+         |tot AS (SELECT CAST(SUM(cnt_raw) AS BIGINT) AS total_raw,
+         |               CAST(SUM(cnt_tgt) AS BIGINT) AS total_tgt FROM model),
+         |sc AS (SELECT doc_id, source,
+         |         CAST((length(printf('%b', total_raw * total_raw))
+         |             - length(printf('%b', cnt_raw * cnt_raw)))
+         |            - (length(printf('%b', total_tgt * total_tgt))
+         |             - length(printf('%b', cnt_tgt * cnt_tgt)))
+         |           AS BIGINT) AS imp
+         |       FROM tk2 JOIN model USING (term), tot),
+         |agg AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |               CAST(SUM(imp) AS BIGINT) AS imp_halfbits_total,
+         |               CAST(SUM(imp) * 1000 // COUNT(*) AS BIGINT) AS mean_imp_milli
+         |        FROM sc GROUP BY doc_id, source),
+         |pool AS (SELECT * FROM agg
+         |         WHERE source <> '${operators.TextOps.DsirTarget}'),
+         |q AS (SELECT (COUNT(*) + 3) // 4 AS quota FROM pool),
+         |hist AS (SELECT mean_imp_milli AS v, COUNT(*) AS c
+         |         FROM pool GROUP BY 1),
+         |cum AS (SELECT v, SUM(c) OVER (ORDER BY v DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM hist),
+         |cut AS (SELECT MAX(CASE WHEN cum >= quota THEN v END) AS cutoff
+         |        FROM cum, q)
+         |SELECT doc_id, source, n_toks, imp_halfbits_total, mean_imp_milli,
+         |       (source <> '${operators.TextOps.DsirTarget}'
+         |        AND mean_imp_milli >= cutoff) AS selected
+         |FROM agg, cut ORDER BY doc_id""".stripMargin,
     // t28: the full CDC law replayed — W-token window poly31 hashes
     // (d02's gram CTE shape at k=4), cut ends where hash ≡ 0 mod D,
     // boundary lists rebuilt with list ops (DuckDB arrays 1-based like

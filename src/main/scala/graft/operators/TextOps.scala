@@ -1157,6 +1157,76 @@ object TextOps {
     * All scan-local codegen column math; zero exchanges before the
     * presentation sort; at 100 TB this is a pure map stage.
     */
+  /** t34: DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — domain-TARGETED
+    * selection, the question t30's corpus-perplexity filter can't answer
+    * ("is this doc more like my target domain than like the raw pool?"):
+    * score every doc by the log-likelihood RATIO of a target unigram model
+    * over the raw-corpus model, in exact integer HALF-bits — t30's
+    * rendering-length log law sharpened one binary digit by squaring the
+    * operand: length(bin(x²)) = ⌊2·log2 x⌋ + 1 (Spark length(bin()) ≡
+    * DuckDB length(printf('%b')), no floating log anywhere; a ratio needs
+    * the finer grain where t30's absolute surprisal does not, because the
+    * two models' logs nearly cancel. The squares bound the law to counts
+    * < 3·10⁹ — beyond that, shard the census and merge, same plan). Target
+    * model = add-one-smoothed counts over the target source's docs (the
+    * +1 handles target-unseen terms; its mass shows up as total_t + vocab
+    * in the denominator, all integers); importance(doc) =
+    * Σ_tokens [surprisal_raw − surprisal_target] — positive means the
+    * target model is less surprised than the corpus model, i.e. the doc
+    * leans toward the domain. Selection takes the TOP QUARTER of
+    * non-target docs by importance — via the exact-histogram cutoff
+    * (d24/q43's calibration pattern: cumsum over |distinct score| histogram
+    * rows, never a corpus-wide rank sort), with the whole boundary tie
+    * block kept (deterministic overshoot, documented — production DSIR
+    * breaks ties with Gumbel noise; a hash oracle can't). Plan: ONE corpus
+    * token exchange feeds BOTH censuses (raw and target share the partial
+    * agg), the model is a vocab-sized left join, scoring re-joins tokens
+    * co-partitioned on term and folds per doc — t15/t30's vocabulary
+    * shape; the cutoff window runs over histogram rows only; at 100 TB
+    * the vocab tables bucket by term and nothing corpus-sized moves twice.
+    */
+  val DsirTarget = "src0"
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirOf(Tables.documents(s, dir))
+
+  private[graft] def dsirOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select($"doc_id", $"source",
+        explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+    val raw = toks.groupBy($"term")
+      .agg(count(lit(1)).as("cnt_raw"),
+           sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("cnt_t"))
+    val model = raw.select($"term", $"cnt_raw", ($"cnt_t" + 1L).as("cnt_tgt"))
+    val totals = model.agg(sum($"cnt_raw").as("total_raw"),
+                           sum($"cnt_tgt").as("total_tgt"))
+    def bits2(c: Column) = length(bin(c * c))
+    val scored = toks.join(model, "term").crossJoin(broadcast(totals))
+      .select($"doc_id", $"source",
+        ((bits2($"total_raw") - bits2($"cnt_raw"))
+          - (bits2($"total_tgt") - bits2($"cnt_tgt"))).cast("long").as("imp"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_toks"), sum($"imp").as("imp_halfbits_total"))
+      .select($"doc_id", $"source", $"n_toks", $"imp_halfbits_total",
+        expr("imp_halfbits_total * 1000 div n_toks").as("mean_imp_milli"))
+    import org.apache.spark.sql.expressions.Window
+    val pool = scored.filter($"source" =!= DsirTarget)
+    val hist = pool.groupBy($"mean_imp_milli").agg(count(lit(1)).as("c"))
+    val wDesc = Window.orderBy($"mean_imp_milli".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = hist
+      .withColumn("cum", sum($"c").over(wDesc))
+      .crossJoin(broadcast(pool.agg(expr("(count(1) + 3) div 4").as("quota"))))
+      .agg(max(when($"cum" >= $"quota", $"mean_imp_milli")).as("cutoff"))
+    scored.crossJoin(broadcast(cutoff))
+      .withColumn("selected",
+        $"source" =!= DsirTarget && $"mean_imp_milli" >= $"cutoff")
+      .drop("cutoff")
+      .orderBy($"doc_id")
+  }
+
   val ClfBias = 700000L
   def classifierGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -616,6 +616,40 @@ class TextOpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("t34 DSIR: target-vocab docs outrank disjoint-vocab docs, quota holds") {
+    import spark.implicits._
+    // target (src0) speaks vocab A; doc 10 (srcX) is pure vocab A, doc 11
+    // pure vocab B — the importance ratio must order 10 above 11
+    // vocab-B words repeat in the pool: an add-one-smoothed SINGLETON is
+    // not evidence against the target (cnt_raw = cnt_tgt = 1 scores ~0)
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "apple berry cherry apple berry", "src0")) ++
+      Seq((10L, "apple berry cherry berry apple", "srcX"),
+          (11L, "zebra quark zebra quark zebra", "srcX"),
+          (12L, "apple zebra berry quark cherry", "srcX"))
+    ).toDF("doc_id", "text", "source")
+    val out = operators.TextOps.dsirOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val m = (id: Long) => out(id).getAs[Long]("mean_imp_milli")
+    assert(m(10) > m(12) && m(12) > m(11),
+      s"importance must order by target-vocab share: ${m(10)}, ${m(12)}, ${m(11)}")
+    assert(!out(0).getAs[Boolean]("selected"), "target docs never select")
+    assert(out(10).getAs[Boolean]("selected"), "top target-like doc selects")
+    // real corpus: selection ~ top quarter of the non-target pool (tie
+    // block may overshoot, never undershoot)
+    val df = SparkEntry.queries("t34_dsir_weights")(spark, sfDir).cache()
+    try {
+      val pool = df.filter($"source" =!= operators.TextOps.DsirTarget).count()
+      val sel = df.filter($"selected").count()
+      assert(sel >= (pool + 3) / 4, s"quota undershoot: $sel of $pool")
+      assert(sel <= pool / 2, s"tie overshoot implausibly large: $sel of $pool")
+      val minSel = df.filter($"selected").agg(min($"mean_imp_milli")).head().getLong(0)
+      val maxUnsel = df.filter(!$"selected" && $"source" =!= operators.TextOps.DsirTarget)
+        .agg(max($"mean_imp_milli")).head().getLong(0)
+      assert(minSel > maxUnsel, "selection must be a clean score cut")
+    } finally df.unpersist()
+  }
+
   test("t33 classifier gate: score is the exact feature dot product, gate non-degenerate") {
     import spark.implicits._
     val df = SparkEntry.queries("t33_classifier_gate")(spark, sfDir).cache()

@@ -196,6 +196,7 @@ object SparkEntry {
     "m10_modality_route"   -> (Multimodal.modalityRoute _),
     "m11_header_parse"     -> (Multimodal.headerParse _),
     "m12_align_gate"       -> (Multimodal.alignGate _),
+    "m13_scene_cuts"       -> (Multimodal.sceneCuts _),
     // E. Streaming (batch-equivalent transforms; streaming paths in specs)
     "s01_window_agg"   -> (graft.streaming.Streams.windowAggBatch _),
     "s02_sessionize"   -> (graft.streaming.Streams.sessionizeBatch _),
@@ -2970,6 +2971,43 @@ object SparkEntry {
         |          AND b.rk BETWEEN a.rk + 1 AND a.rk + ${operators.Dedup.NeighborWindow})
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // m13: the per-frame phash60 law is m09's bigram law over each 80-byte
+    // slice of the rebuilt two-shot payload; cut/scene via LAG + running
+    // cut count — both windows replayed on DuckDB's engine
+    "m13_scene_cuts" ->
+      s"""WITH p AS (SELECT doc_id,
+         |      repeat(rpad(lower(substring(text, 1, 40)), 40, 'x'), ${operators.Multimodal.SceneFrames})
+         |      || repeat(rpad(upper(substring(text, 41, 40)), 40, 'y'), ${operators.Multimodal.SceneFrames}) AS pay
+         |    FROM documents),
+         |fr AS (SELECT doc_id, f AS frame_idx,
+         |         substring(pay, CAST(f * ${operators.Multimodal.SceneFrameLen} + 1 AS INT),
+         |                   ${operators.Multimodal.SceneFrameLen}) AS fp
+         |       FROM p, UNNEST(range(0, ${operators.Multimodal.SceneFrames})) r(f)),
+         |c AS (SELECT doc_id, frame_idx,
+         |        list_transform(list_filter(regexp_split_to_array(fp, ''), x -> x <> ''),
+         |                       ch -> CAST(ord(ch) AS BIGINT)) AS bytes
+         |      FROM fr),
+         |bg AS (SELECT doc_id, frame_idx,
+         |         list_transform(range(1, len(bytes)), i -> (bytes[i]*131 + bytes[i+1]) % 60) AS buckets,
+         |         CAST(len(bytes) - 1 AS BIGINT) AS n
+         |       FROM c),
+         |ph AS (SELECT doc_id, frame_idx,
+         |         CAST(SUM(CASE WHEN CAST(len(list_filter(buckets, v -> v = j)) AS BIGINT) * 60 > n
+         |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS phash
+         |       FROM bg, UNNEST(range(0, 60)) r(j) GROUP BY doc_id, frame_idx),
+         |w AS (SELECT doc_id, frame_idx, phash,
+         |        LAG(phash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+         |      FROM ph),
+         |v AS (SELECT doc_id, frame_idx, phash,
+         |        CAST(COALESCE(bit_count(xor(phash, prev)), 0) AS BIGINT) AS hamming,
+         |        (prev IS NOT NULL
+         |         AND COALESCE(bit_count(xor(phash, prev)), 0) > ${operators.Multimodal.CutHamming}) AS is_cut
+         |      FROM w)
+         |SELECT doc_id, frame_idx, phash, hamming, is_cut,
+         |       CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END)
+         |         OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+         |FROM v ORDER BY doc_id, frame_idx""".stripMargin,
     "m02_frame_sample" ->
       """WITH v AS (SELECT doc_id,
         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS byte_len,

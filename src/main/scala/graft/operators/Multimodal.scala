@@ -19,6 +19,12 @@ case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, fo
 /** m09: one 60-bit perceptual hash per blob. */
 case class PHashRow(doc_id: Long, phash: Long)
 
+/** m13: one sampled frame slice of a "video" blob. */
+case class FrameSlice(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+/** m13: per-frame perceptual hash, pre-window. */
+case class FramePHash(doc_id: Long, frame_idx: Long, phash: Long)
+
 /** Multimodal-column plumbing — SURVEY.md §2.D m01.
   *
   * Media payloads are opaque `binary` columns with typed metadata alongside;
@@ -373,30 +379,35 @@ object Multimodal {
     * state. Runs in the mapPartitions codec seam: a real pipeline decodes
     * the image batch and fills the cells from pixel blocks right here.
     */
+  /** The 60-bit perceptual-hash law shared by m09 (whole-blob) and m13
+    * (per-frame): byte-bigram frequency buckets, bit set where the bucket
+    * runs above the uniform rate. The DuckDB oracles replay it with
+    * ord()/list arithmetic over the ASCII fixture payloads.
+    */
+  private[graft] def phash60(blob: Array[Byte]): Long = {
+    val counts = new Array[Long](60)
+    var i = 0
+    while (i < blob.length - 1) {
+      val b1 = blob(i) & 0xff
+      val b2 = blob(i + 1) & 0xff
+      counts((b1 * 131 + b2) % 60) += 1
+      i += 1
+    }
+    val n = (blob.length - 1).toLong
+    var ph = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) * 60L > n) ph |= (1L << j)
+      j += 1
+    }
+    ph
+  }
+
   private[graft] def phashOf(withBlobs: DataFrame): DataFrame = {
     val s = withBlobs.sparkSession
     import s.implicits._
     withBlobs.as[MediaBlob]
-      .mapPartitions { blobs =>
-        blobs.map { m =>
-          val counts = new Array[Long](60)
-          var i = 0
-          while (i < m.blob.length - 1) {
-            val b1 = m.blob(i) & 0xff
-            val b2 = m.blob(i + 1) & 0xff
-            counts((b1 * 131 + b2) % 60) += 1
-            i += 1
-          }
-          val n = (m.blob.length - 1).toLong
-          var ph = 0L
-          var j = 0
-          while (j < 60) {
-            if (counts(j) * 60L > n) ph |= (1L << j)
-            j += 1
-          }
-          PHashRow(m.doc_id, ph)
-        }
-      }
+      .mapPartitions(blobs => blobs.map(m => PHashRow(m.doc_id, phash60(m.blob))))
       .toDF()
   }
 
@@ -464,6 +475,54 @@ object Multimodal {
         when($"status" === "ok", md5(expr("substring(blob, 15, 2147483647)")))
           .as("payload_md5"))
       .orderBy($"doc_id")
+  }
+
+  /** m13: scene-cut detection — the video-pipeline segmentation step (one
+    * clip per SCENE is what a multimodal training set wants; frame-uniform
+    * sampling oversamples static shots and splits action): sample frames,
+    * perceptual-hash each (m09's phash60 law per frame — the real decoder
+    * replaces the slice-to-bytes seam, per the m07/m08 stub convention),
+    * and a frame whose hash sits far (Hamming) from its predecessor opens
+    * a new scene; scene_id is the running cut count, so downstream clips
+    * group by (doc, scene). The fixture "video" is two static shots —
+    * a 40-byte unit repeated, then a case-shifted second unit repeated —
+    * so within-shot sampled frames hash identically (hamming 0), the shot
+    * boundary is the one large jump, and BOTH verdicts exist in every row
+    * group (planted but realistic: static shot, hard cut, static shot;
+    * both engines rebuild the payload byte-identically, m01/m11
+    * convention). Plan: per-row fan-out (sequence explode + binary
+    * substring), the phash map is partition-local, ONE exchange for the
+    * per-doc lag/cumsum window; at 100 TB frames shard by (doc, time
+    * range) and cut counts merge because the window is per doc.
+    */
+  val SceneFrameLen = 80
+  val SceneFrames = 8
+  val CutHamming = 8L
+  def sceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val unitA = rpad(lower(substring($"text", 1, 40)), 40, "x")
+    val unitB = rpad(upper(substring($"text", 41, 40)), 40, "y")
+    val pay = concat(repeat(unitA, SceneFrames), repeat(unitB, SceneFrames))
+    val frames = Tables.documents(s, dir)
+      .select($"doc_id", pay.cast("binary").as("blob"))
+      .withColumn("frame_idx", explode(sequence(lit(0L), lit(SceneFrames - 1L))))
+      .select($"doc_id", $"frame_idx",
+        expr(s"substring(blob, cast(frame_idx * $SceneFrameLen + 1 as int), $SceneFrameLen)")
+          .as("frame"))
+      .as[FrameSlice]
+      .mapPartitions(it => it.map(f => FramePHash(f.doc_id, f.frame_idx, phash60(f.frame))))
+      .toDF()
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"frame_idx")
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("prev", lag($"phash", 1).over(byDoc))
+      .withColumn("hamming",
+        coalesce(bit_count($"phash".bitwiseXOR($"prev")).cast("long"), lit(0L)))
+      .withColumn("is_cut", $"prev".isNotNull && $"hamming" > CutHamming)
+      .withColumn("scene_id", sum(when($"is_cut", 1L).otherwise(0L)).over(run))
+      .select($"doc_id", $"frame_idx", $"phash", $"hamming", $"is_cut", $"scene_id")
+      .orderBy($"doc_id", $"frame_idx")
   }
 
   /** m12: cross-modal alignment gate — the CLIP-score filtering stage of

@@ -1140,6 +1140,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "totals and pair consumers must share the shingle aggregate")
   }
 
+  test("m13 scene cuts: exactly the planted shot boundary cuts, shots are static") {
+    val s = spark
+    import s.implicits._
+    val df = SparkEntry.queries("m13_scene_cuts")(spark, sfDir).cache()
+    try {
+      val half = operators.Multimodal.SceneFrames / 2
+      // within-shot frames are byte-identical => hamming 0, no cut
+      assert(df.filter($"frame_idx" =!= half && $"hamming" =!= 0L).isEmpty,
+        "static-shot frames must hash identically")
+      // the shot boundary is the ONE cut, and it opens scene 1
+      assert(df.filter($"frame_idx" === half && !$"is_cut").isEmpty,
+        "the planted hard cut must flag for every doc")
+      assert(df.filter($"scene_id" =!= when($"frame_idx" < half, 0L).otherwise(1L)).isEmpty,
+        "scene_id must segment frames at the cut")
+      // the lag/cumsum window is the only pre-sort exchange
+      val ex = deepExchanges(physical(
+        SparkEntry.queries("m13_scene_cuts")(spark, sfDir)))
+      assert(ex.count(e => !e.outputPartitioning.toString.contains("range")) <= 1,
+        s"expected one per-doc window exchange, got ${ex.map(_.outputPartitioning)}")
+    } finally df.unpersist()
+  }
+
   test("m12 align gate: hash-trick tower is deterministic, cosine bounded, gate cuts") {
     val s = spark
     import s.implicits._

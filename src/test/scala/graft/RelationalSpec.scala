@@ -611,6 +611,13 @@ class RelationalSpec extends SparkSpec {
     val df = SparkEntry.queries("q49_anomaly_mad")(spark, sfDir)
     val n = df.count(); val flagged = df.filter($"is_anomaly").count()
     assert(flagged < n / 10, s"anomaly rate implausibly high: $flagged/$n")
+    // the hourly aggregate feeds the med/mad branches and the readout as
+    // ONE reused exchange at runtime (t20/d36 idiom) — the corpus is not
+    // re-aggregated per consumer
+    val executed = SparkEntry.queries("q49_anomaly_mad")(spark, sfDir)
+    executed.collect()
+    assert(executed.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "med/mad/readout must share the hourly aggregate exchange")
   }
 
   test("q48 skyline: window law equals brute-force dominance; frontier is Pareto") {

@@ -92,6 +92,7 @@ object SparkEntry {
     "p16_render_manifest"       -> (Render.renderManifest _),
     "p19_training_mix"          -> (EndToEnd.trainingMix _),
     "p20_indexed_search"        -> (PipelineOps.indexedSearch _),
+    "p38_bm25_rank"             -> (PipelineOps.bm25Rank _),
     "p17_render_stats"          -> (Render.renderStats _),
     "p18_text_search"           -> (PipelineOps.textSearch _),
     "p21_tolerant_ingest"       -> (PipelineOps.tolerantIngest _),
@@ -468,6 +469,43 @@ object SparkEntry {
       |       filled_events, filled_value,
       |       CAST(hb - last_obs_hb AS BIGINT) AS hours_since_obs
       |FROM f ORDER BY event_type, bucket_ts""".stripMargin
+
+  /** p38: the exact-integer BM25 law regenerated per query term (one
+    * source of truth for the Scala side's SearchTerms), half-bit idf via
+    * printf('%b') of squares, the cross-multiplied tf rational with its
+    * single final div, HUGEINT-safe casts on every output.
+    */
+  private val Bm25Oracle: String = {
+    val ts = operators.PipelineOps.SearchTerms
+    val tfCols = ts.map(t =>
+      s"        CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n")
+    val dfCols = ts.map(t =>
+      s"        CAST(SUM((tf_$t > 0)::INT) AS BIGINT) AS df_$t").mkString(",\n")
+    val scoreTerms = ts.map { t =>
+      s"(length(printf('%b', (2*n_docs + 2)*(2*n_docs + 2)))" +
+        s" - length(printf('%b', (2*df_$t + 1)*(2*df_$t + 1))))" +
+        s" * (44 * total_toks * tf_$t * 1000" +
+        s" // (20 * total_toks * tf_$t + 6 * total_toks + 18 * n_docs * dl))"
+    }.mkString("\n           + ")
+    val anyMatch = ts.map(t => s"tf_$t > 0").mkString(" OR ")
+    val tfList = ts.map(t => s"tf_$t").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source,
+       |            regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+       |c AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS dl,
+       |$tfCols
+       |      FROM t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |              CAST(SUM(dl) AS BIGINT) AS total_toks,
+       |$dfCols
+       |       FROM c),
+       |sc AS (SELECT doc_id, source, dl, $tfList,
+       |         CAST($scoreTerms AS BIGINT) AS score_milli
+       |       FROM c, st WHERE $anyMatch)
+       |SELECT * FROM sc
+       |ORDER BY score_milli DESC, doc_id
+       |LIMIT ${operators.PipelineOps.Bm25K}""".stripMargin
+  }
 
   private val SurprisalOracle: String =
     """WITH tk AS (SELECT doc_id,
@@ -1294,6 +1332,7 @@ object SparkEntry {
     // p20 executes the same search through an inverted-postings plan; the
     // semantic contract (and so the oracle) is identical to p18
     "p20_indexed_search" -> TextSearchOracle,
+    "p38_bm25_rank" -> Bm25Oracle,
     // t16: exact bit-length binning (no floating log at bin boundaries)
     "t16_token_spectrum" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

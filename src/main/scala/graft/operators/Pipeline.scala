@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -117,6 +117,57 @@ object PipelineOps {
       .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
       .withColumn("score", SearchTerms.map(t => col(s"tf_$t")).reduce(_ + _))
       .orderBy($"score".desc, $"doc_id")
+  }
+
+  /** p38: BM25 ranking — the relevance layer p18/p20 return match SETS
+    * without (conjunctive tf-sum ranks long spammy docs first; BM25's
+    * saturation and length normalization are why every search engine uses
+    * it). Exact integers throughout: the tf part
+    * tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)) with the standard k1 = 1.2,
+    * b = 0.75 and avgdl = T/N cross-multiplies to the single rational
+    *   44·T·tf / (20·T·tf + 6·T + 18·N·dl)
+    * — NO intermediate truncation, one div at the final milli-scaling; the
+    * idf is Lucene's non-negative form ln(1 + (N−df+0.5)/(df+0.5)) =
+    * ln((N+1)/(df+0.5)) (the raw Robertson idf goes NEGATIVE when a term
+    * hits over half the corpus and would rank matches below non-matches),
+    * as half-bit integer logs (length(bin(x²)) = ⌊2·log2 x⌋+1, t34's law)
+    * of the 0.5-cleared operands 2N+2 / 2df+1 — monotone in x, so
+    * idf ≥ 0 always. Overflow bound: 44·T·tf·1000 needs
+    * T·tf < 2·10¹⁴ — past that, rescale T or shard (documented, not
+    * silent). Disjunctive match (any query term), top-100 by
+    * (score, doc_id) compiles to TakeOrderedAndProject — no global sort.
+    * Plan: tf/dl are scan-local array math (p18's shape), the corpus
+    * statistics (N, T, df per term) are ONE tiny aggregate broadcast back,
+    * scoring is codegen'd projection.
+    */
+  val Bm25K = 100
+  def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(lower($"text"), "\\s+")
+    val base = Tables.documents(s, dir).select(
+      $"doc_id" +: $"source" +: size(toks).cast("long").as("dl") +:
+      SearchTerms.map(t =>
+        size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      (sum($"dl").as("total_toks") +:
+       SearchTerms.map(t =>
+         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+    def bits2(c: Column) = length(bin(c * c)).cast("long")
+    val score = SearchTerms.map { t =>
+      val idf = bits2(lit(2L) * $"n_docs" + lit(2L)) -
+        bits2(lit(2L) * col(s"df_$t") + lit(1L))
+      val tfpart = expr(
+        s"44 * total_toks * tf_$t * 1000 div " +
+        s"(20 * total_toks * tf_$t + 6 * total_toks + 18 * n_docs * dl)")
+      idf * tfpart
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(($"doc_id" +: $"source" +: $"dl" +:
+        SearchTerms.map(t => col(s"tf_$t"))) :+ score.as("score_milli"): _*)
+      .orderBy($"score_milli".desc, $"doc_id")
+      .limit(Bm25K)
   }
 
   /** get_child_pages(recursive=True): transitive closure over the derived

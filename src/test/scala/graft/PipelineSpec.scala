@@ -473,4 +473,33 @@ class PipelineSpec extends SparkSpec {
       assert(df.agg(min($"fixed_changed_ppm")).head().getLong(0) > 700000L)
     } finally df.unpersist()
   }
+
+  test("p38 BM25: saturation, length normalization, non-match exclusion, top-k plan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val filler = (n: Int) => Seq.fill(n)("filler").mkString(" ")
+    Seq(
+      (1L, "spark spark spark spark " + filler(1)),   // tf 4, dl 5
+      (2L, "spark " + filler(4)),                     // tf 1, dl 5
+      (3L, "spark " + filler(45)),                    // tf 1, dl 46
+      (4L, filler(5)))                                // no query term
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
+      .withColumn("n_chars", length($"text"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("p38_bm25_rank")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("score_milli")).toMap
+    assert(!out.contains(4L), "docs matching no query term must not rank")
+    assert(out(1L) > out(2L), "more occurrences must score higher")
+    assert(out(1L) < 4 * out(2L), "tf must saturate below linear")
+    assert(out(2L) > out(3L), "same tf in a longer doc must score lower")
+    // real corpus: bounded result, strictly ordered, TakeOrdered plan
+    val df = SparkEntry.queries("p38_bm25_rank")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length <= operators.PipelineOps.Bm25K && rows.nonEmpty)
+    val scores = rows.map(_.getAs[Long]("score_milli")).toSeq
+    assert(scores == scores.sorted.reverse, "ranking must descend")
+    assert(plan("p38_bm25_rank").contains("TakeOrderedAndProject"),
+      "top-k must not global-sort")
+  }
 }

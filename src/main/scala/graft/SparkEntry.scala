@@ -185,6 +185,7 @@ object SparkEntry {
     "d38_sketch_overlap"  -> (Dedup.sketchOverlap _),
     "d39_bottomk_containment" -> (Dedup.bottomkContainment _),
     "d40_hard_negatives"  -> (Similarity.hardNegatives _),
+    "d41_lsh_quality"     -> (Dedup.lshQuality _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -2834,6 +2835,51 @@ object SparkEntry {
          |       GREATEST(contain_a_in_b, contain_b_in_a) AS max_containment,
          |       GREATEST(contain_a_in_b, contain_b_in_a) >= 0.8 AS is_contained
          |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+    // d41: truth and candidates replayed INDEPENDENTLY — exact 3-gram
+    // Jaccard over the capped sample, band collisions from the shared
+    // poly31/affine minhash CTEs (cap pushed into the w CTE)
+    "d41_lsh_quality" -> {
+      val cappedCtes = CrossHashSql.minhashCtes(3).replace("FROM documents", "FROM u")
+      s"""WITH
+         |o AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id < ${operators.Dedup.LshQualityCap}),
+         |otk AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |        FROM o),
+         |syn AS (SELECT doc_id + ${operators.Dedup.SynthOffset} AS doc_id,
+         |          array_to_string(list_transform(range(1, len(toks) + 1),
+         |            i -> CASE WHEN i % (4 + doc_id % 5) = 0
+         |                 THEN 'zz' || CAST(i - 1 AS VARCHAR) ELSE toks[i] END), ' ') AS text
+         |        FROM otk),
+         |u AS (SELECT doc_id, text FROM o UNION ALL SELECT doc_id, text FROM syn),
+         |$cappedCtes,
+         |gd AS (SELECT doc_id, list_distinct(grams) AS grams FROM g),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+         |         CAST(len(a.grams) + len(b.grams) AS BIGINT) AS sum_n
+         |       FROM gd a JOIN gd b ON a.doc_id < b.doc_id),
+         |jc AS (SELECT doc_a, doc_b,
+         |         CASE WHEN sum_n - inter = 0 THEN 1000
+         |              ELSE inter * 1000 // (sum_n - inter) END AS j
+         |       FROM pr),
+         |cd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM band a JOIN band b
+         |         ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |        AND a.doc_id < b.doc_id),
+         |fl AS (SELECT jc.doc_a, jc.doc_b, j, (cd.doc_a IS NOT NULL) AS cand
+         |       FROM jc LEFT JOIN cd
+         |         ON jc.doc_a = cd.doc_a AND jc.doc_b = cd.doc_b),
+         |th AS (SELECT unnest([${operators.Dedup.LshQualityThresholds.mkString(", ")}]) AS threshold_permille)
+         |SELECT CAST(threshold_permille AS BIGINT) AS threshold_permille,
+         |  CAST(SUM((j >= threshold_permille)::INT) AS BIGINT) AS n_true,
+         |  CAST(SUM(cand::INT) AS BIGINT) AS n_cand,
+         |  CAST(SUM((cand AND j >= threshold_permille)::INT) AS BIGINT) AS tp,
+         |  CAST(SUM((cand AND j >= threshold_permille)::INT) * 1000000
+         |    // greatest(SUM(cand::INT), 1) AS BIGINT) AS precision_ppm,
+         |  CAST(SUM((cand AND j >= threshold_permille)::INT) * 1000000
+         |    // greatest(SUM((j >= threshold_permille)::INT), 1) AS BIGINT) AS recall_ppm
+         |FROM fl, th GROUP BY threshold_permille
+         |ORDER BY threshold_permille""".stripMargin
+    },
     "d04_ngram_jaccard" ->
       s"""WITH
          |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),

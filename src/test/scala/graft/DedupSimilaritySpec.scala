@@ -1140,6 +1140,29 @@ class DedupSimilaritySpec extends SparkSpec {
       "totals and pair consumers must share the shingle aggregate")
   }
 
+  test("d41 LSH referee: S-curve measured — precision falls, recall climbs with threshold") {
+    val rows = SparkEntry.queries("d41_lsh_quality")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val ths = operators.Dedup.LshQualityThresholds
+    assert(rows.keySet == ths.toSet)
+    ths.foreach { t =>
+      val (nTrue, nCand, tp, prec, rec) = rows(t)
+      assert(tp <= nTrue && tp <= nCand, s"overlap bounds violated at $t")
+      assert(prec >= 0 && prec <= 1000000 && rec >= 0 && rec <= 1000000)
+    }
+    // mathematically guaranteed monotonicities (truth shrinks with threshold;
+    // precision over a FIXED candidate set can only fall)
+    assert(rows(200L)._1 >= rows(300L)._1 && rows(300L)._1 >= rows(500L)._1)
+    assert(rows(200L)._4 >= rows(300L)._4 && rows(300L)._4 >= rows(500L)._4)
+    // the S-curve: banding tuned at ~0.6 recalls high-J pairs far better
+    // than the planted mid-J spectrum
+    assert(rows(500L)._5 > rows(200L)._5,
+      s"recall must climb with threshold: ${rows(500L)._5} vs ${rows(200L)._5}")
+    // the planted perturbations contribute real mid-J truth
+    assert(rows(200L)._1 > 100, "augmented truth set too small to referee")
+  }
+
   test("m13 scene cuts: exactly the planted shot boundary cuts, shots are static") {
     val s = spark
     import s.implicits._

@@ -33,6 +33,38 @@ case class IndexDoc(doc_id: Long, source: String)
 /** s19 per-blob verdict: which shard of its source the blob lands in. */
 case class ShardAssign(doc_id: Long, source: String, byte_len: Long, shard_idx: Long)
 
+/** Per-type running census row emitted by the transformWithState processor. */
+case class TypeCensus(event_type: String, n_events: Long, sum_micros: Long)
+
+/** The s01-family census re-expressed through Spark 4's arbitrary-state API
+  * (`transformWithState` + `StatefulProcessor` + `ValueState`) — the
+  * successor to flatMapGroupsWithState (s02's engine): explicit typed state
+  * handles, per-state TTL, and timer callbacks instead of a single opaque
+  * GroupState. Kept deliberately minimal (ValueState fold, no timers): the
+  * spec proves the folded state reaches the batch aggregate exactly across
+  * multiple triggers, which is the property every state migration to this
+  * API must preserve. Requires the RocksDB state store provider (Spark
+  * constraint for transformWithState; the spec sets it per-query).
+  */
+class TypeCensusProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, Event, TypeCensus] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var state: ValueState[TypeCensus] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TypeCensus](
+      "census", Encoders.product[TypeCensus], TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[Event],
+                               timerValues: TimerValues): Iterator[TypeCensus] = {
+    var st = Option(state.get()).getOrElse(TypeCensus(key, 0L, 0L))
+    rows.foreach { e =>
+      st = TypeCensus(key, st.n_events + 1L, st.sum_micros + e.ts.getTime * 1000L)
+    }
+    state.update(st)
+    Iterator.single(st)
+  }
+}
+
 /** Streaming operators — SURVEY.md §2.E.
   *
   * Each transform is written against an input DataFrame, not a source, so the
@@ -150,6 +182,15 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  /** The transformWithState census stream — see [[TypeCensusProcessor]]. */
+  def censusStateStream(events: Dataset[Event]): Dataset[TypeCensus] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new TypeCensusProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Stream-static enrichment: join a live stream against a broadcast

@@ -30,6 +30,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("s29 transformWithState census: ValueState fold equals the batch aggregate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val b1 = Seq(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "view", 2.0),
+                   Event(3, ts(2), 1, "click", 3.0))
+      val b2 = Seq(Event(4, ts(3), 3, "view", 4.0), Event(5, ts(4), 2, "click", 5.0),
+                   Event(6, ts(5), 1, "view", 6.0))
+      val q = Streams.censusStateStream(input.toDS())
+        .writeStream.format("memory").queryName("tws_census")
+        .outputMode("update").start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        // latest state per type: counts are monotone, so max picks it
+        val folded = s.table("tws_census").groupBy($"event_type")
+          .agg(max($"n_events").as("n"), max($"sum_micros").as("sm"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val batch = (b1 ++ b2).toDF().groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+               sum(expr("unix_micros(ts)")).as("sm"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(folded == batch,
+          s"transformWithState fold must equal batch census: $folded vs $batch")
+        // update mode emitted one row per (type, trigger) it saw
+        assert(s.table("tws_census").count() >= folded.size)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("s02 streaming sessionizer closes sessions in-stream and via watermark") {
     val s = spark
     import s.implicits._

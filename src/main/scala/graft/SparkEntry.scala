@@ -222,6 +222,7 @@ object SparkEntry {
     "s26_census_fold"  -> (graft.streaming.Streams.censusFoldBatch _),
     "s27_watermark_audit" -> (graft.streaming.Streams.watermarkAudit _),
     "s28_fill_fold"    -> (graft.streaming.Streams.fillFoldBatch _),
+    "s30_anomaly_fold" -> (graft.streaming.Streams.anomalyFoldBatch _),
   )
 
   /** DuckDB oracle SQL, same column names/order semantics as the Spark side. */
@@ -507,6 +508,26 @@ object SparkEntry {
        |ORDER BY score_milli DESC, doc_id
        |LIMIT ${operators.PipelineOps.Bm25K}""".stripMargin
   }
+
+  /** Shared by q49 (one-shot) and s30 (the ingest fold): exact lower
+    * medians selected from sorted lists, cross-multiplied k·MAD verdict.
+    */
+  private val AnomalyMadOracle: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb FROM events),
+      |h AS (SELECT event_type, hb, CAST(COUNT(*) AS BIGINT) AS n_events
+      |      FROM e GROUP BY 1, 2),
+      |m1 AS (SELECT event_type, list_sort(list(n_events)) AS ls FROM h GROUP BY 1),
+      |md AS (SELECT event_type, ls[(len(ls) + 1) // 2] AS med FROM m1),
+      |d AS (SELECT h.event_type, h.hb, h.n_events, md.med,
+      |             abs(h.n_events - md.med) AS dev
+      |      FROM h JOIN md USING (event_type)),
+      |m2 AS (SELECT event_type, list_sort(list(dev)) AS ls FROM d GROUP BY 1),
+      |ma AS (SELECT event_type, ls[(len(ls) + 1) // 2] AS mad FROM m2)
+      |SELECT d.event_type, make_timestamp(hb * 3600000000) AS bucket_ts,
+      |       n_events, med, ma.mad, dev,
+      |       dev * 1000 > 4500 * greatest(ma.mad, 1) AS is_anomaly
+      |FROM d JOIN ma USING (event_type)
+      |ORDER BY event_type, bucket_ts""".stripMargin
 
   private val SurprisalOracle: String =
     """WITH tk AS (SELECT doc_id,
@@ -898,23 +919,10 @@ object SparkEntry {
          |       FLOOR(c * 1000000 + 0.5) / 1000000 >= 0 AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
     // q49: exact lower medians selected from sorted lists (1-based index
-    // on both engines), cross-multiplied k·MAD verdict — all integer
-    "q49_anomaly_mad" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hb FROM events),
-        |h AS (SELECT event_type, hb, CAST(COUNT(*) AS BIGINT) AS n_events
-        |      FROM e GROUP BY 1, 2),
-        |m1 AS (SELECT event_type, list_sort(list(n_events)) AS ls FROM h GROUP BY 1),
-        |md AS (SELECT event_type, ls[(len(ls) + 1) // 2] AS med FROM m1),
-        |d AS (SELECT h.event_type, h.hb, h.n_events, md.med,
-        |             abs(h.n_events - md.med) AS dev
-        |      FROM h JOIN md USING (event_type)),
-        |m2 AS (SELECT event_type, list_sort(list(dev)) AS ls FROM d GROUP BY 1),
-        |ma AS (SELECT event_type, ls[(len(ls) + 1) // 2] AS mad FROM m2)
-        |SELECT d.event_type, make_timestamp(hb * 3600000000) AS bucket_ts,
-        |       n_events, med, ma.mad, dev,
-        |       dev * 1000 > 4500 * greatest(ma.mad, 1) AS is_anomaly
-        |FROM d JOIN ma USING (event_type)
-        |ORDER BY event_type, bucket_ts""".stripMargin,
+    // on both engines), cross-multiplied k·MAD verdict — all integer.
+    // SHARED with s30: the fold's readout must hash-equal the one-shot.
+    "q49_anomaly_mad" -> AnomalyMadOracle,
+    "s30_anomaly_fold" -> AnomalyMadOracle,
     // q47: the per-order fold replayed with DuckDB's list machinery —
     // list(... ORDER BY l_linenumber) pins the element order the Spark
     // struct-sort pins; every measure is the same exact-cents fold

@@ -1099,10 +1099,22 @@ object Relational {
   private[graft] def anomalyMadOf(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val hourly = events
+    madFromHourly(events
       .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hb"))
       .groupBy($"event_type", $"hb")
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")))
+  }
+
+  /** The MAD-verdict derivation shared by q49 (one-shot) and s30 (the
+    * streaming fold): takes the OBSERVED hourly count table and attaches
+    * exact median/MAD anomaly verdicts — verdicts depend on GLOBAL
+    * medians, so they always derive at read time over the finished state
+    * (s28's fill-on-read argument: folding a verdict would mean folding a
+    * median, which is not additive).
+    */
+  private[graft] def madFromHourly(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
     def lowerMedian(df: DataFrame, c: String, as: String) = {
       import df.sparkSession.implicits._
       df.groupBy($"event_type")

@@ -184,6 +184,36 @@ object Streams {
       }
   }
 
+  /** s30: volume-anomaly monitoring maintained at ingest — q49's MAD
+    * verdicts over hourly state folded per micro-batch (s28's additive
+    * (type, hour) count state; counts are the only fold), verdicts DERIVED
+    * at read because a median is not additive: fold facts, derive
+    * judgments. 3-batch replay hash-equals the one-shot q49 through the
+    * SHARED oracle text — the ops loop (is this hour's volume anomalous,
+    * judged against everything ingested so far) can never drift from the
+    * batch law. State is |types|×|observed hours| regardless of corpus.
+    */
+  val AnomalyReplayBatches = 3
+  def anomalyFoldBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hb"),
+              $"event_id")
+    var state: Option[DataFrame] = None
+    for (b <- 0 until AnomalyReplayBatches) {
+      val inc = rows.filter(pmod($"event_id", lit(AnomalyReplayBatches.toLong)) === b)
+        .groupBy($"event_type", $"hb")
+        .agg(count(lit(1)).as("n_events"))
+      state = Some((state match {
+        case None => inc
+        case Some(st) => st.unionByName(inc)
+          .groupBy($"event_type", $"hb")
+          .agg(sum($"n_events").as("n_events"))
+      }).localCheckpoint(true))
+    }
+    graft.operators.Relational.madFromHourly(state.get)
+  }
+
   /** The transformWithState census stream — see [[TypeCensusProcessor]]. */
   def censusStateStream(events: Dataset[Event]): Dataset[TypeCensus] = {
     import events.sparkSession.implicits._

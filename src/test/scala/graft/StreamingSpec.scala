@@ -68,6 +68,14 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s30 anomaly fold: folded hourly counts derive the one-shot q49 verdicts bit-for-bit") {
+    val s = spark
+    val fold = SparkEntry.queries("s30_anomaly_fold")(s, sfDir)
+    val oneShot = SparkEntry.queries("q49_anomaly_mad")(s, sfDir)
+    assert(fold.except(oneShot).isEmpty && oneShot.except(fold).isEmpty,
+      "verdicts derived from folded state must equal the batch law")
+  }
+
   test("s02 streaming sessionizer closes sessions in-stream and via watermark") {
     val s = spark
     import s.implicits._

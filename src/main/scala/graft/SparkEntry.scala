@@ -126,6 +126,7 @@ object SparkEntry {
     "t27_rule_gate"         -> (TextOps.ruleGate _),
     "t33_classifier_gate"   -> (TextOps.classifierGate _),
     "t34_dsir_weights"      -> (TextOps.dsirWeights _),
+    "t35_script_mix"        -> (TextOps.scriptMix _),
     "t28_cdc_chunks"        -> (TextOps.cdcChunks _),
     "t29_chunk_boilerplate" -> (TextOps.chunkBoilerplate _),
     "t30_surprisal"         -> (TextOps.surprisalScore _),
@@ -667,6 +668,47 @@ object SparkEntry {
          |SELECT doc_id, source, n_words, f_stop_ppm, f_div_ppm, f_len_x1000,
          |       score, score >= 0 AS keep, abs(score) AS margin
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // t35: the script-suffix rebuild + codepoint-range counts replayed —
+    // identical literal char-class ranges in Java regex and RE2, DESC
+    // list sort for the second-script readout
+    "t35_script_mix" ->
+      """WITH p AS (SELECT doc_id,
+        |             text || repeat(CASE CAST(doc_id % 4 AS INT)
+        |                 WHEN 1 THEN ' привет мир'
+        |                 WHEN 2 THEN ' 你好世界天地人和'
+        |                 WHEN 3 THEN ' مرحبا بالعالم'
+        |                 ELSE '' END,
+        |               CAST(n_chars // 8 AS INT)) AS txt
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |        CAST(length(txt) - len(regexp_extract_all(txt, '\s')) AS BIGINT) AS n_all,
+        |        CAST(len(regexp_extract_all(txt, '[A-Za-z]')) AS BIGINT) AS c_latin,
+        |        CAST(len(regexp_extract_all(txt, '[Ѐ-ӿ]')) AS BIGINT) AS c_cyr,
+        |        CAST(len(regexp_extract_all(txt, '[一-鿿]')) AS BIGINT) AS c_cjk,
+        |        CAST(len(regexp_extract_all(txt, '[؀-ۿ]')) AS BIGINT) AS c_arab,
+        |        CAST(len(regexp_extract_all(txt, '[0-9]')) AS BIGINT) AS c_digit
+        |      FROM p),
+        |m AS (SELECT doc_id, n_all,
+        |        c_latin * 1000000 // greatest(n_all, 1) AS latin_ppm,
+        |        c_cyr * 1000000 // greatest(n_all, 1) AS cyr_ppm,
+        |        c_cjk * 1000000 // greatest(n_all, 1) AS cjk_ppm,
+        |        c_arab * 1000000 // greatest(n_all, 1) AS arab_ppm,
+        |        c_digit * 1000000 // greatest(n_all, 1) AS digit_ppm
+        |      FROM c)
+        |SELECT doc_id, n_all,
+        |       CAST(latin_ppm AS BIGINT) AS latin_ppm,
+        |       CAST(cyr_ppm AS BIGINT) AS cyr_ppm,
+        |       CAST(cjk_ppm AS BIGINT) AS cjk_ppm,
+        |       CAST(arab_ppm AS BIGINT) AS arab_ppm,
+        |       CAST(digit_ppm AS BIGINT) AS digit_ppm,
+        |       CASE WHEN latin_ppm >= cyr_ppm AND latin_ppm >= cjk_ppm
+        |                 AND latin_ppm >= arab_ppm THEN 'latin'
+        |            WHEN cyr_ppm >= cjk_ppm AND cyr_ppm >= arab_ppm THEN 'cyrillic'
+        |            WHEN cjk_ppm >= arab_ppm THEN 'cjk'
+        |            ELSE 'arabic' END AS dominant,
+        |       list_sort([latin_ppm, cyr_ppm, cjk_ppm, arab_ppm], 'DESC')[2]
+        |         > 100000 AS is_mixed
+        |FROM m ORDER BY doc_id""".stripMargin,
     // t34: the importance-ratio law replayed — HALF-bit logs via
     // printf('%b') of the SQUARE (t30's rendering-length law, one digit
     // finer), add-one target smoothing as +1/vocab-mass integers, negative

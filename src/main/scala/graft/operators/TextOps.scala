@@ -1227,6 +1227,60 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** t35: Unicode script composition — the multilingual layer t05's
+    * English-bigram lang-id cannot give (a CJK or Cyrillic doc scores
+    * "not-English" there; HERE it says WHAT it is, and mixed-script docs —
+    * the classic spam/mojibake/code-switch signal — get flagged): per doc,
+    * exact per-script character counts (Latin / Cyrillic / CJK / Arabic /
+    * digit via codepoint-range regex counts, all codegen'd through the
+    * regex_count kernel) as ppm of non-space characters, the dominant
+    * script chosen by a fixed priority order on ties, and is_mixed when a
+    * second script crosses 10%. The corpus fixture is ASCII, so each doc
+    * is deterministically EXTENDED with a script suffix scaled to its own
+    * length (doc_id mod 4 picks the script, both engines rebuild the text
+    * byte-identically — t11/m01 convention): dominance genuinely flips
+    * per row instead of rubber-stamping 'latin'. All integers ⇒ exact
+    * hash; pure scan-local map, zero pre-sort exchanges.
+    */
+  def scriptMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.GraftFunctions.regexCountDirect
+    val suffix = when(pmod($"doc_id", lit(4L)) === 1L, " привет мир")
+      .when(pmod($"doc_id", lit(4L)) === 2L, " 你好世界天地人和")
+      .when(pmod($"doc_id", lit(4L)) === 3L, " مرحبا بالعالم")
+      .otherwise("")
+    def cnt(pat: String) = regexCountDirect($"txt", lit(pat)).cast("long")
+    def ppm(c: String) = expr(s"$c * 1000000 div greatest(n_all, 1L)")
+    Tables.documents(s, dir)
+      .withColumn("sfx", suffix)
+      .withColumn("txt",
+        concat($"text", expr("repeat(sfx, cast(n_chars div 8 as int))")))
+      .withColumn("n_all", (length($"txt") - cnt("\\s")).cast("long"))
+      .withColumn("c_latin", cnt("[A-Za-z]"))
+      .withColumn("c_cyr", cnt("[Ѐ-ӿ]"))
+      .withColumn("c_cjk", cnt("[一-鿿]"))
+      .withColumn("c_arab", cnt("[؀-ۿ]"))
+      .withColumn("c_digit", cnt("[0-9]"))
+      .withColumn("latin_ppm", ppm("c_latin"))
+      .withColumn("cyr_ppm", ppm("c_cyr"))
+      .withColumn("cjk_ppm", ppm("c_cjk"))
+      .withColumn("arab_ppm", ppm("c_arab"))
+      .withColumn("digit_ppm", ppm("c_digit"))
+      .withColumn("second_ppm", expr(
+        "element_at(array_sort(array(latin_ppm, cyr_ppm, cjk_ppm, arab_ppm), " +
+        "(a, b) -> CASE WHEN a > b THEN -1 WHEN a < b THEN 1 ELSE 0 END), 2)"))
+      .withColumn("dominant",
+        when($"latin_ppm" >= $"cyr_ppm" && $"latin_ppm" >= $"cjk_ppm" &&
+             $"latin_ppm" >= $"arab_ppm", "latin")
+          .when($"cyr_ppm" >= $"cjk_ppm" && $"cyr_ppm" >= $"arab_ppm", "cyrillic")
+          .when($"cjk_ppm" >= $"arab_ppm", "cjk")
+          .otherwise("arabic"))
+      .select($"doc_id", $"n_all", $"latin_ppm", $"cyr_ppm", $"cjk_ppm",
+        $"arab_ppm", $"digit_ppm", $"dominant",
+        ($"second_ppm" > 100000L).as("is_mixed"))
+      .orderBy($"doc_id")
+  }
+
   val ClfBias = 700000L
   def classifierGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -616,6 +616,30 @@ class TextOpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("t35 script mix: ppms partition, dominance follows the planted suffix, scan-local") {
+    import spark.implicits._
+    val df = SparkEntry.queries("t35_script_mix")(spark, sfDir).cache()
+    try {
+      // script ppms can never exceed the whole, and the planted suffix
+      // makes each residue class dominant in its own script
+      assert(df.filter($"latin_ppm" + $"cyr_ppm" + $"cjk_ppm" + $"arab_ppm"
+        > 1000000L).isEmpty, "script ppms must partition the char mass")
+      val expect = Map(0L -> "latin", 1L -> "cyrillic", 2L -> "cjk", 3L -> "arabic")
+      val wrong = df.withColumn("want",
+          element_at(map(expect.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+            pmod($"doc_id", lit(4L))))
+        .filter($"dominant" =!= $"want")
+      assert(wrong.isEmpty, s"dominance must follow the planted script")
+      // suffix-free docs are pure latin and unmixed; suffixed docs mix
+      assert(df.filter(pmod($"doc_id", lit(4L)) === 0L && $"is_mixed").isEmpty)
+      assert(df.filter(pmod($"doc_id", lit(4L)) =!= 0L && !$"is_mixed").isEmpty)
+      // pure map stage
+      val ex = deepExchanges(physical(SparkEntry.queries("t35_script_mix")(spark, sfDir)))
+      assert(ex.forall(_.outputPartitioning.toString.contains("range")),
+        s"script mix must be scan-local, got ${ex.map(_.outputPartitioning)}")
+    } finally df.unpersist()
+  }
+
   test("t34 DSIR: target-vocab docs outrank disjoint-vocab docs, quota holds") {
     import spark.implicits._
     // target (src0) speaks vocab A; doc 10 (srcX) is pure vocab A, doc 11

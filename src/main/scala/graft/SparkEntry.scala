@@ -93,6 +93,7 @@ object SparkEntry {
     "p19_training_mix"          -> (EndToEnd.trainingMix _),
     "p20_indexed_search"        -> (PipelineOps.indexedSearch _),
     "p38_bm25_rank"             -> (PipelineOps.bm25Rank _),
+    "p39_bm25_fold"             -> (PipelineOps.bm25Fold _),
     "p17_render_stats"          -> (Render.renderStats _),
     "p18_text_search"           -> (PipelineOps.textSearch _),
     "p21_tolerant_ingest"       -> (PipelineOps.tolerantIngest _),
@@ -1384,6 +1385,7 @@ object SparkEntry {
     // semantic contract (and so the oracle) is identical to p18
     "p20_indexed_search" -> TextSearchOracle,
     "p38_bm25_rank" -> Bm25Oracle,
+    "p39_bm25_fold" -> Bm25Oracle,
     // t16: exact bit-length binning (no floating log at bin boundaries)
     "t16_token_spectrum" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -142,17 +142,43 @@ object PipelineOps {
     */
   val Bm25K = 100
   def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+    val base = bm25Base(Tables.documents(s, dir))
+    bm25From(base, bm25Stats(base))
+  }
+
+  /** Per-doc (dl, tf per term) projection — scan-local array math. */
+  private[graft] def bm25Base(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val toks = split(lower($"text"), "\\s+")
-    val base = Tables.documents(s, dir).select(
+    docs.select(
       $"doc_id" +: $"source" +: size(toks).cast("long").as("dl") +:
       SearchTerms.map(t =>
         size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
-    val stats = base.agg(
+  }
+
+  /** The corpus statistics BM25 needs: one row of (N, T, df per term) —
+    * every component a plain SUM/COUNT, i.e. ADDITIVE, which is what p39
+    * folds at ingest.
+    */
+  private[graft] def bm25Stats(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    base.agg(
       count(lit(1)).as("n_docs"),
       (sum($"dl").as("total_toks") +:
        SearchTerms.map(t =>
          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+  }
+
+  /** Score + rank against a FINISHED stats row — shared by p38 (one-shot)
+    * and p39 (stats folded at ingest): like s28/s30, the judgment (a
+    * ranking) derives at read time over folded facts, because idf is not
+    * additive but N/T/df are.
+    */
+  private[graft] def bm25From(base: DataFrame, stats: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
     def bits2(c: Column) = length(bin(c * c)).cast("long")
     val score = SearchTerms.map { t =>
       val idf = bits2(lit(2L) * $"n_docs" + lit(2L)) -
@@ -168,6 +194,37 @@ object PipelineOps {
         SearchTerms.map(t => col(s"tf_$t"))) :+ score.as("score_milli"): _*)
       .orderBy($"score_milli".desc, $"doc_id")
       .limit(Bm25K)
+  }
+
+  /** p39: the search index's statistics loop closed at ingest — BM25's
+    * corpus stats (N, T, df per term) are all plain counts/sums, so they
+    * FOLD additively per batch (the s28/s30 discipline: fold facts, derive
+    * judgments — idf is not additive, a ranking is not mergeable, but the
+    * three numbers under them are); after the last batch the SAME scoring
+    * derivation as p38 re-ranks and the result hash-equals the one-shot
+    * through the SHARED oracle. This is how a live search index actually
+    * refreshes relevance: postings append per batch (s14/s22's job), the
+    * stats row ticks additively, scores are computed at query time from
+    * whatever the stats row says — nobody rescans the corpus to re-rank.
+    * State = ONE row regardless of corpus size.
+    */
+  val Bm25ReplayBatches = 3
+  def bm25Fold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = bm25Base(Tables.documents(s, dir))
+    var stats: Option[DataFrame] = None
+    for (b <- 0 until Bm25ReplayBatches) {
+      val inc = bm25Stats(
+        base.filter(pmod($"doc_id", lit(Bm25ReplayBatches.toLong)) === b))
+      stats = Some((stats match {
+        case None => inc
+        case Some(st) => st.unionByName(inc).agg(
+          sum($"n_docs").as("n_docs"),
+          (sum($"total_toks").as("total_toks") +:
+           SearchTerms.map(t => sum(col(s"df_$t")).as(s"df_$t"))): _*)
+      }).localCheckpoint(true))
+    }
+    bm25From(base, stats.get)
   }
 
   /** get_child_pages(recursive=True): transitive closure over the derived

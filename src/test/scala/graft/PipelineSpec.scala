@@ -502,4 +502,11 @@ class PipelineSpec extends SparkSpec {
     assert(plan("p38_bm25_rank").contains("TakeOrderedAndProject"),
       "top-k must not global-sort")
   }
+
+  test("p39 BM25 fold: additively folded stats re-rank identically to one-shot") {
+    val fold = SparkEntry.queries("p39_bm25_fold")(spark, sfDir)
+    val oneShot = SparkEntry.queries("p38_bm25_rank")(spark, sfDir)
+    assert(fold.except(oneShot).isEmpty && oneShot.except(fold).isEmpty,
+      "ranking from folded N/T/df must equal the one-shot ranking")
+  }
 }

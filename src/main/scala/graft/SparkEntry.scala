@@ -69,6 +69,7 @@ object SparkEntry {
     "q46_gap_fill"        -> (Relational.gapFill _),
     "q47_array_suite"     -> (Relational.arraySuite _),
     "q49_anomaly_mad"     -> (Relational.anomalyMad _),
+    "q50_variant_json"    -> (Relational.variantJson _),
     "q48_skyline"         -> (Relational.skyline _),
     "d18_quota_sample"    -> (Dedup.quotaSample _),
     "d19_weighted_mix"    -> (Dedup.weightedQuotaMix _),
@@ -961,6 +962,20 @@ object SparkEntry {
          |       FLOOR(c * 1000000 + 0.5) / 1000000 AS align,
          |       FLOOR(c * 1000000 + 0.5) / 1000000 >= 0 AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
+    // q50: the oracle recomputes the expected rollup from the RAW columns
+    // (never re-parsing the document) — any variant coercion/misroute on
+    // the Spark side splits the hash
+    "q50_variant_json" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micros,
+        |             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(SUM(micros) AS BIGINT) AS sum_micros,
+        |       CAST(MAX(user_id) AS BIGINT) AS max_user,
+        |       CAST(COUNT(*) AS BIGINT) AS n_absent
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q49: exact lower medians selected from sorted lists (1-based index
     // on both engines), cross-multiplied k·MAD verdict — all integer.
     // SHARED with s30: the fold's readout must hash-equal the one-shot.

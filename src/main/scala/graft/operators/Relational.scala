@@ -1133,6 +1133,48 @@ object Relational {
       .orderBy($"event_type", $"bucket_ts")
   }
 
+  /** q50: the VARIANT path for semi-structured data — Spark 4's headline
+    * answer to "JSON columns at warehouse scale" (open-encoded binary
+    * variant, typed sub-field access without a schema, shredding-ready),
+    * next to q16's classic get_json_object-over-STRING: a nested document
+    * (object + array + scalars) is assembled deterministically from the
+    * event columns (fixture convention — the corpus's own props JSON is a
+    * single flat key, too thin to exercise paths), parsed ONCE into a
+    * VARIANT, and every downstream field access is a typed variant_get
+    * path ($.meta.user, $.vals[1], a missing path proving null semantics).
+    * All extracted values are exact integers (the double value snaps to
+    * DECIMAL micros BEFORE rendering), so the rollup hash-checks. The
+    * oracle is STRONGER than a re-parse: it recomputes the expected
+    * aggregates straight from the raw columns — if parse_json/variant_get
+    * dropped, coerced, or misrouted anything, the hashes split. Scan-local
+    * parse + one rollup exchange.
+    */
+  def variantJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val micros = ($"value".cast("decimal(18,6)") * 1000000).cast("long")
+    val j = concat(
+      lit("{\"meta\":{\"type\":\""), $"event_type",
+      lit("\",\"user\":"), $"user_id".cast("string"),
+      lit("},\"vals\":["), micros.cast("string"),
+      lit(","), get_json_object($"props", "$.k"),
+      lit("]}"))
+    Tables.events(s, dir)
+      .select(parse_json(j).as("v"))
+      .select(
+        expr("variant_get(v, '$.meta.type', 'string')").as("event_type"),
+        expr("variant_get(v, '$.meta.user', 'long')").as("user"),
+        expr("variant_get(v, '$.vals[0]', 'long')").as("micros"),
+        expr("variant_get(v, '$.vals[1]', 'long')").as("k"),
+        expr("try_variant_get(v, '$.absent', 'long')").as("absent"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        sum($"micros").as("sum_micros"),
+        max($"user").as("max_user"),
+        sum(when($"absent".isNull, 1L).otherwise(0L)).as("n_absent"))
+      .orderBy($"event_type")
+  }
+
   /** q47: the array / higher-order-function suite — collection columns as
     * first-class values: per order, the line items fold into ONE ordered
     * array (struct sort on linenumber pins the order deterministically —

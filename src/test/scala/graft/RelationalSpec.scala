@@ -620,6 +620,34 @@ class RelationalSpec extends SparkSpec {
       "med/mad/readout must share the hourly aggregate exchange")
   }
 
+  test("q50 variant: typed path access round-trips, missing paths are null, scan-local") {
+    import spark.implicits._
+    // hand-built variant: every typed path extraction returns the planted
+    // value, and a missing path is NULL (not an error, not a coercion)
+    val row = Seq("x").toDF("x").select(
+      expr("""parse_json('{"meta":{"type":"t1","user":42},"vals":[7,9]}')""").as("v"))
+      .select(
+        expr("variant_get(v, '$.meta.type', 'string')").as("t"),
+        expr("variant_get(v, '$.meta.user', 'long')").as("u"),
+        expr("variant_get(v, '$.vals[0]', 'long')").as("v0"),
+        expr("variant_get(v, '$.vals[1]', 'long')").as("v1"),
+        expr("try_variant_get(v, '$.absent', 'long')").as("a"))
+      .head()
+    assert(row.getString(0) == "t1" && row.getLong(1) == 42L &&
+      row.getLong(2) == 7L && row.getLong(3) == 9L && row.isNullAt(4))
+    // keyed rollup: totals reconcile with the raw events table
+    val df = SparkEntry.queries("q50_variant_json")(spark, sfDir)
+    val total = df.agg(sum($"n")).head().getLong(0)
+    assert(total == Tables.events(spark, sfDir).count(),
+      "variant rollup must cover every event")
+    assert(df.filter($"n_absent" =!= $"n").isEmpty,
+      "the missing path must be null for every row")
+    // parse + extract stay in the scan stage: one rollup exchange
+    val ex = deepExchanges(physical(SparkEntry.queries("q50_variant_json")(spark, sfDir)))
+    assert(ex.count(e => !e.outputPartitioning.toString.contains("range")) <= 1,
+      s"expected one rollup exchange, got ${ex.map(_.outputPartitioning)}")
+  }
+
   test("q48 skyline: window law equals brute-force dominance; frontier is Pareto") {
     import spark.implicits._
     val sky = SparkEntry.queries("q48_skyline")(spark, sfDir).cache()

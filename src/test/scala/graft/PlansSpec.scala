@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+// collation spec lives here with the other engine-feature pins
 import graft.operators.AsOf
 import graft.plans.{AsOfJoinDF, AsOfJoinExec}
 
@@ -272,5 +273,29 @@ class PlansSpec extends SparkSpec {
     val numFiles = factScan.metrics("numFiles").value
     assert(numFiles > 0 && numFiles < totalSources,
       s"DPP did not prune: scanned $numFiles files across $totalSources partitions")
+  }
+
+  test("collated strings: UTF8_LCASE groups/joins case-insensitively, engine-native") {
+    import spark.implicits._
+    // Spark 4 collation: grouping under UTF8_LCASE must merge case variants
+    // WITHOUT a lower() rewrite — the collation travels with the type
+    val df = Seq("Spark", "SPARK", "spark", "flink", "Flink", "beam")
+      .toDF("name")
+      .select(expr("collate(name, 'UTF8_LCASE')").as("name"))
+    val grouped = df.groupBy($"name").count()
+      .collect().map(r => r.getString(0).toLowerCase -> r.getLong(1)).toMap
+    assert(grouped == Map("spark" -> 3L, "flink" -> 2L, "beam" -> 1L),
+      s"collated grouping wrong: $grouped")
+    // equi-join under the collation matches across case
+    val dim = Seq(("SPARK", 1L), ("BEAM", 2L)).toDF("name", "id")
+      .select(expr("collate(name, 'UTF8_LCASE')").as("name"), $"id")
+    val joined = df.join(dim, "name").groupBy($"id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(joined == Map(1L -> 3L, 2L -> 1L), s"collated join wrong: $joined")
+    // comparison semantics: equality ignores case, binary identity doesn't
+    val eq = Seq(("a", "A")).toDF("x", "y")
+      .select((expr("collate(x, 'UTF8_LCASE')") === expr("collate(y, 'UTF8_LCASE')")).as("ci"),
+              ($"x" === $"y").as("bin")).head()
+    assert(eq.getBoolean(0) && !eq.getBoolean(1))
   }
 }

@@ -1227,11 +1227,18 @@ object Relational {
     * to 1 PRECEDING on integer cents — exactly "strictly greater"), and
     * survives the tie axis iff it holds the MIN date among its price peers
     * (equal-price-equal-date duplicates all survive: no strict edge).
-    * O(n log n) per group, ONE exchange on the group key; at 100 TB the
-    * skyline identity skyline(∪ skyline(partᵢ)) = skyline(∪ partᵢ) makes
-    * this a map-side pre-filter + tiny global pass — the frontier is
-    * near-constant-sized while the corpus grows. The spec proves the
-    * window law ≡ brute-force dominance on data small enough to afford it.
+    * O(n log n) per group — and because there are only a handful of
+    * priority groups, the global pass is NOT allowed to see the corpus:
+    * the skyline composition identity skyline(∪ skyline(partᵢ)) =
+    * skyline(∪ partᵢ) (dominance is transitive, and a strict dominator of
+    * a dropped row always survives its own partition's local pass under
+    * the keep-exact-ties law) lets a FIRST window pass run per
+    * (priority, salt) — salt derived from the session's shuffle
+    * parallelism, never a literal (the p30 lesson) — so the corpus-sized
+    * sort spreads across all reducers and only the per-salt frontiers
+    * (near-constant-sized as the corpus grows) reach the per-priority
+    * global window. The spec proves the two-stage law ≡ brute-force
+    * dominance and that the pre-filter actually shrinks the global input.
     */
   def skyline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1242,14 +1249,30 @@ object Relational {
       // o_orderdate reads as TIMESTAMP_NTZ; the session TZ is pinned UTC,
       // so the cast is the identity epoch mapping DuckDB's epoch_us uses
       expr("unix_micros(cast(o_orderdate as timestamp))").as("date_us"))
-    val strictlyPricier = Window.partitionBy($"pri").orderBy($"price_c".desc)
+    val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = skylinePass(
+      o.withColumn("salt", pmod($"o_orderkey", lit(buckets.toLong))),
+      Seq("pri", "salt")).drop("salt")
+    skylinePass(local, Seq("pri"))
+      .select($"pri", $"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"pri", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  /** One skyline window pass within `keys` partitions: survivors of the
+    * strict-price axis (running MIN date over strictly pricier rows) AND
+    * the tie axis (MIN date among price peers; exact ties all kept).
+    */
+  private[graft] def skylinePass(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val part = keys.map(col)
+    val strictlyPricier = Window.partitionBy(part: _*).orderBy($"price_c".desc)
       .rangeBetween(Window.unboundedPreceding, -1)
-    val pricePeers = Window.partitionBy($"pri", $"price_c")
-    o.withColumn("runmin", min($"date_us").over(strictlyPricier))
+    val pricePeers = Window.partitionBy(part :+ $"price_c": _*)
+    df.withColumn("runmin", min($"date_us").over(strictlyPricier))
       .withColumn("eqmin", min($"date_us").over(pricePeers))
       .filter(($"runmin".isNull || $"runmin" > $"date_us") &&
               $"date_us" === $"eqmin")
-      .select($"pri", $"o_orderkey", $"o_totalprice", $"o_orderdate")
-      .orderBy($"pri", $"o_totalprice".desc, $"o_orderkey")
+      .drop("runmin", "eqmin")
   }
 }

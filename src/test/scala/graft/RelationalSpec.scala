@@ -677,6 +677,24 @@ class RelationalSpec extends SparkSpec {
             .orderBy($"p".desc).rangeBetween(Long.MinValue, -1)))
         .filter($"prevd".isNotNull && $"prevd" <= $"d")
       assert(viol.isEmpty, "frontier rows must strictly improve on date as price drops")
+      // the salted local pass is a genuine pre-filter: far fewer rows than
+      // the corpus reach the per-priority global window
+      val proj = Tables.orders(spark, sfDir).select(
+        $"o_orderpriority".as("pri"), $"o_orderkey",
+        ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long").as("price_c"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("date_us"))
+        .withColumn("salt", pmod($"o_orderkey", lit(4L)))
+      val localN = operators.Relational.skylinePass(proj, Seq("pri", "salt")).count()
+      val total = proj.count()
+      assert(localN < total / 4,
+        s"local skyline pass must shrink the global input: $localN of $total")
+      // and composing the global pass over it loses nothing vs brute force
+      val composed = operators.Relational.skylinePass(
+        operators.Relational.skylinePass(proj, Seq("pri", "salt")).drop("salt"),
+        Seq("pri"))
+        .select($"pri", $"o_orderkey")
+        .collect().map(x => (x.getString(0), x.getLong(1))).toSet
+      assert(composed == brute, "two-stage skyline must equal brute force")
     } finally sky.unpersist()
   }
 }

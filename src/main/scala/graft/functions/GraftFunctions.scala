@@ -24,6 +24,7 @@ object GraftFunctions {
     "simhash60"       -> (es => SimHash60Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
     "gram_hashes31"   -> (es => GramHashes31Expr(es(0), es(1))),
+    "term_counts"     -> (es => TermCountsExpr(es(0), es(1))),
     "minhash_shingle_sig" -> (es => MinhashShingleSigExpr(es(0), es(1), es(2))),
     "pq_encode"       -> (es => PqEncodeExpr(es(0), es(1))),
     "nearest_centroid" -> (es => NearestCentroidExpr(es(0), es(1))),
@@ -57,6 +58,7 @@ object GraftFunctions {
   def shingleStrings(tokens: Column, k: Column): Column = call_function("shingle_strings", tokens, k)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
+  def termCounts(toks: Column, terms: Column): Column = call_function("term_counts", toks, terms)
   def minhashShingleSig(tokens: Column, k: Column, n: Column): Column =
     call_function("minhash_shingle_sig", tokens, k, n)
   def pqEncode(emb: Column, cbs: Column): Column = call_function("pq_encode", emb, cbs)

@@ -90,6 +90,41 @@ object kernels {
     out
   }
 
+  /** One-pass per-term token counts: out(j) = |{i : tokens(i) == terms(j)}|.
+    * The token array (corpus-length) is scanned ONCE regardless of |terms|;
+    * the term list (query-length, tiny) is hashed up front so each token is
+    * one O(1) lookup. This is the BM25/search tf kernel — the alternative,
+    * one interpreted `filter(toks, _ == t)` per term, is |terms| passes over
+    * every document (SURVEY §7f's 30× interpreted-HOF penalty, multiplied
+    * by the query length). Duplicate query terms each get the full count.
+    */
+  def termCounts(tokens: ArrayData, terms: ArrayData): ArrayData = {
+    val m = terms.numElements()
+    val idx = new java.util.HashMap[UTF8String, Integer](m * 2)
+    var j = 0
+    while (j < m) {
+      val t = terms.getUTF8String(j)
+      if (!idx.containsKey(t)) idx.put(t, j)
+      j += 1
+    }
+    val out = new Array[Long](m)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val p = idx.get(tokens.getUTF8String(i))
+      if (p != null) out(p) += 1L
+      i += 1
+    }
+    // duplicate terms mirror their first occurrence's count
+    j = 0
+    while (j < m) {
+      val p = idx.get(terms.getUTF8String(j))
+      if (p != null && p != j) out(j) = out(p)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** FNV-1a over UTF8 bytes — stable, allocation-free token hash. */
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -665,6 +700,24 @@ case class GramHashes31Expr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "gram_hashes31"
+}
+
+/** term_counts(array<string> toks, array<string> terms) -> array<long>:
+  * per-query-term tf in ONE pass over the token array (hash lookup per
+  * token), |terms|-independent scan cost — the BM25/search kernel.
+  */
+case class TermCountsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(ArrayType(StringType), ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, q: Any): Any =
+    kernels.termCounts(t.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, q) => s"graft.functions.kernels.termCounts($t, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "term_counts"
 }
 
 /** shingle_strings(array<string>, k) -> array<string>: k-gram strings. */

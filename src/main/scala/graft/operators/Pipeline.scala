@@ -78,13 +78,32 @@ object PipelineOps {
     * index / bloom pruning; the scan form here is the semantic contract.
     */
   val SearchTerms: Seq[String] = Seq("spark", "vector", "stream")
+
+  /** Per-doc (tf per term) columns in ONE scan: the `term_counts` codegen
+    * kernel hashes the query terms once and counts every token with an O(1)
+    * lookup — scan cost is |terms|-independent (the per-term interpreted
+    * `filter(toks, _ == t)` alternative is |terms| passes over corpus-length
+    * arrays, SURVEY §7f's measured 30× HOF penalty times the query length).
+    * Two-step select keeps the array materialized once: CollapseProject
+    * refuses to inline a non-cheap call referenced |terms| times.
+    */
+  private[graft] def termTfCols(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val toks = split(lower($"text"), "\\s+")
+    docs.select($"doc_id", $"source", size(toks).cast("long").as("dl"),
+        graft.functions.GraftFunctions.termCounts(
+          toks, array(terms.map(lit): _*)).as("tfs"))
+      .select(($"doc_id" +: $"source" +: $"dl" +:
+        terms.zipWithIndex.map { case (t, i) =>
+          element_at($"tfs", i + 1).as(s"tf_$t") }): _*)
+  }
+
   def textSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = split(lower($"text"), "\\s+")
-    val tfs = SearchTerms.map(t =>
-      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t"))
-    Tables.documents(s, dir)
-      .select($"doc_id" +: $"source" +: tfs: _*)
+    termTfCols(Tables.documents(s, dir), SearchTerms)
+      .drop("dl")
       .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
       .withColumn("score", SearchTerms.map(t => col(s"tf_$t")).reduce(_ + _))
       .orderBy($"score".desc, $"doc_id")
@@ -146,28 +165,24 @@ object PipelineOps {
     bm25From(base, bm25Stats(base))
   }
 
-  /** Per-doc (dl, tf per term) projection — scan-local array math. */
-  private[graft] def bm25Base(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val toks = split(lower($"text"), "\\s+")
-    docs.select(
-      $"doc_id" +: $"source" +: size(toks).cast("long").as("dl") +:
-      SearchTerms.map(t =>
-        size(filter(toks, x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
-  }
+  /** Per-doc (dl, tf per term) projection — ONE scan regardless of |terms|
+    * via the `term_counts` kernel ([[termTfCols]]).
+    */
+  private[graft] def bm25Base(docs: DataFrame): DataFrame =
+    termTfCols(docs, SearchTerms)
 
   /** The corpus statistics BM25 needs: one row of (N, T, df per term) —
     * every component a plain SUM/COUNT, i.e. ADDITIVE, which is what p39
     * folds at ingest.
     */
-  private[graft] def bm25Stats(base: DataFrame): DataFrame = {
+  private[graft] def bm25Stats(base: DataFrame,
+                               terms: Seq[String] = SearchTerms): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     base.agg(
       count(lit(1)).as("n_docs"),
       (sum($"dl").as("total_toks") +:
-       SearchTerms.map(t =>
+       terms.map(t =>
          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
   }
 
@@ -175,25 +190,57 @@ object PipelineOps {
     * and p39 (stats folded at ingest): like s28/s30, the judgment (a
     * ranking) derives at read time over folded facts, because idf is not
     * additive but N/T/df are.
+    *
+    * The documented overflow bound (44000·T·tf needs T·tf < ~2·10¹⁴; the
+    * denominator's 18·N·dl has its own Long ceiling) is now ENFORCED, not
+    * a comment: each operand that can wrap is computed through try_multiply
+    * / try_add, and a null (= wraparound) raises instead of silently
+    * corrupting the ranking — the rescale-or-shard limit fails loudly,
+    * matching the oracle side where DuckDB raises on BIGINT overflow.
     */
-  private[graft] def bm25From(base: DataFrame, stats: DataFrame): DataFrame = {
+  private[graft] def bm25From(base: DataFrame, stats: DataFrame,
+                              terms: Seq[String] = SearchTerms): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     def bits2(c: Column) = length(bin(c * c)).cast("long")
-    val score = SearchTerms.map { t =>
+    val score = terms.map { t =>
       val idf = bits2(lit(2L) * $"n_docs" + lit(2L)) -
         bits2(lit(2L) * col(s"df_$t") + lit(1L))
+      // ELSE is reached only when the guards pass, so its raw arithmetic is
+      // within range: 44000·T·tf ok ⇒ 20·T·tf ≤ 4.2e15 and 6·T ≤ 1.3e15;
+      // the 18·N·dl term and the final sum are guarded by the try_add.
       val tfpart = expr(
-        s"44 * total_toks * tf_$t * 1000 div " +
-        s"(20 * total_toks * tf_$t + 6 * total_toks + 18 * n_docs * dl)")
+        s"""CASE WHEN try_multiply(try_multiply(44000L, total_toks), tf_$t) IS NULL
+                   OR try_add(try_multiply(try_multiply(20L, total_toks), tf_$t)
+                                + 6L * total_toks,
+                              try_multiply(try_multiply(18L, n_docs), dl)) IS NULL
+             THEN raise_error('graft bm25: integer overflow (T*tf past ~2e14 or N*dl past ~5e17) — rescale total_toks or shard the corpus')
+             ELSE (44000L * total_toks * tf_$t) div
+                  (20L * total_toks * tf_$t + 6L * total_toks + 18L * n_docs * dl)
+             END""")
       idf * tfpart
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
-      .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
       .select(($"doc_id" +: $"source" +: $"dl" +:
-        SearchTerms.map(t => col(s"tf_$t"))) :+ score.as("score_milli"): _*)
+        terms.map(t => col(s"tf_$t"))) :+ score.as("score_milli"): _*)
       .orderBy($"score_milli".desc, $"doc_id")
       .limit(Bm25K)
+  }
+
+  /** BM25 with the query terms arriving as DATA (a query table), not code —
+    * the reference's CQL terms are user input
+    * (api_client/confluence_client.py:351-428). The term table is
+    * query-sized, so collecting it to bind the scan kernel is the
+    * documented bounded-collect pattern (twoPhaseIndex's offsets rule);
+    * the corpus is still scanned ONCE regardless of |terms| — plan-asserted
+    * in PipelineSpec.
+    */
+  def bm25RankQuery(docs: DataFrame, termsDf: DataFrame): DataFrame = {
+    val terms = termsDf.select("term").orderBy("term")
+      .collect().map(_.getString(0)).toSeq
+    val base = termTfCols(docs, terms)
+    bm25From(base, bm25Stats(base, terms), terms)
   }
 
   /** p39: the search index's statistics loop closed at ingest — BM25's

@@ -1156,7 +1156,17 @@ object Relational {
       lit("{\"meta\":{\"type\":\""), $"event_type",
       lit("\",\"user\":"), $"user_id".cast("string"),
       lit("},\"vals\":["), micros.cast("string"),
-      lit(","), get_json_object($"props", "$.k"),
+      // A missing/non-numeric $.k must degrade to a JSON null field, not
+      // nullify the whole concat (which would NULL every extracted column
+      // for that event and silently diverge from the oracle, which nulls
+      // only k). get_json_object returns digits for the fixture's numeric
+      // k; anything non-numeric is rejected to "null" too so parse_json
+      // can never see unquoted junk.
+      lit(","),
+      coalesce(
+        when(get_json_object($"props", "$.k").rlike("^-?[0-9]+$"),
+          get_json_object($"props", "$.k")),
+        lit("null")),
       lit("]}"))
     Tables.events(s, dir)
       .select(parse_json(j).as("v"))

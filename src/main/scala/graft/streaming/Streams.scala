@@ -58,7 +58,11 @@ class TypeCensusProcessor
                                timerValues: TimerValues): Iterator[TypeCensus] = {
     var st = Option(state.get()).getOrElse(TypeCensus(key, 0L, 0L))
     rows.foreach { e =>
-      st = TypeCensus(key, st.n_events + 1L, st.sum_micros + e.ts.getTime * 1000L)
+      // True microseconds: getTime() is MILLIS (would zero sub-ms digits if
+      // scaled by 1000); whole seconds from getTime, intra-second from
+      // getNanos, matching unix_micros(ts) exactly.
+      val micros = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      st = TypeCensus(key, st.n_events + 1L, st.sum_micros + micros)
     }
     state.update(st)
     Iterator.single(st)

@@ -509,4 +509,63 @@ class PipelineSpec extends SparkSpec {
     assert(fold.except(oneShot).isEmpty && oneShot.except(fold).isEmpty,
       "ranking from folded N/T/df must equal the one-shot ranking")
   }
+
+  test("p38 parameterized terms: ONE corpus scan regardless of |terms|, counts exact") {
+    import spark.implicits._
+    // ten terms arriving as DATA (a query table), not code constants —
+    // the reference's CQL terms are user input
+    val terms = Seq("spark", "vector", "stream", "data", "query", "index",
+                    "join", "filter", "table", "cache")
+    val termsDf = terms.toDF("term")
+    val docs = Tables.documents(spark, sfDir)
+    val ranked = operators.PipelineOps.bm25RankQuery(docs, termsDf)
+    val sample = ranked.limit(20).collect()
+    // plan law: corpus scans must not multiply with the query length — the
+    // count is a CONSTANT (ranking side + the broadcast stats subtree),
+    // identical to the 3-term keyed plan (the interpreted per-term filter()
+    // alternative is |terms| array passes; this is the single-scan kernel)
+    def deepScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepScans(q.plan)
+      }.flatten
+    val n10 = deepScans(ranked.queryExecution.executedPlan).length
+    val r3 = SparkEntry.queries("p38_bm25_rank")(spark, sfDir)
+    r3.limit(1).collect()
+    val n3 = deepScans(r3.queryExecution.executedPlan).length
+    assert(n10 == n3 && n10 <= 2,
+      s"scan count must be |terms|-independent: 10 terms -> $n10, 3 terms -> $n3")
+    // value law: the kernel's tf per term equals the independently computed
+    // per-term count on a sample of ranked docs
+    val expected = docs
+      .select($"doc_id" +: terms.map(t =>
+        size(filter(split(lower($"text"), "\\s+"), x => x === lit(t)))
+          .cast("long").as(s"tf_$t")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    sample.foreach { r =>
+      val ref = expected(r.getLong(0))
+      terms.sorted.foreach { t =>
+        assert(r.getAs[Long](s"tf_$t") == ref.getAs[Long](s"tf_$t"),
+          s"tf_$t mismatch for doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("p38 overflow guard: wraparound raises instead of corrupting the ranking") {
+    import spark.implicits._
+    // stats with total_toks near the T*tf bound: 44000 * 3e14 * tf(>1)
+    // overflows Long — the guard must raise, not emit a wrapped score
+    val base = Seq((1L, "srcX", 5L, 2L, 1L, 0L))
+      .toDF("doc_id", "source", "dl", "tf_spark", "tf_vector", "tf_stream")
+    val stats = Seq((10L, 300000000000000L, 1L, 1L, 1L))
+      .toDF("n_docs", "total_toks", "df_spark", "df_vector", "df_stream")
+    val ex = intercept[Exception] {
+      operators.PipelineOps.bm25From(base, stats).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("graft bm25: integer overflow")),
+      s"expected loud overflow, got: ${messages(ex).mkString(" | ")}")
+  }
 }

@@ -39,10 +39,14 @@ class StreamingSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val input = MemoryStream[Event]
+      // tsSub carries a non-zero microsecond remainder BELOW the millisecond
+      // (123456 µs within the second): the fold must match unix_micros(ts)
+      // on it, which a millis-scaled fold (getTime * 1000) cannot.
+      val tsSub = { val t = ts(6); t.setNanos(123456000); t }
       val b1 = Seq(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 2, "view", 2.0),
                    Event(3, ts(2), 1, "click", 3.0))
       val b2 = Seq(Event(4, ts(3), 3, "view", 4.0), Event(5, ts(4), 2, "click", 5.0),
-                   Event(6, ts(5), 1, "view", 6.0))
+                   Event(6, ts(5), 1, "view", 6.0), Event(7, tsSub, 2, "view", 7.0))
       val q = Streams.censusStateStream(input.toDS())
         .writeStream.format("memory").queryName("tws_census")
         .outputMode("update").start()

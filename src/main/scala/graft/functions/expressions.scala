@@ -103,23 +103,32 @@ object kernels {
     val idx = new java.util.HashMap[UTF8String, Integer](m * 2)
     var j = 0
     while (j < m) {
-      val t = terms.getUTF8String(j)
-      if (!idx.containsKey(t)) idx.put(t, j)
+      // null elements are skipped, not read: UnsafeArrayData.getUTF8String on
+      // a null slot yields a bogus empty string (null would conflate with "");
+      // a null term simply counts 0
+      if (!terms.isNullAt(j)) {
+        val t = terms.getUTF8String(j)
+        if (!idx.containsKey(t)) idx.put(t, j)
+      }
       j += 1
     }
     val out = new Array[Long](m)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val p = idx.get(tokens.getUTF8String(i))
-      if (p != null) out(p) += 1L
+      if (!tokens.isNullAt(i)) {
+        val p = idx.get(tokens.getUTF8String(i))
+        if (p != null) out(p) += 1L
+      }
       i += 1
     }
     // duplicate terms mirror their first occurrence's count
     j = 0
     while (j < m) {
-      val p = idx.get(terms.getUTF8String(j))
-      if (p != null && p != j) out(j) = out(p)
+      if (!terms.isNullAt(j)) {
+        val p = idx.get(terms.getUTF8String(j))
+        if (p != null && p != j) out(j) = out(p)
+      }
       j += 1
     }
     new GenericArrayData(out)

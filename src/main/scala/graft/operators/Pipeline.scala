@@ -79,6 +79,28 @@ object PipelineOps {
     */
   val SearchTerms: Seq[String] = Seq("spark", "vector", "stream")
 
+  /** Positional per-term column names. Query terms are USER DATA (the
+    * reference's CQL terms, api_client/confluence_client.py:351-428), so a
+    * term must never become part of an identifier or SQL text: a term with
+    * an apostrophe/space/dot/backtick would crash expr() or col() parsing,
+    * duplicate terms would collide as ambiguous columns, and a crafted term
+    * spliced into expr() is SQL-expression injection (Spark exposes
+    * reflect/java_method — code execution from data). Columns are
+    * tf_0..tf_{n-1} / df_0..df_{n-1}; the term->index mapping lives in
+    * Scala, and terms reach the plan ONLY as `lit()` values.
+    */
+  private[graft] def tfCol(i: Int): String = s"tf_$i"
+  private[graft] def dfCol(i: Int): String = s"df_$i"
+
+  /** Rename the positional tf columns to human-facing tf_<term> names for
+    * the keyed queries whose terms are CODE CONSTANTS (SearchTerms) — the
+    * oracle SQL publishes those names. withColumnsRenamed does not parse
+    * names, and this is never applied to user-supplied terms.
+    */
+  private[graft] def tfDisplay(df: DataFrame, terms: Seq[String]): DataFrame =
+    df.withColumnsRenamed(
+      terms.indices.map(i => tfCol(i) -> s"tf_${terms(i)}").toMap)
+
   /** Per-doc (tf per term) columns in ONE scan: the `term_counts` codegen
     * kernel hashes the query terms once and counts every token with an O(1)
     * lookup — scan cost is |terms|-independent (the per-term interpreted
@@ -96,16 +118,17 @@ object PipelineOps {
         graft.functions.GraftFunctions.termCounts(
           toks, array(terms.map(lit): _*)).as("tfs"))
       .select(($"doc_id" +: $"source" +: $"dl" +:
-        terms.zipWithIndex.map { case (t, i) =>
-          element_at($"tfs", i + 1).as(s"tf_$t") }): _*)
+        terms.indices.map(i => element_at($"tfs", i + 1).as(tfCol(i)))): _*)
   }
 
   def textSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    termTfCols(Tables.documents(s, dir), SearchTerms)
-      .drop("dl")
-      .filter(SearchTerms.map(t => col(s"tf_$t") > 0).reduce(_ && _))
-      .withColumn("score", SearchTerms.map(t => col(s"tf_$t")).reduce(_ + _))
+    tfDisplay(
+      termTfCols(Tables.documents(s, dir), SearchTerms)
+        .drop("dl")
+        .filter(SearchTerms.indices.map(i => col(tfCol(i)) > 0).reduce(_ && _))
+        .withColumn("score", SearchTerms.indices.map(i => col(tfCol(i))).reduce(_ + _)),
+      SearchTerms)
       .orderBy($"score".desc, $"doc_id")
   }
 
@@ -160,9 +183,9 @@ object PipelineOps {
     * scoring is codegen'd projection.
     */
   val Bm25K = 100
-  def bm25Rank(s: SparkSession, dir: String): DataFrame = {
+  def bm25Rank(s: SparkSession, dir: String): DataFrame =  {
     val base = bm25Base(Tables.documents(s, dir))
-    bm25From(base, bm25Stats(base))
+    tfDisplay(bm25From(base, bm25Stats(base)), SearchTerms)
   }
 
   /** Per-doc (dl, tf per term) projection — ONE scan regardless of |terms|
@@ -176,14 +199,14 @@ object PipelineOps {
     * folds at ingest.
     */
   private[graft] def bm25Stats(base: DataFrame,
-                               terms: Seq[String] = SearchTerms): DataFrame = {
+                               nTerms: Int = SearchTerms.length): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     base.agg(
       count(lit(1)).as("n_docs"),
       (sum($"dl").as("total_toks") +:
-       terms.map(t =>
-         sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+       (0 until nTerms).map(i =>
+         sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(dfCol(i)))): _*)
   }
 
   /** Score + rank against a FINISHED stats row — shared by p38 (one-shot)
@@ -199,31 +222,32 @@ object PipelineOps {
     * matching the oracle side where DuckDB raises on BIGINT overflow.
     */
   private[graft] def bm25From(base: DataFrame, stats: DataFrame,
-                              terms: Seq[String] = SearchTerms): DataFrame = {
+                              nTerms: Int = SearchTerms.length): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     def bits2(c: Column) = length(bin(c * c)).cast("long")
-    val score = terms.map { t =>
+    val score = (0 until nTerms).map { i =>
       val idf = bits2(lit(2L) * $"n_docs" + lit(2L)) -
-        bits2(lit(2L) * col(s"df_$t") + lit(1L))
+        bits2(lit(2L) * col(dfCol(i)) + lit(1L))
       // ELSE is reached only when the guards pass, so its raw arithmetic is
       // within range: 44000·T·tf ok ⇒ 20·T·tf ≤ 4.2e15 and 6·T ≤ 1.3e15;
       // the 18·N·dl term and the final sum are guarded by the try_add.
+      // Only the POSITIONAL tf_<i> name reaches this SQL text — never a term.
       val tfpart = expr(
-        s"""CASE WHEN try_multiply(try_multiply(44000L, total_toks), tf_$t) IS NULL
-                   OR try_add(try_multiply(try_multiply(20L, total_toks), tf_$t)
+        s"""CASE WHEN try_multiply(try_multiply(44000L, total_toks), ${tfCol(i)}) IS NULL
+                   OR try_add(try_multiply(try_multiply(20L, total_toks), ${tfCol(i)})
                                 + 6L * total_toks,
                               try_multiply(try_multiply(18L, n_docs), dl)) IS NULL
              THEN raise_error('graft bm25: integer overflow (T*tf past ~2e14 or N*dl past ~5e17) — rescale total_toks or shard the corpus')
-             ELSE (44000L * total_toks * tf_$t) div
-                  (20L * total_toks * tf_$t + 6L * total_toks + 18L * n_docs * dl)
+             ELSE (44000L * total_toks * ${tfCol(i)}) div
+                  (20L * total_toks * ${tfCol(i)} + 6L * total_toks + 18L * n_docs * dl)
              END""")
       idf * tfpart
     }.reduce(_ + _)
     base.crossJoin(broadcast(stats))
-      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .filter((0 until nTerms).map(i => col(tfCol(i)) > 0).reduce(_ || _))
       .select(($"doc_id" +: $"source" +: $"dl" +:
-        terms.map(t => col(s"tf_$t"))) :+ score.as("score_milli"): _*)
+        (0 until nTerms).map(i => col(tfCol(i)))) :+ score.as("score_milli"): _*)
       .orderBy($"score_milli".desc, $"doc_id")
       .limit(Bm25K)
   }
@@ -235,12 +259,26 @@ object PipelineOps {
     * documented bounded-collect pattern (twoPhaseIndex's offsets rule);
     * the corpus is still scanned ONCE regardless of |terms| — plan-asserted
     * in PipelineSpec.
+    *
+    * Terms are normalized in Scala (trim/lowercase to match the lowercased
+    * tokenization, drop null/empty, DEDUPE, sort) and then exist in the plan
+    * only as `lit()` values and positional tf_<i> columns — a term
+    * containing quotes, dots, spaces, or SQL is just data (spec-proven with
+    * hostile terms). Output tf_<i> follows the sorted-distinct term order.
     */
   def bm25RankQuery(docs: DataFrame, termsDf: DataFrame): DataFrame = {
-    val terms = termsDf.select("term").orderBy("term")
-      .collect().map(_.getString(0)).toSeq
+    val terms = normalizedTerms(termsDf)
     val base = termTfCols(docs, terms)
-    bm25From(base, bm25Stats(base, terms), terms)
+    bm25From(base, bm25Stats(base, terms.length), terms.length)
+  }
+
+  /** Sorted-distinct normalized query terms (the tf_<i> index order). */
+  private[graft] def normalizedTerms(termsDf: DataFrame): Seq[String] = {
+    val terms = termsDf.select("term").collect()
+      .flatMap(r => Option(r.getString(0)).map(_.trim.toLowerCase))
+      .filter(_.nonEmpty).distinct.sorted.toSeq
+    require(terms.nonEmpty, "bm25RankQuery: no usable query terms")
+    terms
   }
 
   /** p39: the search index's statistics loop closed at ingest — BM25's
@@ -268,10 +306,10 @@ object PipelineOps {
         case Some(st) => st.unionByName(inc).agg(
           sum($"n_docs").as("n_docs"),
           (sum($"total_toks").as("total_toks") +:
-           SearchTerms.map(t => sum(col(s"df_$t")).as(s"df_$t"))): _*)
+           SearchTerms.indices.map(i => sum(col(dfCol(i))).as(dfCol(i)))): _*)
       }).localCheckpoint(true))
     }
-    bm25From(base, stats.get)
+    tfDisplay(bm25From(base, stats.get), SearchTerms)
   }
 
   /** get_child_pages(recursive=True): transitive closure over the derived
@@ -817,16 +855,20 @@ object PipelineOps {
       mrow("dup_ppm", expr("(n_docs - n_distinct) * 1000000L div n_docs")),
       mrow("mean_doc_tokens", expr("n_tokens div n_docs")))).as("m"))
       .select($"m.metric", $"m.value")
+    // ONE corpus-count lineage shared by the ppm and quartile sections
+    // (duplicate lineages dedupe via exchange reuse at runtime, but one
+    // lineage is the repo convention — the q43 lesson)
+    val nt = base.agg(count(lit(1)).as("nt"))
     def compRows(col: String, prefix: String): DataFrame =
       base.groupBy(base(col).as("k")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(base.agg(count(lit(1)).as("nt"))))
+        .crossJoin(broadcast(nt))
         .select(concat(lit(prefix), $"k").as("metric"),
                 expr("n * 1000000L div nt").as("value"))
     // exact quartiles from the ≤10⁴-row quality histogram (d24's shape)
     val hist = base.groupBy($"q_e4").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum($"c").over(
         Window.orderBy($"q_e4").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .crossJoin(broadcast(base.agg(count(lit(1)).as("nt"))))
+      .crossJoin(broadcast(nt))
     def quart(q: Double, name: String): DataFrame =
       hist.filter($"cum" >= ceil(lit(q) * $"nt"))
         .agg(min($"q_e4").as("value")).select(lit(name).as("metric"), $"value")

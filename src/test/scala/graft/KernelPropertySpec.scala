@@ -262,6 +262,21 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("termCounts skips null elements instead of conflating them with empty strings") {
+    // a null slot read via getUTF8String on UnsafeArrayData yields a bogus
+    // EMPTY string — the kernel must isNullAt-skip, so a null token counts
+    // toward nothing and a null term counts 0, distinct from the '' term
+    val tokens = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), null, UTF8String.fromString("a"),
+      UTF8String.fromString("")))
+    val terms = new GenericArrayData(Array[Any](
+      UTF8String.fromString("a"), null, UTF8String.fromString("")))
+    val out = kernels.termCounts(tokens, terms)
+    assert(out.getLong(0) == 2L, "tf('a') must ignore the null token")
+    assert(out.getLong(1) == 0L, "a null term counts 0")
+    assert(out.getLong(2) == 1L, "tf('') must not absorb the null slots")
+  }
+
   test("cosine kernel: bounded, symmetric, self-similarity 1") {
     (1 to 100).foreach { _ =>
       val a = Array.fill(16)(rng.nextFloat() * 20f - 10f)

@@ -530,25 +530,60 @@ class PipelineSpec extends SparkSpec {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
         case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepScans(q.plan)
       }.flatten
-    val n10 = deepScans(ranked.queryExecution.executedPlan).length
+    // executedPlan's root is the AdaptiveSparkPlanExec LEAF — counting on it
+    // finds nothing and 0 == 0 passes vacuously; peel the AQE wrapper first
+    // and demand at least one real scan so an empty plan can never pass
+    val n10 = deepScans(physical(ranked)).length
     val r3 = SparkEntry.queries("p38_bm25_rank")(spark, sfDir)
     r3.limit(1).collect()
-    val n3 = deepScans(r3.queryExecution.executedPlan).length
-    assert(n10 == n3 && n10 <= 2,
+    val n3 = deepScans(physical(r3)).length
+    assert(n10 >= 1 && n10 == n3 && n10 <= 2,
       s"scan count must be |terms|-independent: 10 terms -> $n10, 3 terms -> $n3")
     // value law: the kernel's tf per term equals the independently computed
-    // per-term count on a sample of ranked docs
+    // per-term count on a sample of ranked docs; output columns are
+    // POSITIONAL tf_<i> in sorted-distinct term order (terms are data,
+    // never identifiers)
+    val ordered = terms.distinct.sorted
     val expected = docs
-      .select($"doc_id" +: terms.map(t =>
+      .select($"doc_id" +: ordered.zipWithIndex.map { case (t, i) =>
         size(filter(split(lower($"text"), "\\s+"), x => x === lit(t)))
-          .cast("long").as(s"tf_$t")): _*)
+          .cast("long").as(s"tf_$i") }: _*)
       .collect().map(r => r.getLong(0) -> r).toMap
     sample.foreach { r =>
       val ref = expected(r.getLong(0))
-      terms.sorted.foreach { t =>
-        assert(r.getAs[Long](s"tf_$t") == ref.getAs[Long](s"tf_$t"),
-          s"tf_$t mismatch for doc ${r.getLong(0)}")
+      ordered.indices.foreach { i =>
+        assert(r.getAs[Long](s"tf_$i") == ref.getAs[Long](s"tf_$i"),
+          s"tf_$i (${ordered(i)}) mismatch for doc ${r.getLong(0)}")
       }
+    }
+  }
+
+  test("p38 terms are data, not code: hostile/duplicate/odd terms never reach SQL text") {
+    import spark.implicits._
+    // apostrophes, dots, spaces-after-trim, parens, SQL payloads, dupes —
+    // every historical injection/ambiguity class for string-built expr()
+    val hostile = Seq("o'brien", "a.b", " spark ", "x)", "select", "spark",
+      "'); drop--", "java_method('java.lang.System','exit',0)", "`tick`")
+    val docs = Seq(
+      (1L, "s", "o'brien a.b spark spark select"),
+      (2L, "s", "plain text without matches"),
+      (3L, "s", "x) `tick` spark")).toDF("doc_id", "source", "text")
+    val ranked = operators.PipelineOps.bm25RankQuery(docs, hostile.toDF("term"))
+    val rows = ranked.collect() // must not throw parse/analysis errors
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L), "match set exact")
+    // term->index is the sorted-distinct normalized order; counts exact
+    val ordered = hostile.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct.sorted
+    val doc1 = rows.find(_.getLong(0) == 1L).get
+    assert(doc1.getAs[Long](s"tf_${ordered.indexOf("o'brien")}") == 1L)
+    assert(doc1.getAs[Long](s"tf_${ordered.indexOf("a.b")}") == 1L)
+    assert(doc1.getAs[Long](s"tf_${ordered.indexOf("spark")}") == 2L)
+    assert(doc1.getAs[Long](s"tf_${ordered.indexOf("java_method('java.lang.system','exit',0)")}") == 0L)
+    val doc3 = rows.find(_.getLong(0) == 3L).get
+    assert(doc3.getAs[Long](s"tf_${ordered.indexOf("`tick`")}") == 1L)
+    assert(doc3.getAs[Long](s"tf_${ordered.indexOf("x)")}") == 1L)
+    // an all-unusable term table fails loudly, not with a phantom ranking
+    intercept[IllegalArgumentException] {
+      operators.PipelineOps.bm25RankQuery(docs, Seq("", "  ").toDF("term"))
     }
   }
 
@@ -557,9 +592,9 @@ class PipelineSpec extends SparkSpec {
     // stats with total_toks near the T*tf bound: 44000 * 3e14 * tf(>1)
     // overflows Long — the guard must raise, not emit a wrapped score
     val base = Seq((1L, "srcX", 5L, 2L, 1L, 0L))
-      .toDF("doc_id", "source", "dl", "tf_spark", "tf_vector", "tf_stream")
+      .toDF("doc_id", "source", "dl", "tf_0", "tf_1", "tf_2")
     val stats = Seq((10L, 300000000000000L, 1L, 1L, 1L))
-      .toDF("n_docs", "total_toks", "df_spark", "df_vector", "df_stream")
+      .toDF("n_docs", "total_toks", "df_0", "df_1", "df_2")
     val ex = intercept[Exception] {
       operators.PipelineOps.bm25From(base, stats).collect()
     }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -908,10 +908,19 @@ object Streams {
     * chunking itself stays scan-local ([[graft.operators.TextOps
     * .chunkRows]]); only batch-distinct digests reach the join, so each
     * fold moves O(batch + store-overlap) rows — d20's incremental-index
-    * shape at sub-document granularity. State persists between folds as a
-    * versioned BUCKETED table on chunk_hash ([[persistChunkState]]), so
-    * the next fold's merge reads the store pre-partitioned on the join
-    * key — the durable lake-state artifact, not an in-memory checkpoint.
+    * shape at sub-document granularity. State persists between folds as
+    * ONE table PARTITIONED by a digest-prefix column ([[chunkFold]]): a
+    * fold reads only the partitions its batch touches (partition-pruned
+    * scan) and commits them back under dynamic partition overwrite, so
+    * per-fold WRITE volume is the touched partitions — O(batch + the
+    * store rows co-resident with it) — never O(store). That replaces the
+    * previous per-fold full-store bucketed rewrite, whose O(store) write
+    * IO per batch (quadratic total) was the 100-TB scale-killer; the
+    * trade (SURVEY §6: bucketed `insertInto` is rejected by Spark) is a
+    * touched-rows-only exchange in the merge join instead of the
+    * exchange-free bucketed read — exactly the LSM bargain. Reference
+    * contract: state_manager.py:84-102's upsert touches only processed
+    * pages, never the whole state file.
     */
   val ChunkReplayBatches = 3
   def chunkStoreMerge(state: Option[DataFrame], batchChunks: DataFrame): DataFrame = {
@@ -922,49 +931,112 @@ object Streams {
       min(struct($"batch", $"doc_id", $"chunk_idx")).as("first"))
     state match {
       case None => inc
-      case Some(st) =>
-        st.as("s").join(inc.as("i"), Seq("chunk_hash"), "full_outer")
-          .select($"chunk_hash",
-            (coalesce($"s.n_copies", lit(0L)) + coalesce($"i.n_copies", lit(0L)))
-              .as("n_copies"),
-            least($"s.first", $"i.first").as("first"))
+      case Some(st) => chunkMergeAgg(st, inc)
     }
   }
 
-  /** Persist one fold's chunk-store state as a bucketed table (bucketed +
-    * sorted on chunk_hash, bucket count from the session conf) and hand
-    * back the table read. Each fold writes a NEW versioned table — the
-    * lake-state pattern: the store being merged FROM is never the one
-    * being written, and the bucketed layout means the next fold's
-    * full-outer digest join finds the state side already partitioned on
-    * chunk_hash — zero state-side exchange, only the incoming batch's
-    * aggregate moves (plan-asserted in StreamingSpec on this artifact).
-    */
-  private[graft] def chunkStateTableName(dir: String, version: Int): String =
-    s"graft_chunk_store_${java.lang.Integer.toHexString(dir.hashCode)}_v$version"
+  /** Full-outer merge of two aggregated stores (counts add, owner is the
+    * least struct) — the associative/commutative fold core. */
+  private def chunkMergeAgg(st: DataFrame, inc: DataFrame): DataFrame = {
+    val s = st.sparkSession
+    import s.implicits._
+    st.as("s").join(inc.as("i"), Seq("chunk_hash"), "full_outer")
+      .select($"chunk_hash",
+        (coalesce($"s.n_copies", lit(0L)) + coalesce($"i.n_copies", lit(0L)))
+          .as("n_copies"),
+        least($"s.first", $"i.first").as("first"))
+  }
 
-  private[graft] def persistChunkState(state: DataFrame, dir: String,
-                                       version: Int): DataFrame = {
-    val s = state.sparkSession
-    val tbl = chunkStateTableName(dir, version)
-    val nBuckets = s.conf.get("spark.sql.shuffle.partitions").toInt
-    state.write.option("path", s"${sys.props("java.io.tmpdir")}/graft_state/$tbl")
-      .bucketBy(nBuckets, "chunk_hash").sortBy("chunk_hash")
-      .mode("overwrite").saveAsTable(tbl)
+  /** Digest-prefix partition count of the persisted chunk store. It bounds
+    * the rewrite grain: a fold rewrites only the partitions containing its
+    * batch's digests. 32 at test scale; in production it scales with store
+    * size (more partitions ⇒ finer-grained overwrites), the same knob as
+    * an LSM's level fan-out.
+    */
+  val ChunkStatePartitions = 32
+
+  private[graft] def chunkStateTableName(key: String): String =
+    s"graft_chunk_store_${java.lang.Integer.toHexString(key.hashCode)}"
+
+  private[graft] def chunkStatePath(tbl: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_state/$tbl"
+
+  /** Digest-prefix partition id — a pure function of the digest, so both
+    * sides of any merge agree on it without exchanging. */
+  private[graft] def chunkPb(digest: Column): Column =
+    pmod(hash(digest), lit(ChunkStatePartitions))
+
+  /** One incremental fold of the persisted chunk store.
+    *
+    * First fold: full partitioned write (`partitionBy(pb)`, rows sorted by
+    * digest within partitions for parquet min/max locality).
+    *
+    * Later folds: (1) aggregate the batch ONCE (localCheckpoint — it feeds
+    * both the touched-partition probe and the merge); (2) the touched-pb
+    * list is ≤ [[ChunkStatePartitions]] values — a bounded, documented
+    * collect, the twoPhaseIndex offsets rule; (3) read back ONLY the store
+    * partitions the batch touches (partition-pruned scan); (4) merge and
+    * commit under dynamic partition overwrite — untouched partitions'
+    * files are NEVER rewritten (spec-asserted at the file level). The
+    * self-read (the plan scans the table it overwrites) is SAFE and
+    * permitted under dynamic mode: FileCommitProtocol stages all output
+    * under _temporary and replaces touched partitions only at job commit,
+    * after every read task has finished — probe-verified on 4.1.2, and
+    * the spec's merge-correctness check covers the partial rewrite. No
+    * user-level staging copy of the touched rows is paid.
+    */
+  private[graft] def chunkFold(s: SparkSession, key: String,
+                               batchChunks: DataFrame, firstFold: Boolean): DataFrame = {
+    import s.implicits._
+    val tbl = chunkStateTableName(key)
+    if (firstFold) {
+      chunkStoreMerge(None, batchChunks)
+        .withColumn("pb", chunkPb($"chunk_hash"))
+        .repartition($"pb").sortWithinPartitions($"chunk_hash")
+        .write.option("path", chunkStatePath(tbl)).partitionBy("pb")
+        .mode("overwrite").saveAsTable(tbl)
+    } else {
+      val inc = chunkStoreMerge(None, batchChunks).localCheckpoint(true)
+      // bounded collect: at most ChunkStatePartitions distinct values
+      val touched = inc.select(chunkPb($"chunk_hash").as("pb")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val prior = s.table(tbl)
+        .filter($"pb".isin(touched.toSeq: _*))
+        .select($"chunk_hash", $"n_copies", $"first")
+      val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        chunkMergeAgg(prior, inc)
+          .withColumn("pb", chunkPb($"chunk_hash"))
+          .repartition($"pb").sortWithinPartitions($"chunk_hash")
+          .write.mode("overwrite").insertInto(tbl)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    }
     s.table(tbl)
   }
 
+  /** Retire the superseded pre-round-10 layout: per-fold versioned bucketed
+    * tables (`…_v0/_v1/_v2`) whose directories outlive the in-memory
+    * catalog. Runs once per ingest — idempotent, no-op when clean. */
+  private[graft] def retireChunkStateLegacy(s: SparkSession, key: String): Unit =
+    (0 until ChunkReplayBatches).foreach { v =>
+      val legacy = s"${chunkStateTableName(key)}_v$v"
+      if (s.catalog.tableExists(legacy)) s.sql(s"DROP TABLE `$legacy`")
+      graft.Fs.delete(s, chunkStatePath(legacy))
+    }
+
   def chunkIngestBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    retireChunkStateLegacy(s, dir)
     val chunks = graft.operators.TextOps
       .chunkRows(Tables.documents(s, dir))
       .withColumn("batch", pmod($"doc_id", lit(ChunkReplayBatches.toLong)))
-    var state: Option[DataFrame] = None
+    var state: DataFrame = null
     for (b <- 0 until ChunkReplayBatches) {
       val batch = chunks.filter($"batch" === b.toLong)
-      state = Some(persistChunkState(chunkStoreMerge(state, batch), dir, b))
+      state = chunkFold(s, dir, batch, firstFold = b == 0)
     }
-    state.get
+    state
       .select($"chunk_hash", $"n_copies",
         $"first.batch".as("first_batch"),
         $"first.doc_id".cast("long").as("first_doc"),

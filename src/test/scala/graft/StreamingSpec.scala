@@ -342,34 +342,96 @@ class StreamingSpec extends SparkSpec {
       "ingest-folded census must reach the one-shot model bit-for-bit")
   }
 
-  test("s23 state is a persisted bucketed table the merge never re-shuffles") {
+  test("s23 store reads are partition-pruned to the touched digest prefixes") {
     val s = spark
     import s.implicits._
-    // the keyed fold above materialized the versioned store tables; replay
-    // the LAST fold against the real v1 artifact with SMJ forced so the
-    // exchange structure is visible
     SparkEntry.queries("s23_chunk_ingest")(s, sfDir).collect()
-    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val state = s.table(Streams.chunkStateTableName(sfDir, 1))
-      val batch2 = graft.operators.TextOps
-        .chunkRows(Tables.documents(s, sfDir))
-        .withColumn("batch", pmod($"doc_id", lit(Streams.ChunkReplayBatches.toLong)))
-        .filter($"batch" === 2L)
-      val merged = Streams.chunkStoreMerge(Some(state), batch2)
-      merged.collect()
-      val phys = physical(merged)
-      assert(scansTable(phys, "graft_chunk_store"),
-        s"the fold must scan the persisted store:\n$phys")
-      val offenders = deepExchanges(phys)
-        .filter(e => scansTable(e.child, "graft_chunk_store"))
-      assert(offenders.isEmpty,
-        s"the persisted chunk store must never sit under a shuffle exchange:\n$offenders")
-      // only the incoming batch's aggregate moves
-      assert(deepExchanges(phys).length == 1,
-        s"expected exactly the batch-side exchange:\n$phys")
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val store = s.table(Streams.chunkStateTableName(sfDir))
+    val nPart = store.select($"pb").distinct().count()
+    assert(nPart > 1, "store must span multiple digest-prefix partitions")
+    val somePb = store.select($"pb").head.getInt(0)
+    val pruned = store.filter($"pb" === somePb)
+    pruned.collect()
+    val scans = physical(pruned).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a file scan over the store")
+    assert(scans.head.selectedPartitions.partitionCount.toLong < nPart,
+      s"a touched-pb filter must prune the store scan (read " +
+        s"${scans.head.selectedPartitions.partitionCount} of $nPart partitions)")
+  }
+
+  /** Synthetic chunk rows with chosen digests — the chunkStoreMerge input shape. */
+  private def chunksOf(s: org.apache.spark.sql.SparkSession,
+                       hashes: Seq[String], batch: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    hashes.zipWithIndex.toDF("chunk_hash", "idx")
+      .select($"chunk_hash", lit(batch).as("batch"),
+        ($"idx" + batch * 100000L).as("doc_id"), lit(0L).as("chunk_idx"))
+  }
+
+  test("s23 fold write volume is O(touched partitions): untouched files never rewritten") {
+    val s = spark
+    import s.implicits._
+    val key = "s23_spec_incremental_store"
+    val tbl = Streams.chunkStateTableName(key)
+    val loc = Streams.chunkStatePath(tbl)
+    // fold 0: 2000 digests spanning every digest-prefix partition
+    val baseHashes = (0 until 2000).map(i => s"digest_$i")
+    Streams.chunkFold(s, key, chunksOf(s, baseHashes, 0L), firstFold = true)
+    val storeRows = s.table(tbl).count()
+    // fold 1's batch confined to ONE pb: 10 overlap digests from that
+    // partition plus new digests that hash into the same partition
+    val targetPb = s.table(tbl).select($"pb").head.getInt(0)
+    val overlap = s.table(tbl).filter($"pb" === targetPb)
+      .select($"chunk_hash").limit(10).as[String].collect().toSeq
+    val fresh = (0 until 500).map(i => s"new_$i").toDF("h")
+      .filter(pmod(hash($"h"), lit(Streams.ChunkStatePartitions)) === targetPb)
+      .limit(5).as[String].collect().toSeq
+    assert(overlap.size == 10 && fresh.nonEmpty, "fixture must populate both classes")
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(loc)
+      root.listFiles.filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).sorted.toSeq
+      }.toMap
+    }
+    val before = snapshot()
+    Streams.chunkFold(s, key, chunksOf(s, overlap ++ fresh, 1L), firstFold = false)
+    val after = snapshot()
+    val touchedDir = s"pb=$targetPb"
+    assert((before.keySet - touchedDir).forall(d => before(d) == after(d)),
+      "untouched partitions must keep their exact files (names, sizes, mtimes)")
+    assert(before(touchedDir) != after(touchedDir), "the touched partition was rewritten")
+    // write volume: the rewritten partition holds ~store/P + batch rows — a
+    // fold must never rewrite O(store)
+    val written = s.table(tbl).filter($"pb" === targetPb).count()
+    assert(written < storeRows / 4,
+      s"per-fold write volume must be O(touched), got $written of $storeRows store rows")
+    // merge correctness on the partial rewrite: overlap counts bumped, the
+    // rest of the store intact
+    val merged = s.table(tbl)
+    assert(merged.count() == storeRows + fresh.size)
+    assert(merged.filter($"chunk_hash".isin(overlap: _*))
+      .filter($"n_copies" =!= 2L).isEmpty, "overlap digests must fold to 2 copies")
+    assert(merged.filter($"n_copies" === 1L).count() == storeRows - 10 + fresh.size)
+    // no scratch debris next to the store (the commit stages inside
+    // FileCommitProtocol's _temporary, which it cleans up itself)
+    val debris = new java.io.File(loc).getParentFile.listFiles
+      .filter(_.getName.startsWith(tbl + "."))
+    assert(debris.isEmpty, s"unexpected scratch dirs: ${debris.mkString(",")}")
+  }
+
+  test("s23 retires superseded versioned-layout artifacts on ingest") {
+    val s = spark
+    // plant a fake pre-round-10 versioned artifact (dir + junk file)
+    val legacyLoc = Streams.chunkStatePath(Streams.chunkStateTableName(sfDir) + "_v0")
+    val dir = new java.io.File(legacyLoc)
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(legacyLoc, "junk.bin"), Array[Byte](1, 2, 3))
+    assert(dir.exists)
+    SparkEntry.queries("s23_chunk_ingest")(s, sfDir).collect()
+    assert(!dir.exists, "superseded v0 artifact must be deleted by the retention sweep")
   }
 
   test("s25 erasure fold equals the survivor rebuild; orphaned digests vanish") {

@@ -225,6 +225,7 @@ object SparkEntry {
     "s26_census_fold"  -> (graft.streaming.Streams.censusFoldBatch _),
     "s27_watermark_audit" -> (graft.streaming.Streams.watermarkAudit _),
     "s28_fill_fold"    -> (graft.streaming.Streams.fillFoldBatch _),
+    "s29_census_tws"   -> (graft.streaming.Streams.censusTwsBatch _),
     "s30_anomaly_fold" -> (graft.streaming.Streams.anomalyFoldBatch _),
   )
 
@@ -805,6 +806,10 @@ object SparkEntry {
     // (associativity), so the two keys SHARE the oracle text
     "t30_surprisal" -> SurprisalOracle,
     "s26_census_fold" -> SurprisalOracle,
+    // s29 drives the SAME census contract through the transformWithState
+    // StatefulProcessor (batch mode), so it shares the oracle too — an
+    // API-migration regression fails the hash gate
+    "s29_census_tws" -> SurprisalOracle,
     // s27: lateness vs the per-type event-time high-water mark in arrival
     // (event_id) order — exactly the quantity a Spark watermark compares
     // against; ppm loss at 1m/10m/1h candidate delays, all-integer

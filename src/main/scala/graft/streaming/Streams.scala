@@ -69,6 +69,32 @@ class TypeCensusProcessor
   }
 }
 
+/** Per-term census row for the s29 batch StatefulProcessor. */
+case class TermCount(term: String, cnt: Long)
+
+/** s26's unigram-census fold re-expressed through the transformWithState
+  * StatefulProcessor — one ValueState counter per term, the identical
+  * fold a streaming census runs per micro-batch (the s29 MemoryStream
+  * spec proves the multi-trigger law on this API; this processor drives
+  * the same contract over the real corpus for the oracled key).
+  */
+class TermCensusProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, String, TermCount] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+  @transient private var state: ValueState[TermCount] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[TermCount](
+      "census", Encoders.product[TermCount], TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[String],
+                               timerValues: TimerValues): Iterator[TermCount] = {
+    var st = Option(state.get()).getOrElse(TermCount(key, 0L))
+    rows.foreach(_ => st = TermCount(key, st.cnt + 1L))
+    state.update(st)
+    Iterator.single(st)
+  }
+}
+
 /** Streaming operators — SURVEY.md §2.E.
   *
   * Each transform is written against an input DataFrame, not a source, so the
@@ -1139,6 +1165,51 @@ object Streams {
     }
     graft.operators.TextOps.surprisalReadout(toks, census.get)
   }
+
+  /** s29: the SAME census contract as s26, driven through Spark 4's
+    * arbitrary-state API in BATCH mode — `transformWithState` plans over a
+    * batch Dataset too (SPARK-50190): the operator shuffles by key,
+    * instantiates a per-partition RocksDB state store, and hands each
+    * key's rows to the SAME `handleInputRows` a streaming census runs per
+    * micro-batch, so the state-migration property (typed ValueState fold ≡
+    * batch aggregate) is exercised by the production API rather than a
+    * spec-only MemoryStream. The finished census then feeds the shared
+    * surprisal read-out — hash-equal to s26/t30 through the SHARED oracle.
+    * The census is materialized (|vocabulary| rows — the documented s26
+    * state bound) under the RocksDB conf, which is restored after.
+    */
+  def censusTwsBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.operators.TextOps.surprisalToks(Tables.documents(s, dir))
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val census = try {
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      touchStateStoreCoordinator(s)
+      toks.select($"term").as[String]
+        .groupByKey(identity)
+        .transformWithState(new TermCensusProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+        .toDF()
+        .localCheckpoint(true)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    graft.operators.TextOps.surprisalReadout(toks, census)
+  }
+
+  /** Batch `transformWithState` loads per-partition state stores that
+    * report to the driver's StateStoreCoordinator RPC endpoint, but Spark
+    * creates that endpoint lazily on the STREAMING path only (a
+    * private[sql] accessor on the streams manager) — a pure-batch plan
+    * must poke it into existence first or state loading fails with
+    * CANNOT_LOAD_STATE_STORE (probe-verified on 4.1.2).
+    */
+  private def touchStateStoreCoordinator(s: SparkSession): Unit =
+    s.streams.getClass.getMethods
+      .find(_.getName.endsWith("stateStoreCoordinator"))
+      .foreach(_.invoke(s.streams))
 
   /** s27: watermark design audit — every watermarked operator in this
     * engine (s01-s26's streaming twins) asks the user for ONE number, the

@@ -334,6 +334,18 @@ class StreamingSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("s29 batch transformWithState census scores identically to t30 and restores the conf") {
+    val s = spark
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(confKey)
+    val tws = SparkEntry.queries("s29_census_tws")(s, sfDir)
+    assert(s.conf.getOption(confKey) == prev,
+      "the RocksDB provider conf must be restored after the census materializes")
+    val oneShot = SparkEntry.queries("t30_surprisal")(s, sfDir)
+    assert(tws.except(oneShot).isEmpty && oneShot.except(tws).isEmpty,
+      "StatefulProcessor census must reach the one-shot model bit-for-bit")
+  }
+
   test("s26 census fold: 3-batch additive census scores identically to t30") {
     val s = spark
     val fold = SparkEntry.queries("s26_census_fold")(s, sfDir)

@@ -314,18 +314,18 @@ object Similarity {
     * FRACTION, so the claim's recall holds at every SF (a fixed depth decays
     * as the corpus grows past it) — then exact cosine re-ranks only the
     * shortlist: recall@K becomes the compressed scan's recall@depth, which
-    * quantization error barely dents. The dynamic depth cannot itself
-    * compile to a partial limit, so a LITERAL [[PqShortlistPartitionCap]]
-    * pre-rank runs first and keeps the WindowGroupLimit map-side cap on the
-    * corpus-sized exchange (per-partition top-cap ⊇ the global shortlist
-    * whenever no single partition holds more than cap members of it — with
-    * hash-spread partitions the clip probability is negligible, and the
-    * method is recall-gated, not value-oracled). The shortlist broadcasts
-    * back into a second corpus scan for full-precision vectors, so the
-    * corpus never shuffles for the re-rank and full vectors never leave
-    * their scan. Recall vs exact top-k is gated through d13.
+    * quantization error barely dents. The fraction is resolved to a plan
+    * LITERAL through a bounded one-row corpus count (the twoPhaseIndex
+    * offsets rule), which keeps the WindowGroupLimit map-side cap on the
+    * corpus-sized exchange at EVERY scale — the previous literal 512
+    * per-partition pre-cap silently CLIPPED the fraction once
+    * 0.25·|corpus| outgrew it (measured: recall 0.66 at 100×, d13's first
+    * red row — exactly the fixed-depth decay this fraction exists to
+    * prevent). The shortlist broadcasts back into a second corpus scan for
+    * full-precision vectors, so the corpus never shuffles for the re-rank
+    * and full vectors never leave their scan. Recall vs exact top-k is
+    * gated through d13.
     */
-  val PqShortlistPartitionCap = 512
   val PqReRankFrac = 0.25
   def annPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -359,11 +359,12 @@ object Similarity {
     // query LUTs are the same per-subspace IP tables, broadcast whole
     val qluts = emb.filter($"vec_id" < NumQueries).crossJoin(broadcast(cb))
       .select($"vec_id".as("query_id"), ipsAll.as("lut"))
-    // compressed-domain scan: 8 array lookups + sum, pure projection.
-    // prank's literal bound is the WindowGroupLimit map-side cap; arank
-    // re-ranks the survivors and applies the corpus-fraction depth (the
-    // 1-row corpus count is a partial-agg scan, broadcast in)
-    val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
+    // compressed-domain scan: 8 array lookups + sum, pure projection. The
+    // corpus-fraction depth resolves to a LITERAL via a bounded one-row
+    // count so the rank filter compiles to a WindowGroupLimit partial cap
+    // (a Column-bound depth cannot)
+    val depth = math.max(K.toLong,
+      math.ceil(emb.agg(count(lit(1))).head.getLong(0) * PqReRankFrac).toLong)
     val wApprox = Window.partitionBy($"query_id").orderBy($"approx".desc, $"neighbor_id".asc)
     val shortlist = codes.crossJoin(broadcast(qluts))
       .filter($"vec_id" =!= $"query_id")
@@ -371,10 +372,7 @@ object Similarity {
         expr(s"aggregate(sequence(0, ${PqSubspaces - 1}), 0.0D, " +
              "(acc, m) -> acc + lut[m][codes[m]])").as("approx"))
       .withColumn("prank", row_number().over(wApprox))
-      .filter($"prank" <= PqShortlistPartitionCap)
-      .withColumn("arank", row_number().over(wApprox))
-      .crossJoin(broadcast(nCorpus))
-      .filter($"arank" <= ceil($"n_corpus" * PqReRankFrac))
+      .filter($"prank" <= depth)
       .select($"query_id", $"neighbor_id")
     // exact re-rank of the shortlist: queries x depth rows broadcast into a
     // second corpus scan for full-precision vectors — no corpus shuffle
@@ -395,9 +393,11 @@ object Similarity {
     * clustered production embeddings clear them by a wide margin.
     * Measured recall@10 after query-adaptive probing (margin-guided LSH
     * flips + IVF band widening; round-10 probe-policy lift: base fraction
-    * 0.15→0.3, band 0.25→0.3, min probes 6→8, ivf2 Lloyd iters 2→3), at
-    * sf0.001/0.01/0.1/sf1: lsh 0.92-1.0, ivf 0.76-0.98, ivf2 0.76-1.0,
-    * pq 0.80-0.96 — each floor sits >= 0.05 under its worst measured point.
+    * 0.15→0.3, band 0.25→0.3, min probes 6→8, ivf2 Lloyd iters 2→3; PQ
+    * shortlist-clip fix), at FIVE points sf0.001/0.01/0.1/10×/100×:
+    * lsh 0.92-1.0, ivf 0.76-1.0, ivf2 0.76-1.0, pq 0.80-1.0 — each floor
+    * sits >= 0.05 under its worst measured point, and recall RISES with
+    * scale (the probe/depth fractions hold while neighbor margins sharpen).
     * Isotropic 64-dim testdata is the recall worst case (flat centroid
     * margins scatter true neighbors across cells), so these fractions are
     * the price of a 0.7 floor; clustered real embeddings reach the same

@@ -272,10 +272,16 @@ object PipelineOps {
     bm25From(base, bm25Stats(base, terms.length), terms.length)
   }
 
-  /** Sorted-distinct normalized query terms (the tf_<i> index order). */
+  /** Sorted-distinct normalized query terms (the tf_<i> index order).
+    * Locale.ROOT, not the JVM default: Spark's `lower()` lowercases the
+    * token side locale-independently (UTF8String's ASCII fast path), so a
+    * default-locale lowercase here would silently stop matching under
+    * tr/az locales ("INDEX" → dotless-ı "ındex" vs token "index").
+    */
   private[graft] def normalizedTerms(termsDf: DataFrame): Seq[String] = {
     val terms = termsDf.select("term").collect()
-      .flatMap(r => Option(r.getString(0)).map(_.trim.toLowerCase))
+      .flatMap(r => Option(r.getString(0))
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT)))
       .filter(_.nonEmpty).distinct.sorted.toSeq
     require(terms.nonEmpty, "bm25RankQuery: no usable query terms")
     terms

@@ -327,6 +327,31 @@ object Similarity {
     * gated through d13.
     */
   val PqReRankFrac = 0.25
+
+  /** Hard ceiling on the re-rank depth. The shortlist (NumQueries × depth
+    * id pairs) is BROADCAST back into the full-precision corpus scan, so
+    * the fraction alone would grow the broadcast with the corpus and
+    * eventually hit Spark's broadcast limits (512M rows / 8 GB) — the cap
+    * bounds it to ~5M ids (~tens of MB) at any corpus size. Below the cap
+    * the fraction governs (recall SF-stable, d13-gated at five points, the
+    * cap never binding up to 1000×-scale testdata); past it the depth is
+    * constant — standard production ADC economics, where re-rank depth is
+    * a budget, not a corpus share, and recall rests on the compressed
+    * scan's ranking quality.
+    */
+  val PqMaxDepth = 1000000L
+
+  /** Literal re-rank depth = min(ceil(frac·|corpus|), [[PqMaxDepth]]),
+    * memoized per (session, dir): the one-row count is the documented
+    * bounded collect, and memoization keeps DataFrame CONSTRUCTION lazy
+    * apart from the first call (the sigIndexCache pattern).
+    */
+  private val pqDepthCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def pqDepth(s: SparkSession, dir: String, emb: DataFrame): Long =
+    pqDepthCache.getOrElseUpdate((s, dir),
+      math.min(PqMaxDepth, math.max(K.toLong,
+        math.ceil(emb.agg(count(lit(1))).head.getLong(0) * PqReRankFrac).toLong)))
   def annPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -362,9 +387,9 @@ object Similarity {
     // compressed-domain scan: 8 array lookups + sum, pure projection. The
     // corpus-fraction depth resolves to a LITERAL via a bounded one-row
     // count so the rank filter compiles to a WindowGroupLimit partial cap
-    // (a Column-bound depth cannot)
-    val depth = math.max(K.toLong,
-      math.ceil(emb.agg(count(lit(1))).head.getLong(0) * PqReRankFrac).toLong)
+    // (a Column-bound depth cannot); memoized per (session, dir) so plan
+    // CONSTRUCTION (explain, specs) does not re-pay the count job
+    val depth = pqDepth(s, dir, emb)
     val wApprox = Window.partitionBy($"query_id").orderBy($"approx".desc, $"neighbor_id".asc)
     val shortlist = codes.crossJoin(broadcast(qluts))
       .filter($"vec_id" =!= $"query_id")

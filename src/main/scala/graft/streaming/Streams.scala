@@ -1208,8 +1208,13 @@ object Streams {
     */
   private def touchStateStoreCoordinator(s: SparkSession): Unit =
     s.streams.getClass.getMethods
-      .find(_.getName.endsWith("stateStoreCoordinator"))
-      .foreach(_.invoke(s.streams))
+      .find(m => m.getName == "stateStoreCoordinator" && m.getParameterCount == 0)
+      .getOrElse(throw new IllegalStateException(
+        "graft: StreamingQueryManager.stateStoreCoordinator accessor not found — " +
+          "this Spark version needs a new way to initialize the coordinator " +
+          "for batch transformWithState (s29 would otherwise die later with " +
+          "the opaque CANNOT_LOAD_STATE_STORE)"))
+      .invoke(s.streams)
 
   /** s27: watermark design audit — every watermarked operator in this
     * engine (s01-s26's streaming twins) asks the user for ONE number, the

@@ -572,7 +572,8 @@ class PipelineSpec extends SparkSpec {
     val rows = ranked.collect() // must not throw parse/analysis errors
     assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L), "match set exact")
     // term->index is the sorted-distinct normalized order; counts exact
-    val ordered = hostile.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct.sorted
+    val ordered = hostile.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct.sorted
     val doc1 = rows.find(_.getLong(0) == 1L).get
     assert(doc1.getAs[Long](s"tf_${ordered.indexOf("o'brien")}") == 1L)
     assert(doc1.getAs[Long](s"tf_${ordered.indexOf("a.b")}") == 1L)

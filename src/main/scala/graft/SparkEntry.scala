@@ -2601,19 +2601,25 @@ object SparkEntry {
     // assignment (sim DESC, centroid_id ASC = the kernel's strict-> walk
     // over the id-sorted codebook; d27 precedent), within-cell lower-id
     // witness at the gap threshold (see Similarity.SemDedupThreshold).
+    // asg via struct-MAX, not a ROW_NUMBER window: the window form sorts the
+    // |corpus|x|codebook| cross join (819M rows CARRYING the float lists at
+    // 100x -> >60 GB DuckDB spill, the gate's disk lesson); struct-MAX over a
+    // {sim, -centroid_id} key is a streaming hash agg with |corpus| tiny
+    // states and the IDENTICAL deterministic pick (max sim, tie -> min id)
     "d28_semdedup" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
          |  WHERE ${graft.SampleHash.sql("vec_id")} % ${Similarity.IvfCentroidEvery} = 0
          |  ORDER BY ${graft.SampleHash.sql("vec_id")}, vec_id
          |  LIMIT ${Similarity.IvfMaxCentroids}),
+         |asg0 AS (
+         |  SELECT e.vec_id,
+         |         -(MAX({'s': list_cosine_similarity(e.embedding, cb.ce),
+         |                'c': -cb.centroid_id})).c AS centroid_id
+         |  FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id),
          |asg AS (
-         |  SELECT vec_id, embedding, centroid_id FROM (
-         |    SELECT e.vec_id, e.embedding, cb.centroid_id,
-         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |             ORDER BY list_cosine_similarity(e.embedding, cb.ce) DESC,
-         |                      cb.centroid_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cb) t WHERE rn = 1),
+         |  SELECT a.vec_id, e.embedding, a.centroid_id
+         |  FROM asg0 a JOIN embeddings e USING (vec_id)),
          |dup AS (
          |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
          |  FROM asg a JOIN asg b
@@ -2793,6 +2799,8 @@ object SparkEntry {
     // FLOOR(x*1e4+0.5) on BOTH sides (never cast a re-multiplied rounded
     // double: Spark's long cast truncates, DuckDB's rounds), dominant
     // source under (n DESC, source ASC) = the Spark window's total order
+    // asg via struct-MAX — same streaming-agg rewrite as d28 (the window form
+    // spills the corpus x codebook cross join at 100x)
     "d35_corpus_map" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
@@ -2800,12 +2808,10 @@ object SparkEntry {
          |  ORDER BY ${graft.SampleHash.sql("vec_id")}, vec_id
          |  LIMIT ${Similarity.IvfMaxCentroids}),
          |asg AS (
-         |  SELECT vec_id, centroid_id FROM (
-         |    SELECT e.vec_id, cb.centroid_id,
-         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |             ORDER BY list_cosine_similarity(e.embedding, cb.ce) DESC,
-         |                      cb.centroid_id ASC) AS rn
-         |    FROM embeddings e CROSS JOIN cb) t WHERE rn = 1),
+         |  SELECT e.vec_id,
+         |         -(MAX({'s': list_cosine_similarity(e.embedding, cb.ce),
+         |                'c': -cb.centroid_id})).c AS centroid_id
+         |  FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id),
          |j AS (SELECT a.centroid_id, d.source, d.n_chars,
          |             CAST(FLOOR(($QualitySql) * 10000 + 0.5) AS BIGINT) AS q_e4
          |      FROM asg a JOIN documents d ON a.vec_id = d.doc_id),

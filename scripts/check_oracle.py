@@ -1,18 +1,21 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB correctness gate.
 
-Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [key ...]
 
 Registers each parquet table as a DuckDB view, runs every oracle SQL from
 <verifyOutDir>/oracle_sql.json, and compares against the Spark dump at
 <verifyOutDir>/<name>/ (row count, sorted column names, and a value hash that
-is insensitive to row order).
+is insensitive to row order). Optional trailing key names restrict the run
+(the scale_gate.sh per-key harness: one process per key so a timeout or a
+disk-filling DuckDB spill stays contained).
 """
 import sys, json, glob, hashlib, functools
 print = functools.partial(print, flush=True)  # progress visible when redirected
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only_keys = set(sys.argv[3:])
 con = duckdb.connect()
 import os
 for f in glob.glob(f"{sf_dir}/*.parquet"):
@@ -40,6 +43,12 @@ for f in glob.glob(f"{sf_dir}/*.parquet"):
 
 with open(f"{out_dir}/oracle_sql.json") as fh:
     oracles = json.load(fh)
+if only_keys:
+    missing = only_keys - set(oracles)
+    if missing:
+        print(f"FAIL: requested keys not in oracle_sql.json: {sorted(missing)}")
+        sys.exit(1)
+    oracles = {k: v for k, v in oracles.items() if k in only_keys}
 
 class Unhashable(Exception):
     """The driver's pandas comparator factorizes column values, which dies on

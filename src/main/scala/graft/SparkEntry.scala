@@ -2605,7 +2605,14 @@ object SparkEntry {
     // |corpus|x|codebook| cross join (819M rows CARRYING the float lists at
     // 100x -> >60 GB DuckDB spill, the gate's disk lesson); struct-MAX over a
     // {sim, -centroid_id} key is a streaming hash agg with |corpus| tiny
-    // states and the IDENTICAL deterministic pick (max sim, tie -> min id)
+    // states and the IDENTICAL deterministic pick (max sim, tie -> min id).
+    // COALESCE(-2.0) pins a NULL similarity BELOW every real cosine: a
+    // struct with a NULL 's' would otherwise compare HIGH in DuckDB's
+    // nested MAX and a NULL-embedding row could win the assignment (the
+    // zero-norm spec guard makes this unreachable on generated data —
+    // belt-and-braces for arbitrary stores). The witness compare is
+    // integer-quantized e4 (see SemDedupThresholdE4) so threshold-grazing
+    // float pairs cannot flip cross-engine at 100x/1000x.
     "d28_semdedup" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
@@ -2614,7 +2621,7 @@ object SparkEntry {
          |  LIMIT ${Similarity.IvfMaxCentroids}),
          |asg0 AS (
          |  SELECT e.vec_id,
-         |         -(MAX({'s': list_cosine_similarity(e.embedding, cb.ce),
+         |         -(MAX({'s': COALESCE(list_cosine_similarity(e.embedding, cb.ce), -2.0),
          |                'c': -cb.centroid_id})).c AS centroid_id
          |  FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id),
          |asg AS (
@@ -2624,8 +2631,8 @@ object SparkEntry {
          |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
          |  FROM asg a JOIN asg b
          |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
-         |  WHERE list_cosine_similarity(a.embedding, b.embedding)
-         |          >= ${Similarity.SemDedupThreshold}
+         |  WHERE floor(COALESCE(list_cosine_similarity(a.embedding, b.embedding), -2.0)
+         |          * 10000 + 0.5) >= ${Similarity.SemDedupThresholdE4}
          |  GROUP BY a.vec_id)
          |SELECT a.vec_id, a.centroid_id, d.dup_of,
          |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
@@ -2809,7 +2816,7 @@ object SparkEntry {
          |  LIMIT ${Similarity.IvfMaxCentroids}),
          |asg AS (
          |  SELECT e.vec_id,
-         |         -(MAX({'s': list_cosine_similarity(e.embedding, cb.ce),
+         |         -(MAX({'s': COALESCE(list_cosine_similarity(e.embedding, cb.ce), -2.0),
          |                'c': -cb.centroid_id})).c AS centroid_id
          |  FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id),
          |j AS (SELECT a.centroid_id, d.source, d.n_chars,

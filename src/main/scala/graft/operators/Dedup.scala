@@ -88,12 +88,34 @@ object Dedup {
     */
   val NeighborWindow = 8
 
+  /** Probe seams for [[graft.DedupScaleProbe]] — the measurement loop the
+    * band-bucket occupancy analysis (SURVEY §7f) is based on.
+    */
+  private[graft] def probeSignatures(s: SparkSession, dir: String): DataFrame =
+    signatures(s, dir)
+  private[graft] def probeBands(sigs: DataFrame): DataFrame =
+    bandSignatures(sigs)
+
   /** MinHash + LSH near-dup candidates: band-bucket join, then signature-
     * agreement Jaccard estimate. Shuffles on (band_id, band_hash) only.
     * The keyed form is the bounded successor-window view (see
-    * [[NeighborWindow]]): rank within bucket, explode each doc's next-M
-    * rank slots, equi-join on (band, rank) — at most M candidate rows per
-    * (doc, band) ever exist, map-side bounded, no post-hoc limit.
+    * [[NeighborWindow]]): each doc pairs with its next M bucket members in
+    * doc_id order — at most M candidate rows per (doc, band) ever exist,
+    * map-side bounded, no post-hoc limit.
+    *
+    * PLAN SHAPE (round 11): successor pairing is M `lead()` columns over
+    * ONE bucket window — pairs stream out of the same sort that orders the
+    * bucket. The previous shape (rank, explode rank+1..rank+M, self-join on
+    * (band, key, rank)) re-sorted the M-times-exploded side inside a
+    * sort-merge join: at 1000x that was a 320M-row sort (with 32 shuffle
+    * partitions, a spilling one) stacked on a second full shuffle — d02's
+    * 12.5x-wall-at-10x-data superlinearity (BENCH x1000, round 10). With
+    * lead() the banded rows cross ONE exchange, the per-bucket buffer is M
+    * rows, and only skinny (doc_a, doc_b, est) rows leave the window —
+    * candidate volume itself was always linear (n·bands·M); the join was
+    * the superlinear part. The pair SET is identical (lead(j) ≡ the rank
+    * rk+j bucket member), so the oracle's ROW_NUMBER + rank-range replay is
+    * unchanged.
     */
   def minhashLsh(s: SparkSession, dir: String, threshold: Double = 0.3,
                  successorWindow: Option[Int] = Some(NeighborWindow)): DataFrame = {
@@ -102,14 +124,16 @@ object Dedup {
     val pairs = successorWindow match {
       case Some(m) =>
         val w = Window.partitionBy($"band_id", $"band_key").orderBy($"doc_id")
-        val ranked = banded.withColumn("rk", row_number().over(w))
         // successors have strictly larger doc_id, so doc_a < doc_b holds
-        val a = ranked.select($"band_id", $"band_key",
-          $"doc_id".as("doc_a"), $"sig".as("sig_a"),
-          explode(expr(s"sequence(rk + 1, rk + $m)")).as("peer_rk"))
-        val b = ranked.select($"band_id", $"band_key", $"rk".as("peer_rk"),
-          $"doc_id".as("doc_b"), $"sig".as("sig_b"))
-        a.join(b, Seq("band_id", "band_key", "peer_rk"))
+        banded
+          .select($"doc_id".as("doc_a"), $"sig".as("sig_a"),
+            array((1 to m).map(j => struct(
+              lead($"doc_id", j).over(w).as("doc_b"),
+              lead($"sig", j).over(w).as("sig_b"))): _*).as("succs"))
+          .select($"doc_a", $"sig_a", explode($"succs").as("p"))
+          .filter($"p.doc_b".isNotNull) // lead past the bucket end
+          .select($"doc_a", $"p.doc_b".as("doc_b"),
+                  $"sig_a", $"p.sig_b".as("sig_b"))
       case None =>
         val a = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
         val b = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"), $"sig".as("sig_b"))

@@ -346,19 +346,23 @@ object Multimodal {
       .select($"doc_id", $"phash", $"band.band_id", $"band.band_bits")
     val pairs = successorWindow match {
       case Some(m) =>
-        // bounded successor-window view (Dedup.NeighborWindow): rank within
-        // the band bucket, pair each profile with its next-M members only —
-        // O(c·M) candidate rows per bucket where profiles densify, vs the
-        // O(c²) exhaustive view kept behind successorWindow = None
+        // bounded successor-window view (Dedup.NeighborWindow): each profile
+        // pairs with its next-M bucket members only — O(c·M) candidate rows
+        // per bucket where profiles densify, vs the O(c²) exhaustive view
+        // kept behind successorWindow = None. Pairing is M lead() columns
+        // over ONE bucket window (d02's round-11 shape: the former
+        // rank/explode/self-join re-sorted the exploded side inside an SMJ —
+        // the superlinear stage at 1000x); the pair SET is unchanged.
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"band_id", $"band_bits").orderBy($"doc_id")
-        val ranked = banded.withColumn("rk", row_number().over(w))
-        val a = ranked.select($"band_id", $"band_bits",
-          $"doc_id".as("doc_a"), $"phash".as("ph_a"),
-          explode(expr(s"sequence(rk + 1, rk + $m)")).as("peer_rk"))
-        val b = ranked.select($"band_id", $"band_bits", $"rk".as("peer_rk"),
-          $"doc_id".as("doc_b"), $"phash".as("ph_b"))
-        a.join(b, Seq("band_id", "band_bits", "peer_rk"))
+        banded
+          .select($"doc_id".as("doc_a"), $"phash".as("ph_a"),
+            array((1 to m).map(j => struct(
+              lead($"doc_id", j).over(w).as("doc_b"),
+              lead($"phash", j).over(w).as("ph_b"))): _*).as("succs"))
+          .select($"doc_a", $"ph_a", explode($"succs").as("p"))
+          .filter($"p.doc_b".isNotNull) // lead past the bucket end
+          .select($"doc_a", $"p.doc_b".as("doc_b"), $"ph_a", $"p.ph_b".as("ph_b"))
       case None =>
         val a = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_a"), $"phash".as("ph_a"))
         val b = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_b"), $"phash".as("ph_b"))

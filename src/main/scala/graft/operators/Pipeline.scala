@@ -274,9 +274,15 @@ object PipelineOps {
 
   /** Sorted-distinct normalized query terms (the tf_<i> index order).
     * Locale.ROOT, not the JVM default: Spark's `lower()` lowercases the
-    * token side locale-independently (UTF8String's ASCII fast path), so a
-    * default-locale lowercase here would silently stop matching under
-    * tr/az locales ("INDEX" → dotless-ı "ındex" vs token "index").
+    * token side locale-independently ON ASCII (UTF8String's fast path), so
+    * a default-locale lowercase here would silently stop matching ASCII
+    * terms under tr/az locales ("INDEX" → dotless-ı "ındex" vs token
+    * "index"). Non-ASCII code points are NOT covered by this pairing:
+    * Spark's lower() falls back to default-locale String.toLowerCase
+    * there, so a non-ASCII term can still mismatch its token under tr/az
+    * default JVM locales — a deployment with non-ASCII query terms should
+    * pin the executor JVM locale (or normalize both sides with the same
+    * collation) rather than rely on this path.
     */
   private[graft] def normalizedTerms(termsDf: DataFrame): Seq[String] = {
     val terms = termsDf.select("term").collect()

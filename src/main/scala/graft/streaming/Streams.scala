@@ -992,6 +992,21 @@ object Streams {
   private[graft] def chunkPb(digest: Column): Column =
     pmod(hash(digest), lit(ChunkStatePartitions))
 
+  /** Reserved partition for the fold-commit marker: one row in
+    * pb = [[ChunkStatePartitions]] (outside chunkPb's 0..P-1 range, so no
+    * real digest can land there) whose n_copies holds the HIGHEST batch id
+    * whose fold has committed; its chunk_hash is a typed NULL (the marker
+    * is identified by its partition alone, which keeps it digest-type-
+    * agnostic — chunk digests are BIGINT in the ingest pipeline, strings
+    * in fixtures). It rides the SAME dynamic-partition-overwrite job as
+    * the fold's data, so "data visible" and "batch recorded" are one
+    * commit — the at-least-once seam (caller dies AFTER the store commit,
+    * BEFORE recording progress, then re-drives the fold) becomes an
+    * idempotent no-op instead of a double-count
+    * (spec: "s23 re-driving a committed fold is a no-op").
+    */
+  private[graft] val ChunkMarkerPb = ChunkStatePartitions
+
   /** One incremental fold of the persisted chunk store.
     *
     * First fold: full partitioned write (`partitionBy(pb)`, rows sorted by
@@ -1010,18 +1025,43 @@ object Streams {
     * after every read task has finished — probe-verified on 4.1.2, and
     * the spec's merge-correctness check covers the partial rewrite. No
     * user-level staging copy of the touched rows is paid.
+    *
+    * IDEMPOTENT UNDER RE-DRIVE: every fold commits a one-row batch marker
+    * ([[ChunkMarkerPb]]) in the same job as its data; a later fold first
+    * reads the marker (a pruned single-partition, single-row read) and
+    * returns without writing when `batchId` has already committed — so a
+    * caller that crashes between the store commit and its own progress
+    * record can safely re-drive the fold (exactly-once EFFECT under
+    * at-least-once driving). The atomicity boundary is Spark's job commit
+    * (FileCommitProtocol): a crash inside the commit itself can leave
+    * partially-renamed partitions, the same exposure as every FileSource
+    * write — a transactional table format is the production answer there.
+    * Returns the store WITHOUT the marker partition.
     */
   private[graft] def chunkFold(s: SparkSession, key: String,
-                               batchChunks: DataFrame, firstFold: Boolean): DataFrame = {
+                               batchChunks: DataFrame, batchId: Long,
+                               firstFold: Boolean): DataFrame = {
     import s.implicits._
     val tbl = chunkStateTableName(key)
+    def withMarker(merged: DataFrame): DataFrame =
+      merged.unionByName(s.range(1).select(
+        lit(null).cast(merged.schema("chunk_hash").dataType).as("chunk_hash"),
+        lit(batchId).as("n_copies"),
+        lit(null).cast(merged.schema("first").dataType).as("first"),
+        lit(ChunkMarkerPb).as("pb")))
+    val committed = firstFold ||
+      (s.catalog.tableExists(tbl) && {
+        val m = s.table(tbl).filter($"pb" === ChunkMarkerPb)
+          .agg(max($"n_copies")).head.get(0)
+        m != null && m.asInstanceOf[Long] >= batchId
+      })
     if (firstFold) {
-      chunkStoreMerge(None, batchChunks)
-        .withColumn("pb", chunkPb($"chunk_hash"))
+      withMarker(chunkStoreMerge(None, batchChunks)
+          .withColumn("pb", chunkPb($"chunk_hash")))
         .repartition($"pb").sortWithinPartitions($"chunk_hash")
         .write.option("path", chunkStatePath(tbl)).partitionBy("pb")
         .mode("overwrite").saveAsTable(tbl)
-    } else {
+    } else if (!committed) {
       val inc = chunkStoreMerge(None, batchChunks).localCheckpoint(true)
       // bounded collect: at most ChunkStatePartitions distinct values
       val touched = inc.select(chunkPb($"chunk_hash").as("pb")).distinct()
@@ -1032,13 +1072,13 @@ object Streams {
       val prevMode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
       try {
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        chunkMergeAgg(prior, inc)
-          .withColumn("pb", chunkPb($"chunk_hash"))
+        withMarker(chunkMergeAgg(prior, inc)
+            .withColumn("pb", chunkPb($"chunk_hash")))
           .repartition($"pb").sortWithinPartitions($"chunk_hash")
           .write.mode("overwrite").insertInto(tbl)
       } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     }
-    s.table(tbl)
+    s.table(tbl).filter($"pb" =!= ChunkMarkerPb)
   }
 
   /** Retire the superseded pre-round-10 layout: per-fold versioned bucketed
@@ -1060,7 +1100,7 @@ object Streams {
     var state: DataFrame = null
     for (b <- 0 until ChunkReplayBatches) {
       val batch = chunks.filter($"batch" === b.toLong)
-      state = chunkFold(s, dir, batch, firstFold = b == 0)
+      state = chunkFold(s, dir, batch, b.toLong, firstFold = b == 0)
     }
     state
       .select($"chunk_hash", $"n_copies",
@@ -1177,6 +1217,13 @@ object Streams {
     * surprisal read-out — hash-equal to s26/t30 through the SHARED oracle.
     * The census is materialized (|vocabulary| rows — the documented s26
     * state bound) under the RocksDB conf, which is restored after.
+    *
+    * NOT REENTRANT ACROSS THE SESSION: the provider conf is session-global,
+    * so any OTHER stateful query launched on the same session while this
+    * one materializes silently runs under the RocksDB provider too. Fine
+    * for the single-threaded verify/bench harness; a concurrent deployment
+    * should scope the conf to a cloned session (`s.newSession()` shares the
+    * catalog but isolates runtime conf) before flipping the provider.
     */
   def censusTwsBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -389,12 +389,15 @@ class StreamingSpec extends SparkSpec {
     val loc = Streams.chunkStatePath(tbl)
     // fold 0: 2000 digests spanning every digest-prefix partition
     val baseHashes = (0 until 2000).map(i => s"digest_$i")
-    Streams.chunkFold(s, key, chunksOf(s, baseHashes, 0L), firstFold = true)
-    val storeRows = s.table(tbl).count()
+    Streams.chunkFold(s, key, chunksOf(s, baseHashes, 0L), 0L, firstFold = true)
+    // data partitions only — the commit-marker partition (ChunkMarkerPb) is
+    // rewritten by EVERY fold by design and is excluded from the file checks
+    def store = s.table(tbl).filter($"pb" =!= Streams.ChunkMarkerPb)
+    val storeRows = store.count()
     // fold 1's batch confined to ONE pb: 10 overlap digests from that
     // partition plus new digests that hash into the same partition
-    val targetPb = s.table(tbl).select($"pb").head.getInt(0)
-    val overlap = s.table(tbl).filter($"pb" === targetPb)
+    val targetPb = store.select($"pb").head.getInt(0)
+    val overlap = store.filter($"pb" === targetPb)
       .select($"chunk_hash").limit(10).as[String].collect().toSeq
     val fresh = (0 until 500).map(i => s"new_$i").toDF("h")
       .filter(pmod(hash($"h"), lit(Streams.ChunkStatePartitions)) === targetPb)
@@ -408,20 +411,21 @@ class StreamingSpec extends SparkSpec {
       }.toMap
     }
     val before = snapshot()
-    Streams.chunkFold(s, key, chunksOf(s, overlap ++ fresh, 1L), firstFold = false)
+    Streams.chunkFold(s, key, chunksOf(s, overlap ++ fresh, 1L), 1L, firstFold = false)
     val after = snapshot()
     val touchedDir = s"pb=$targetPb"
-    assert((before.keySet - touchedDir).forall(d => before(d) == after(d)),
+    val markerDir = s"pb=${Streams.ChunkMarkerPb}"
+    assert((before.keySet - touchedDir - markerDir).forall(d => before(d) == after(d)),
       "untouched partitions must keep their exact files (names, sizes, mtimes)")
     assert(before(touchedDir) != after(touchedDir), "the touched partition was rewritten")
     // write volume: the rewritten partition holds ~store/P + batch rows — a
     // fold must never rewrite O(store)
-    val written = s.table(tbl).filter($"pb" === targetPb).count()
+    val written = store.filter($"pb" === targetPb).count()
     assert(written < storeRows / 4,
       s"per-fold write volume must be O(touched), got $written of $storeRows store rows")
     // merge correctness on the partial rewrite: overlap counts bumped, the
     // rest of the store intact
-    val merged = s.table(tbl)
+    val merged = store
     assert(merged.count() == storeRows + fresh.size)
     assert(merged.filter($"chunk_hash".isin(overlap: _*))
       .filter($"n_copies" =!= 2L).isEmpty, "overlap digests must fold to 2 copies")
@@ -431,6 +435,46 @@ class StreamingSpec extends SparkSpec {
     val debris = new java.io.File(loc).getParentFile.listFiles
       .filter(_.getName.startsWith(tbl + "."))
     assert(debris.isEmpty, s"unexpected scratch dirs: ${debris.mkString(",")}")
+  }
+
+  test("s23 re-driving a committed fold is a no-op (crash between commit and progress record)") {
+    // the at-least-once seam: the fold's dynamic-overwrite job COMMITS, the
+    // caller dies before recording progress, restarts, and re-drives the
+    // same batch. The batch marker (committed in the same job as the data)
+    // must turn the replay into a no-op — file-level identical store, no
+    // double-counted digests — while a LATER batch still folds normally.
+    val s = spark
+    import s.implicits._
+    val key = "s23_spec_redrive_store"
+    val tbl = Streams.chunkStateTableName(key)
+    val loc = Streams.chunkStatePath(tbl)
+    val base = (0 until 300).map(i => s"rd_base_$i")
+    val batch1 = (0 until 40).map(i => s"rd_base_$i") ++ (0 until 30).map(i => s"rd_new_$i")
+    Streams.chunkFold(s, key, chunksOf(s, base, 0L), 0L, firstFold = true)
+    Streams.chunkFold(s, key, chunksOf(s, batch1, 1L), 1L, firstFold = false)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] = {
+      val root = new java.io.File(loc)
+      root.listFiles.filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles.filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).sorted.toSeq
+      }.toMap
+    }
+    val committedState = snapshot()
+    // the crash-replay: same batch id, same rows, driven again
+    val replayed = Streams.chunkFold(s, key, chunksOf(s, batch1, 1L), 1L, firstFold = false)
+    assert(snapshot() == committedState,
+      "re-driving a committed fold must not write a single file (marker included)")
+    assert(replayed.filter($"chunk_hash".isin(batch1.take(40): _*))
+      .filter($"n_copies" =!= 2L).isEmpty,
+      "overlap digests must stay at 2 copies after the replay (no double count)")
+    // the marker is monotonic, not sticky: the NEXT batch still folds
+    Streams.chunkFold(s, key, chunksOf(s, Seq("rd_late_0"), 2L), 2L, firstFold = false)
+    val st = s.table(tbl).filter($"pb" =!= Streams.ChunkMarkerPb)
+    assert(st.filter($"chunk_hash" === "rd_late_0").count() == 1L,
+      "a later batch must fold normally after a replayed one")
+    // the fold's own return never exposes the marker row (typed-NULL digest
+    // in the reserved partition)
+    assert(replayed.filter($"chunk_hash".isNull).isEmpty)
   }
 
   test("s23 retires superseded versioned-layout artifacts on ingest") {

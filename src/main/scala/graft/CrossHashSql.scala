@@ -58,6 +58,35 @@ object CrossHashSql {
   def estJaccard(a: String, b: String): String =
     s"len(list_filter(range(0, 32), i -> $a[i+1] = $b[i+1])) / 32.0"
 
+  /** Left-fold double dot product of two FLOAT[] expressions — list_reduce
+    * (contractually ordered), matching kernels.cosineF's accumulation
+    * order exactly. Lambda vars ca/cx/ci avoid enclosing-lambda collisions.
+    */
+  private def dotD(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, least(len($a), len($b)) + 1), " +
+      s"ci -> CAST($a[ci] AS DOUBLE) * CAST($b[ci] AS DOUBLE)), (ca, cx) -> ca + cx)"
+
+  /** BIT-EXACT double replay of kernels.cosineF for the oracle side:
+    * DuckDB's native list_cosine_similarity on FLOAT[] accumulates in
+    * FLOAT32 (measured ~1e-7 absolute error at 100x), so raw-sim argmax /
+    * threshold compares against the double kernel flip on near-ties — the
+    * round-10 d28/d35 scale-gate divergence. This form accumulates
+    * left-to-right in DOUBLE and divides by sqrt(na)*sqrt(nb) (NOT
+    * sqrt(na*nb) — a different rounding), the kernel's exact op sequence;
+    * measured bit-equal (==) to the kernel on the formerly-diverging
+    * pairs. ~10x the native cost per pair — use natively-prefiltered: scan
+    * with the FLOAT sim, keep candidates within [[CosineFloatBand]] of the
+    * decision, replay only those in double (|native − double| measured
+    * ≤ 2.1e-7, analytic float32 bound ~1e-5 — the band is ≥ 20x both).
+    * Zero-norm vectors divide by zero here while the kernel defines 0.0 —
+    * spec-guarded absent at every SF (the d27 note).
+    */
+  def cosineDouble(a: String, b: String): String =
+    s"(${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)})))"
+
+  /** Native-vs-double error band for the prefilter (see [[cosineDouble]]). */
+  val CosineFloatBand = 1e-4
+
   /** Shared simhash CTE chain over `documents`: toks -> per-token 60-bit
     * hash -> per-bit votes -> 60-bit fingerprint -> 4 x 15-bit bands ->
     * deduped candidate pairs with exact hamming distance.

@@ -2566,10 +2566,17 @@ object SparkEntry {
          |            ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
     // d27: the |corpus| x |eval| score matrix Spark never materializes IS
-    // the oracle's working set (fine at sf0.01); list_cosine_similarity on
-    // FLOAT[] accumulates in double like kernels.cosineF (d05's full-rank
-    // compare proves the pair bit-identical), and the (sim DESC, eid ASC)
+    // the oracle's working set (fine at sf0.01); the (sim DESC, eid ASC)
     // row_number mirrors nearest_cosine's strict-> lowest-id tie-break.
+    // PRECISION NOTE (measured round 11): list_cosine_similarity on
+    // FLOAT[] accumulates in FLOAT32 (~1e-7 absolute error vs the double
+    // kernel — the round-10 "bit-identical" claim was wrong; it survived
+    // because e4-rounded outputs hide 1e-7). A float-sim rank flips only
+    // sub-1e-7 margins: d27/d30/d40's nearest/rank margins are orders of
+    // magnitude wider on generated data at every gated scale (hash-green
+    // through x100), while the two keys whose DECISIONS live on engineered
+    // near-ties (d28/d35) replay their decisive compares through
+    // CrossHashSql.cosineDouble instead.
     //
     // Documented degenerate-case divergences (never reached on generated
     // data, both spec-guarded in DedupSimilaritySpec):
@@ -2598,42 +2605,61 @@ object SparkEntry {
          |         AS contaminated
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // d28: full chain replayed — sampled codebook, argmax-cosine cell
-    // assignment (sim DESC, centroid_id ASC = the kernel's strict-> walk
-    // over the id-sorted codebook; d27 precedent), within-cell lower-id
-    // witness at the gap threshold (see Similarity.SemDedupThreshold).
-    // asg via struct-MAX, not a ROW_NUMBER window: the window form sorts the
-    // |corpus|x|codebook| cross join (819M rows CARRYING the float lists at
-    // 100x -> >60 GB DuckDB spill, the gate's disk lesson); struct-MAX over a
-    // {sim, -centroid_id} key is a streaming hash agg with |corpus| tiny
-    // states and the IDENTICAL deterministic pick (max sim, tie -> min id).
-    // COALESCE(-2.0) pins a NULL similarity BELOW every real cosine: a
-    // struct with a NULL 's' would otherwise compare HIGH in DuckDB's
-    // nested MAX and a NULL-embedding row could win the assignment (the
-    // zero-norm spec guard makes this unreachable on generated data —
-    // belt-and-braces for arbitrary stores). The witness compare is
-    // integer-quantized e4 (see SemDedupThresholdE4) so threshold-grazing
-    // float pairs cannot flip cross-engine at 100x/1000x.
+    // assignment, within-cell lower-id witness at the quantized gap
+    // threshold (see Similarity.SemDedupThreshold/E4).
+    //
+    // EXACT CROSS-ENGINE SCHEME (round 11 — this is what reclaimed d28/d35
+    // into the 100x/1000x gates): DuckDB's native list_cosine_similarity
+    // accumulates FLOAT[] in float32 (~1e-7 error) while the Spark kernel
+    // is double, so raw argmax/threshold compares flip on ScaleGen's
+    // engineered near-ties. The oracle therefore runs the corpus x codebook
+    // scan with the CHEAP native sim only as a PREFILTER (asg candidates:
+    // within CosineFloatBand of the per-vector native max; witness
+    // candidates: native >= threshold - band) and replays ONLY those
+    // candidates through CrossHashSql.cosineDouble — the bit-exact double
+    // fold of kernels.cosineF — before the decisive compare. Every decision
+    // is therefore made on bit-identical doubles; the float scan merely
+    // bounds where decisions can live (sound: |native-double| is >= 20x
+    // inside the band). asg via struct-MAX streaming aggs, never a
+    // ROW_NUMBER window (the 819M-row window sort spilled >60 GB at 100x —
+    // the round-10 disk lesson); nat is NOT MATERIALIZED so the double-
+    // referenced CTE inlines as two streaming scans instead of one 16 GB
+    // materialization. COALESCE(-2.0) pins NULL sims below every real
+    // cosine (NULL compares high in DuckDB's nested MAX).
     "d28_semdedup" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
          |  WHERE ${graft.SampleHash.sql("vec_id")} % ${Similarity.IvfCentroidEvery} = 0
          |  ORDER BY ${graft.SampleHash.sql("vec_id")}, vec_id
          |  LIMIT ${Similarity.IvfMaxCentroids}),
+         |nat AS NOT MATERIALIZED (
+         |  SELECT e.vec_id, cb.centroid_id AS cid, e.embedding, cb.ce,
+         |         COALESCE(list_cosine_similarity(e.embedding, cb.ce), -2.0) AS ns
+         |  FROM embeddings e CROSS JOIN cb),
+         |mxn AS (SELECT vec_id, MAX(ns) AS m FROM nat GROUP BY vec_id),
+         |prec AS (
+         |  SELECT n.vec_id, n.cid,
+         |         ${CrossHashSql.cosineDouble("n.embedding", "n.ce")} AS ds
+         |  FROM nat n JOIN mxn USING (vec_id)
+         |  WHERE n.ns >= mxn.m - ${CrossHashSql.CosineFloatBand}),
          |asg0 AS (
-         |  SELECT e.vec_id,
-         |         -(MAX({'s': COALESCE(list_cosine_similarity(e.embedding, cb.ce), -2.0),
-         |                'c': -cb.centroid_id})).c AS centroid_id
-         |  FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id),
+         |  SELECT vec_id, -(MAX({'s': ds, 'c': -cid})).c AS centroid_id
+         |  FROM prec GROUP BY vec_id),
          |asg AS (
          |  SELECT a.vec_id, e.embedding, a.centroid_id
          |  FROM asg0 a JOIN embeddings e USING (vec_id)),
-         |dup AS (
-         |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+         |dupcand AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         a.embedding AS ea, b.embedding AS eb
          |  FROM asg a JOIN asg b
          |    ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
-         |  WHERE floor(COALESCE(list_cosine_similarity(a.embedding, b.embedding), -2.0)
-         |          * 10000 + 0.5) >= ${Similarity.SemDedupThresholdE4}
-         |  GROUP BY a.vec_id)
+         |  WHERE COALESCE(list_cosine_similarity(a.embedding, b.embedding), -2.0)
+         |          >= ${Similarity.SemDedupThreshold - 0.00005 - CrossHashSql.CosineFloatBand}),
+         |dup AS (
+         |  SELECT va AS vec_id, MIN(vb) AS dup_of FROM dupcand
+         |  WHERE floor(${CrossHashSql.cosineDouble("ea", "eb")} * 10000 + 0.5)
+         |          >= ${Similarity.SemDedupThresholdE4}
+         |  GROUP BY va)
          |SELECT a.vec_id, a.centroid_id, d.dup_of,
          |       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM asg a LEFT JOIN dup d USING (vec_id)
@@ -2800,25 +2826,32 @@ object SparkEntry {
         |       TRUE AS a_est_ok, TRUE AS b_est_ok,
         |       TRUE AS union_est_ok, TRUE AS jaccard_est_ok
         |FROM px ORDER BY src_a, src_b""".stripMargin,
-    // d35: d28's codebook + argmax-assignment CTEs verbatim, then the
-    // cartography aggregate — all-integer outputs (BIGINT `//` truncates
-    // like Spark's div, both operands positive), quality e4-scaled via
-    // FLOOR(x*1e4+0.5) on BOTH sides (never cast a re-multiplied rounded
-    // double: Spark's long cast truncates, DuckDB's rounds), dominant
-    // source under (n DESC, source ASC) = the Spark window's total order
-    // asg via struct-MAX — same streaming-agg rewrite as d28 (the window form
-    // spills the corpus x codebook cross join at 100x)
+    // d35: d28's codebook + float-prefiltered exact-double argmax CTEs
+    // verbatim (see d28 on the scheme), then the cartography aggregate —
+    // all-integer outputs (BIGINT `//` truncates like Spark's div, both
+    // operands positive), quality e4-scaled via FLOOR(x*1e4+0.5) on BOTH
+    // sides (never cast a re-multiplied rounded double: Spark's long cast
+    // truncates, DuckDB's rounds), dominant source under (n DESC, source
+    // ASC) = the Spark window's total order
     "d35_corpus_map" ->
       s"""WITH cb AS (
          |  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
          |  WHERE ${graft.SampleHash.sql("vec_id")} % ${Similarity.IvfCentroidEvery} = 0
          |  ORDER BY ${graft.SampleHash.sql("vec_id")}, vec_id
          |  LIMIT ${Similarity.IvfMaxCentroids}),
+         |nat AS NOT MATERIALIZED (
+         |  SELECT e.vec_id, cb.centroid_id AS cid, e.embedding, cb.ce,
+         |         COALESCE(list_cosine_similarity(e.embedding, cb.ce), -2.0) AS ns
+         |  FROM embeddings e CROSS JOIN cb),
+         |mxn AS (SELECT vec_id, MAX(ns) AS m FROM nat GROUP BY vec_id),
+         |prec AS (
+         |  SELECT n.vec_id, n.cid,
+         |         ${CrossHashSql.cosineDouble("n.embedding", "n.ce")} AS ds
+         |  FROM nat n JOIN mxn USING (vec_id)
+         |  WHERE n.ns >= mxn.m - ${CrossHashSql.CosineFloatBand}),
          |asg AS (
-         |  SELECT e.vec_id,
-         |         -(MAX({'s': COALESCE(list_cosine_similarity(e.embedding, cb.ce), -2.0),
-         |                'c': -cb.centroid_id})).c AS centroid_id
-         |  FROM embeddings e CROSS JOIN cb GROUP BY e.vec_id),
+         |  SELECT vec_id, -(MAX({'s': ds, 'c': -cid})).c AS centroid_id
+         |  FROM prec GROUP BY vec_id),
          |j AS (SELECT a.centroid_id, d.source, d.n_chars,
          |             CAST(FLOOR(($QualitySql) * 10000 + 0.5) AS BIGINT) AS q_e4
          |      FROM asg a JOIN documents d ON a.vec_id = d.doc_id),

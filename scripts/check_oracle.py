@@ -10,13 +10,19 @@ is insensitive to row order). Optional trailing key names restrict the run
 (the scale_gate.sh per-key harness: one process per key so a timeout or a
 disk-filling DuckDB spill stays contained).
 """
-import sys, json, glob, hashlib, functools
+import sys, os, json, glob, hashlib, functools
 print = functools.partial(print, flush=True)  # progress visible when redirected
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 only_keys = set(sys.argv[3:])
 con = duckdb.connect()
+# Bound DuckDB (default: 80% of RAM) so a heavy oracle SPILLS to .tmp
+# instead of racing a co-resident Spark JVM into the kernel OOM killer —
+# measured at the 1000x gate: the unbounded d28 scan reached 107 GB RSS and
+# took the box down. Override via GRAFT_DUCKDB_MEM.
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+con.execute("SET temp_directory='.tmp'")
 import os
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = f.split("/")[-1].removesuffix(".parquet")

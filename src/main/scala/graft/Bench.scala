@@ -15,9 +15,15 @@ object Bench {
     */
   private def timeRoundRobin(spark: SparkSession, dir: String,
                              keys: Seq[String], reps: Int): Seq[(String, Double)] = {
-    keys.foreach { k =>
-      try SparkEntry.queries(k)(spark, dir).count() catch { case _: Throwable => () }
-    }
+    // SPARK_GRAFT_BENCH_WARM=0 skips the warm pass: at ScaleGen x100/x1000
+    // the per-key wall is seconds-to-minutes, so the ~0.5 s codegen compile
+    // the warm pass exists to absorb is noise there, and one pass instead
+    // of two is what fits a 202-key x1000 sweep in a round's wall clock.
+    // The driver-contract sf0.1 run keeps the warm pass (default 1).
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") != "0")
+      keys.foreach { k =>
+        try SparkEntry.queries(k)(spark, dir).count() catch { case _: Throwable => () }
+      }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failedKeys = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to reps; k <- keys) {

@@ -22,7 +22,16 @@ con = duckdb.connect()
 # measured at the 1000x gate: the unbounded d28 scan reached 107 GB RSS and
 # took the box down. Override via GRAFT_DUCKDB_MEM.
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+# DuckDB defaults to every core; when the gate trails a live Spark dump
+# (scripts/trailing_gate.sh) that is 2x oversubscription on a 32-way box —
+# bound it so both sides keep making progress.
+con.execute(f"SET threads={os.environ.get('GRAFT_DUCKDB_THREADS', '16')}")
 con.execute("SET temp_directory='.tmp'")
+# Cap the spill so one heavy oracle fails FAST with a clean error instead
+# of filling the disk and crashing its neighbors (measured at the x1000
+# gate: two concurrent >12 GB spillers took down three unrelated keys).
+con.execute(
+    f"SET max_temp_directory_size='{os.environ.get('GRAFT_DUCKDB_TMPMAX', '64GB')}'")
 import os
 for f in glob.glob(f"{sf_dir}/*.parquet"):
     name = f.split("/")[-1].removesuffix(".parquet")

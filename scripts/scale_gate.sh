@@ -27,7 +27,9 @@ fi
 pass=0; fail=0
 for k in "${KEYS[@]}"; do
   t0=$(date +%s)
-  if (cd "$WORK" && timeout 600 python3 "$SCRIPTS/check_oracle.py" "$SF" "$OUT" "$k" > "$WORK/$k.log" 2>&1); then
+  # -k: DuckDB can sit in native code past SIGTERM — follow with SIGKILL
+  # (measured: a timed-out d28 x1000 check kept 22 GB / 2 cores for 10+ min)
+  if (cd "$WORK" && timeout -k 15 600 python3 "$SCRIPTS/check_oracle.py" "$SF" "$OUT" "$k" > "$WORK/$k.log" 2>&1); then
     echo "PASS $k ($(( $(date +%s) - t0 ))s)"
     pass=$((pass+1))
   else

@@ -22,10 +22,14 @@ con = duckdb.connect()
 # measured at the 1000x gate: the unbounded d28 scan reached 107 GB RSS and
 # took the box down. Override via GRAFT_DUCKDB_MEM.
 con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
-# DuckDB defaults to every core; when the gate trails a live Spark dump
-# (scripts/trailing_gate.sh) that is 2x oversubscription on a 32-way box —
-# bound it so both sides keep making progress.
-con.execute(f"SET threads={os.environ.get('GRAFT_DUCKDB_THREADS', '16')}")
+# DuckDB defaults to every core — the right call for a standalone/serial
+# gate on an otherwise-idle box, so only bound threads when the caller asks
+# (the trailing/parallel gates export GRAFT_DUCKDB_THREADS because they
+# share the box with a live Spark dump; an unconditional default here
+# halved the serial scale_gate.sh path's parallelism under the same 600s
+# timeout).
+if "GRAFT_DUCKDB_THREADS" in os.environ:
+    con.execute(f"SET threads={os.environ['GRAFT_DUCKDB_THREADS']}")
 con.execute("SET temp_directory='.tmp'")
 # Cap the spill so one heavy oracle fails FAST with a clean error instead
 # of filling the disk and crashing its neighbors (measured at the x1000

@@ -11,7 +11,11 @@ Usage:
 
 Multiple --run groups handle a dump that was restarted (e.g. after an OOM
 kill): each group is its own mtime chain. Prints one JSON object
-{key: seconds} on stdout, sorted by key.
+{key: seconds | "<=seconds"} on stdout, sorted by key. A "<=" value marks a
+key whose chain predecessor is MISSING from the dump: the time Verify spent
+on the missing key's failed attempt folds into this span, so the number is
+an inflated upper bound on the key's own wall — tainted, not exact
+(round-11 ADVICE).
 """
 import json, os, sys
 
@@ -26,15 +30,29 @@ for i in range(0, len(args), 2):
 timings = {}
 for keys, t0 in runs:
     done = []
+    missing = set()
     for k in keys:
         s = os.path.join(out_dir, k, "_SUCCESS")
         if os.path.exists(s):
             done.append((os.path.getmtime(s), k))
         else:
+            missing.add(k)
             print(f"WARN missing {k}", file=sys.stderr)
+    # a missing key taints the next PRESENT key in file order (Verify dumps
+    # in SparkEntry map order = keys-file order, so file order ≈ mtime order)
+    tainted = set()
+    present = {k for _, k in done}
+    taint_next = False
+    for k in keys:
+        if k in missing:
+            taint_next = True
+        elif taint_next and k in present:
+            tainted.add(k)
+            taint_next = False
     prev = t0
     for mt, k in sorted(done):
-        timings[k] = round(mt - prev, 1)
+        dt = round(mt - prev, 1)
+        timings[k] = f"<={dt}" if k in tainted else dt
         prev = mt
 
 print(json.dumps(dict(sorted(timings.items())), indent=1))

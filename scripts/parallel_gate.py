@@ -64,8 +64,21 @@ def main():
             # already-dumped keys wait. Sleep only after a full fruitless
             # cycle (misses ~ queue size) to avoid busy-spinning the tail.
             if not os.path.exists(os.path.join(out, k, "_SUCCESS")):
-                if subprocess.run(["pgrep", "-f", f"graft.Verify {sf}"],
-                                  capture_output=True).returncode != 0:
+                # Liveness probe matches ANY graft.Verify, not "graft.Verify
+                # <sf>": the sf spelling in the launcher's argv (relative,
+                # symlinked, trailing slash) need not equal ours, and a false
+                # "gone" verdict silently drops keys. Worst case of the loose
+                # match is extra polling while an unrelated Verify runs.
+                verify_alive = subprocess.run(
+                    ["pgrep", "-f", "graft.Verify"],
+                    capture_output=True).returncode == 0
+                # TOCTOU: Verify may have committed this key and exited
+                # between the _SUCCESS check and pgrep — re-check before
+                # declaring it missing, and requeue so the normal path
+                # processes the just-landed dump.
+                if os.path.exists(os.path.join(out, k, "_SUCCESS")):
+                    q.put(k)
+                elif not verify_alive:
                     emit(f"MISSING {k} (verify gone, never dumped)")
                 else:
                     q.put(k)

@@ -14,6 +14,10 @@ set -u
 SF="$1"; OUT="$2"; WORK="$3"; KEYS_FILE="$4"
 SCRIPTS="$(cd "$(dirname "$0")" && pwd)"
 mkdir -p "$WORK"
+# This gate shares the box with the live Verify JVM — bound DuckDB unless
+# the caller already chose a budget (see check_oracle.py, which now only
+# caps threads when asked).
+export GRAFT_DUCKDB_THREADS="${GRAFT_DUCKDB_THREADS:-16}"
 mapfile -t KEYS < "$KEYS_FILE"
 declare -A done
 pass=0; fail=0; remaining=${#KEYS[@]}
@@ -35,13 +39,31 @@ while [ "$remaining" -gt 0 ]; do
     rm -rf "$WORK/.tmp"
   done
   if [ "$remaining" -gt 0 ] && [ "$progressed" -eq 0 ]; then
-    # nothing new: if the Verify JVM is gone and nothing is pending, stop
-    if ! pgrep -f "graft.Verify $SF" > /dev/null; then
-      echo "trailing_gate: verify process gone with $remaining keys never dumped:"
-      for k in "${KEYS[@]}"; do [ -z "${done[$k]:-}" ] && echo "  MISSING $k"; done
+    # deadline: a hung Verify JVM must not pin the gate forever
+    if [ -n "${GATE_DEADLINE_EPOCH:-}" ] && [ "$(date +%s)" -gt "$GATE_DEADLINE_EPOCH" ]; then
+      echo "trailing_gate: GATE_DEADLINE_EPOCH passed with $remaining keys ungated:"
+      for k in "${KEYS[@]}"; do [ -z "${done[$k]:-}" ] && echo "  DEADLINE $k"; done
       break
     fi
-    sleep 20
+    # nothing new: if the Verify JVM is gone and nothing is pending, stop.
+    # Match ANY graft.Verify, not "graft.Verify $SF" — argv path spelling
+    # (relative vs absolute) need not equal ours, and a false "gone" verdict
+    # drops every pending key (round-11 ADVICE).
+    if ! pgrep -f "graft.Verify" > /dev/null; then
+      # TOCTOU: Verify may have committed its last key and exited since the
+      # top-of-loop _SUCCESS scan — one more pass picks those up next cycle.
+      landed=0
+      for k in "${KEYS[@]}"; do
+        [ -z "${done[$k]:-}" ] && [ -f "$OUT/$k/_SUCCESS" ] && landed=1
+      done
+      if [ "$landed" -eq 0 ]; then
+        echo "trailing_gate: verify process gone with $remaining keys never dumped:"
+        for k in "${KEYS[@]}"; do [ -z "${done[$k]:-}" ] && echo "  MISSING $k"; done
+        break
+      fi
+    else
+      sleep 20
+    fi
   fi
 done
 echo "trailing_gate: $pass pass, $fail fail/timeout of ${#KEYS[@]} keys"

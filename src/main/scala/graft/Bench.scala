@@ -58,7 +58,15 @@ object Bench {
     // bench runs reps=1 (warm pass + one timed round) to keep a 202-key
     // pass at 600M-row scale inside a round's wall clock
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = timeRoundRobin(spark, sfDir, SparkEntry.queries.keys.toSeq.sorted, reps)
+    // SPARK_GRAFT_BENCH_COHORT=0 skips the full-suite pass at sfDir: a
+    // recorded SCALE point (BENCH_x100/x1000_local.json) wants ONLY the
+    // scale_headline section — carrying a duplicate sf0.1 cohort payload in
+    // a scale artifact confused the cross-round diff (round-11 verdict).
+    // The driver-contract run keeps the cohort (default 1).
+    val cohort = sys.env.getOrElse("SPARK_GRAFT_BENCH_COHORT", "1") != "0"
+    val results =
+      if (cohort) timeRoundRobin(spark, sfDir, SparkEntry.queries.keys.toSeq.sorted, reps)
+      else Seq.empty
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum

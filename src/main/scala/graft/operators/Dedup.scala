@@ -27,6 +27,48 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** Bucket-local candidate pairing shared by d02 (minhash bands) and m09
+    * (phash hamming bands — Multimodal.phashNeardup). Input: one row per
+    * (bucket, doc) with a per-doc payload column; output: (doc_a, doc_b,
+    * outA, outB) candidate rows with doc_a < doc_b.
+    *
+    * `Some(m)` is the bounded successor-window view: each doc pairs with its
+    * next m bucket members in doc_id order as m lead() columns over ONE
+    * bucket window — the banded rows cross one exchange, the per-bucket
+    * buffer is m rows, and only skinny pair rows leave the window (the
+    * round-11 shape; the former rank/explode/self-join re-sorted the
+    * m-times-exploded side inside a sort-merge join, d02's superlinear
+    * stage at 1000x). lead(j) ≡ the rank rk+j bucket member, so the pair
+    * SET matches the oracle's ROW_NUMBER rank-range replay exactly.
+    * Successors have strictly larger doc_id, so doc_a < doc_b holds by
+    * construction. `None` is the exhaustive O(c²) bucket self-join, kept
+    * for bounded stores.
+    */
+  private[graft] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+      payloadCol: String, outA: String, outB: String,
+      successorWindow: Option[Int]): DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    successorWindow match {
+      case Some(m) =>
+        val w = Window.partitionBy(bucketCols.map(col): _*).orderBy($"doc_id")
+        banded
+          .select($"doc_id".as("doc_a"), col(payloadCol).as(outA),
+            array((1 to m).map(j => struct(
+              lead($"doc_id", j).over(w).as("doc_b"),
+              lead(col(payloadCol), j).over(w).as(outB))): _*).as("succs"))
+          .select($"doc_a", col(outA), explode($"succs").as("p"))
+          .filter($"p.doc_b".isNotNull) // lead past the bucket end
+          .select($"doc_a", $"p.doc_b".as("doc_b"), col(outA), col(s"p.$outB").as(outB))
+      case None =>
+        val a = banded.select(bucketCols.map(col) ++
+          Seq($"doc_id".as("doc_a"), col(payloadCol).as(outA)): _*)
+        val b = banded.select(bucketCols.map(col) ++
+          Seq($"doc_id".as("doc_b"), col(payloadCol).as(outB)): _*)
+        a.join(b, bucketCols).filter($"doc_a" < $"doc_b")
+    }
+  }
+
   private val NumHashes = 32
   private val Bands = 8
   private val Rows = NumHashes / Bands // 4 rows per band
@@ -121,24 +163,8 @@ object Dedup {
                  successorWindow: Option[Int] = Some(NeighborWindow)): DataFrame = {
     import s.implicits._
     val banded = bandSignatures(signatures(s, dir))
-    val pairs = successorWindow match {
-      case Some(m) =>
-        val w = Window.partitionBy($"band_id", $"band_key").orderBy($"doc_id")
-        // successors have strictly larger doc_id, so doc_a < doc_b holds
-        banded
-          .select($"doc_id".as("doc_a"), $"sig".as("sig_a"),
-            array((1 to m).map(j => struct(
-              lead($"doc_id", j).over(w).as("doc_b"),
-              lead($"sig", j).over(w).as("sig_b"))): _*).as("succs"))
-          .select($"doc_a", $"sig_a", explode($"succs").as("p"))
-          .filter($"p.doc_b".isNotNull) // lead past the bucket end
-          .select($"doc_a", $"p.doc_b".as("doc_b"),
-                  $"sig_a", $"p.sig_b".as("sig_b"))
-      case None =>
-        val a = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"), $"sig".as("sig_a"))
-        val b = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"), $"sig".as("sig_b"))
-        a.join(b, Seq("band_id", "band_key")).filter($"doc_a" < $"doc_b")
-    }
+    val pairs = bucketPairs(banded, Seq("band_id", "band_key"),
+      payloadCol = "sig", outA = "sig_a", outB = "sig_b", successorWindow)
     pairs
       .select($"doc_a", $"doc_b", estJaccard("sig_a", "sig_b").as("est_jaccard"))
       .filter($"est_jaccard" >= threshold) // cut before the dedup shuffle

@@ -344,30 +344,11 @@ object Multimodal {
         explode(expr("transform(sequence(0, 3), " +
           "b -> struct(b AS band_id, shiftright(phash, b*15) & 32767 AS band_bits))")).as("band"))
       .select($"doc_id", $"phash", $"band.band_id", $"band.band_bits")
-    val pairs = successorWindow match {
-      case Some(m) =>
-        // bounded successor-window view (Dedup.NeighborWindow): each profile
-        // pairs with its next-M bucket members only — O(c·M) candidate rows
-        // per bucket where profiles densify, vs the O(c²) exhaustive view
-        // kept behind successorWindow = None. Pairing is M lead() columns
-        // over ONE bucket window (d02's round-11 shape: the former
-        // rank/explode/self-join re-sorted the exploded side inside an SMJ —
-        // the superlinear stage at 1000x); the pair SET is unchanged.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"band_id", $"band_bits").orderBy($"doc_id")
-        banded
-          .select($"doc_id".as("doc_a"), $"phash".as("ph_a"),
-            array((1 to m).map(j => struct(
-              lead($"doc_id", j).over(w).as("doc_b"),
-              lead($"phash", j).over(w).as("ph_b"))): _*).as("succs"))
-          .select($"doc_a", $"ph_a", explode($"succs").as("p"))
-          .filter($"p.doc_b".isNotNull) // lead past the bucket end
-          .select($"doc_a", $"p.doc_b".as("doc_b"), $"ph_a", $"p.ph_b".as("ph_b"))
-      case None =>
-        val a = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_a"), $"phash".as("ph_a"))
-        val b = banded.select($"band_id", $"band_bits", $"doc_id".as("doc_b"), $"phash".as("ph_b"))
-        a.join(b, Seq("band_id", "band_bits")).filter($"doc_a" < $"doc_b")
-    }
+    // bounded successor-window view vs exhaustive bucket self-join: one
+    // shared implementation with d02 — see Dedup.bucketPairs for the plan
+    // shape and the lead()-window rationale.
+    val pairs = Dedup.bucketPairs(banded, Seq("band_id", "band_bits"),
+      payloadCol = "phash", outA = "ph_a", outB = "ph_b", successorWindow)
     pairs
       .select($"doc_a", $"doc_b",
               bit_count($"ph_a".bitwiseXOR($"ph_b")).cast("long").as("hamming"))

@@ -1081,6 +1081,32 @@ object Streams {
     s.table(tbl).filter($"pb" =!= ChunkMarkerPb)
   }
 
+  /** Detection probe for the one seam [[chunkFold]]'s idempotence cannot
+    * cover: a crash INSIDE FileCommitProtocol's job commit. A completed
+    * commit removes the protocol's staging dir from the store path —
+    * `_temporary` for the static first-fold write, `.spark-staging-<jobId>`
+    * for the dynamic-overwrite incremental folds — so a leftover one is the
+    * on-disk signature of an interrupted commit whose partition renames may
+    * be TORN: some touched partitions new, others old, the batch marker
+    * possibly unrecorded, so a re-drive could double-count the
+    * already-renamed partitions. The store stays READABLE regardless
+    * (Spark's file index ignores underscore/dot-prefixed paths,
+    * spec-asserted), which is exactly why detection must be explicit:
+    * nothing else fails, and later folds never touch residue they didn't
+    * stage. Callers should treat a true result as "restore the store from
+    * the previous snapshot / re-fold from scratch"; the production answer
+    * is a transactional table format, whose commit is a single atomic
+    * metadata swap instead of N renames.
+    */
+  private[graft] def chunkStoreTornCommitSuspect(s: SparkSession, key: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(chunkStatePath(chunkStateTableName(key)))
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    fs.exists(root) && fs.listStatus(root).exists { st =>
+      val n = st.getPath.getName
+      n == "_temporary" || n.startsWith(".spark-staging-")
+    }
+  }
+
   /** Retire the superseded pre-round-10 layout: per-fold versioned bucketed
     * tables (`…_v0/_v1/_v2`) whose directories outlive the in-memory
     * catalog. Runs once per ingest — idempotent, no-op when clean. */

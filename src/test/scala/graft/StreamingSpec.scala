@@ -477,6 +477,52 @@ class StreamingSpec extends SparkSpec {
     assert(replayed.filter($"chunk_hash".isNull).isEmpty)
   }
 
+  test("s23 torn job commit: stray _temporary is tolerated by reads and folds, and detected") {
+    // the residual seam chunkFold's scaladoc names: a crash INSIDE
+    // FileCommitProtocol's commit can leave partially-renamed partitions
+    // plus the protocol's _temporary staging dir. Prove the adjudicated
+    // contract: (a) the store stays readable and a later fold completes
+    // (underscore-prefixed paths are invisible to the file index, and
+    // dynamic overwrite replaces the stray dir's sibling partitions
+    // normally); (b) the torn state is DETECTABLE via the leftover
+    // _temporary, because nothing else fails — silent tolerance without
+    // detection would let a double-count replay pass unnoticed.
+    val s = spark
+    import s.implicits._
+    val key = "s23_spec_torn_store"
+    val tbl = Streams.chunkStateTableName(key)
+    val loc = Streams.chunkStatePath(tbl)
+    Streams.chunkFold(s, key, chunksOf(s, (0 until 200).map(i => s"tc_$i"), 0L), 0L,
+      firstFold = true)
+    assert(!Streams.chunkStoreTornCommitSuspect(s, key),
+      "a completed commit must leave no _temporary behind")
+    // simulate the torn commit's observable residue: a dynamic-overwrite
+    // staging dir (with a junk file, as an interrupted rename sequence
+    // would leave — dynamic folds stage under .spark-staging-<jobId>)
+    val stray = new java.io.File(loc, ".spark-staging-torn-spec/pb=3")
+    stray.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stray.getPath, "part-junk.parquet"), Array[Byte](9, 9))
+    assert(Streams.chunkStoreTornCommitSuspect(s, key),
+      "leftover .spark-staging-* must be detected as a torn-commit suspect")
+    // reads ignore the stray dir: counts see only committed rows
+    val before = s.table(tbl).filter($"pb" =!= Streams.ChunkMarkerPb).count()
+    assert(before == 200L, s"stray staging dir leaked into the read: $before rows")
+    // a later fold completes and merges correctly over the torn store
+    val merged = Streams.chunkFold(s, key,
+      chunksOf(s, Seq("tc_0", "tc_1", "tc_new"), 1L), 1L, firstFold = false)
+    assert(merged.filter($"chunk_hash" === "tc_0").head.getAs[Long]("n_copies") == 2L)
+    assert(merged.filter($"chunk_hash" === "tc_new").count() == 1L)
+    // later folds never touch residue they didn't stage: detection persists
+    // until the OPERATOR acts on it (silent auto-erasure would hide the
+    // double-count exposure the probe exists to surface)
+    assert(Streams.chunkStoreTornCommitSuspect(s, key),
+      "a later fold must not silently erase the torn-commit evidence")
+    graft.Fs.delete(s, stray.getParentFile.getPath)
+    assert(!Streams.chunkStoreTornCommitSuspect(s, key),
+      "clearing the residue must clear the suspicion")
+  }
+
   test("s23 retires superseded versioned-layout artifacts on ingest") {
     val s = spark
     // plant a fake pre-round-10 versioned artifact (dir + junk file)

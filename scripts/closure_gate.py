@@ -30,6 +30,16 @@ d10 = "d10_neardup_clusters"
 
 import duckdb
 con = duckdb.connect()
+# Same bounds as check_oracle.py: the closure materialization is the single
+# heaviest DuckDB statement in the repo (recursive CTE over the candidate
+# graph — ~105 min at the x10 point) and an unbounded connection races
+# co-resident JVMs into the kernel OOM killer at x100.
+con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '24GB')}'")
+if "GRAFT_DUCKDB_THREADS" in os.environ:
+    con.execute(f"SET threads={os.environ['GRAFT_DUCKDB_THREADS']}")
+con.execute(f"SET temp_directory='{work}/.tmp'")
+con.execute(
+    f"SET max_temp_directory_size='{os.environ.get('GRAFT_DUCKDB_TMPMAX', '64GB')}'")
 for f in os.listdir(sf_dir):
     if not f.endswith(".parquet"):
         continue

@@ -17,6 +17,10 @@ set -u
 SF="$1"; OUT="$2"; WORK="$3"; shift 3
 SCRIPTS="$(cd "$(dirname "$0")" && pwd)"
 mkdir -p "$WORK"
+# Per-key timeout: 600s covers the sf0.01..x100 points; the x1000 heavy
+# keys (d28's cell-pair replay, q44's interleave) need more — override via
+# GATE_TIMEOUT without editing the loop.
+TIMEOUT="${GATE_TIMEOUT:-600}"
 
 if [ $# -gt 0 ]; then
   KEYS=("$@")
@@ -29,13 +33,13 @@ for k in "${KEYS[@]}"; do
   t0=$(date +%s)
   # -k: DuckDB can sit in native code past SIGTERM — follow with SIGKILL
   # (measured: a timed-out d28 x1000 check kept 22 GB / 2 cores for 10+ min)
-  if (cd "$WORK" && timeout -k 15 600 python3 "$SCRIPTS/check_oracle.py" "$SF" "$OUT" "$k" > "$WORK/$k.log" 2>&1); then
+  if (cd "$WORK" && timeout -k 15 "$TIMEOUT" python3 "$SCRIPTS/check_oracle.py" "$SF" "$OUT" "$k" > "$WORK/$k.log" 2>&1); then
     echo "PASS $k ($(( $(date +%s) - t0 ))s)"
     pass=$((pass+1))
   else
     rc=$?
     if [ "$rc" -eq 124 ]; then
-      echo "TIMEOUT $k (600s)"
+      echo "TIMEOUT $k (${TIMEOUT}s)"
     else
       echo "FAIL $k (rc=$rc, $(( $(date +%s) - t0 ))s, log: $WORK/$k.log)"
     fi

@@ -105,20 +105,54 @@ def table_hash(rows, cols):
     lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
+# Above this many Spark-dump rows, hashing switches from the driver-parity
+# python path (fetchall + sorted canonical lines — faithful to the driver's
+# pandas compare, but it materializes BOTH result sets in one process: a
+# 600M-row x1000 key is a >100 GB fetch, the round-11 rc=-9 class) to a
+# STREAMING multiset hash computed inside DuckDB: one aggregate scan per
+# side, (COUNT(*), SUM(hash(canonical_row))), order-independent and
+# constant-memory. The canonicalization differs from the python path
+# (DuckDB VARCHAR casts, doubles rounded to 9 places), but BOTH sides go
+# through the identical SQL, so equality is exactly as meaningful — what's
+# lost is only the per-row diff preview on mismatch.
+STREAM_ROWS = int(os.environ.get("GRAFT_STREAM_HASH_ROWS", "20000000"))
+
+def stream_hash(rel_sql, cols, types):
+    """(n, multiset-hash) of a relation in one streaming DuckDB aggregate.
+    cols/types: lowercase names + declared DuckDB types, pre-validated
+    (no nested types, no dtype drift) by the callers' shared checks."""
+    parts = []
+    for c, t in sorted(zip(cols, types)):
+        # floats go through DOUBLE before rounding: FLOAT-vs-DOUBLE across
+        # sides shares a pandas kind (passes the drift gates) but formats
+        # differently as VARCHAR (float32 vs float64 shortest-repr)
+        v = (f'round(CAST("{c}" AS DOUBLE), 9)'
+             if t.upper() in ("FLOAT", "DOUBLE") else f'"{c}"')
+        parts.append(f"COALESCE(CAST({v} AS VARCHAR), 'NULL')")
+    canon_row = " || '|' || ".join(parts)
+    n, h = con.sql(
+        f"SELECT COUNT(*), SUM(hash({canon_row})) FROM ({rel_sql})").fetchone()
+    return n, int(h) if h is not None else None
+
 fails = 0
 for name, sql in sorted(oracles.items()):
+    spark_src = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
     try:
-        spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        spark_rel = con.sql(spark_src)
         s_cols = [c.lower() for c in spark_rel.columns]
-        s_rows = spark_rel.fetchall()
+        # row count from parquet metadata — cheap, decides the hash path
+        # BEFORE any full materialization
+        (s_count,) = con.sql(
+            f"SELECT COUNT(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()
+        s_rows = spark_rel.fetchall() if s_count <= STREAM_ROWS else None
     except Exception as e:
         print(f"FAIL {name}: spark dump unreadable: {e}")
         fails += 1
         continue
     try:
-        duck_rel = con.sql(sql)
+        duck_rel = con.sql(sql)  # lazy: declared schema without execution
         d_cols = [c.lower() for c in duck_rel.columns]
-        d_rows = duck_rel.fetchall()
+        d_rows = duck_rel.fetchall() if s_rows is not None else None
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
         fails += 1
@@ -150,6 +184,33 @@ for name, sql in sorted(oracles.items()):
     if kind_drift:
         print(f"FAIL {name}: pandas dtype-kind drift: {kind_drift}")
         fails += 1
+        continue
+    if s_rows is None:
+        # streaming multiset-hash path (see STREAM_ROWS above)
+        s_types = list(map(str, spark_rel.types))
+        d_types = list(map(str, duck_rel.types))
+        nested = [f"{c}:{t}" for c, t in zip(s_cols + d_cols, s_types + d_types)
+                  if "[" in t or t.startswith(("STRUCT", "MAP", "LIST"))]
+        if nested:
+            print(f"FAIL {name}: driver-unhashable cell (nested type in "
+                  f"streaming path: {nested})")
+            fails += 1
+            continue
+        try:
+            s_n, s_h = stream_hash(spark_src, s_cols, s_types)
+            d_n, d_h = stream_hash(sql, d_cols, d_types)
+        except Exception as e:
+            print(f"FAIL {name}: streaming hash error: {e}")
+            fails += 1
+            continue
+        if s_n != d_n:
+            print(f"FAIL {name}: rows spark={s_n} duck={d_n}")
+            fails += 1
+        elif s_h != d_h:
+            print(f"FAIL {name}: streaming multiset-hash mismatch ({s_n} rows)")
+            fails += 1
+        else:
+            print(f"PASS {name} ({s_n} rows, streaming hash)")
         continue
     if len(s_rows) != len(d_rows):
         print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")

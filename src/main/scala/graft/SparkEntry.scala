@@ -3133,21 +3133,32 @@ object SparkEntry {
         |       END AS byte_mean
         |FROM s2 ORDER BY doc_id, stripe""".stripMargin,
     // m08: the stride-4 subsample rebuilt byte-for-byte, digest compared
+    // the stride-4 downsample as ONE regex pass per doc: each non-overlapping
+    // (1 char + up to 3 chars) run keeps its first char = positions 1,5,9,…
+    // ((?s) so '.' crosses newlines). The former unnest(range)+ordered
+    // string_agg form exploded to positions-count rows (375M at x1000) whose
+    // per-group ordered-aggregate buffers are untracked DuckDB memory — the
+    // x1000 gate's repeatable bad-alloc. Payload chars = bytes here (ASCII
+    // corpus, m05-verified), so char stride ≡ the kernel's byte stride.
     "m08_resize" ->
       """WITH b AS (SELECT doc_id, 'IMG0' || text AS payload,
         |             CAST(4 + OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n
-        |           FROM documents),
-        |e AS (SELECT doc_id, n, i, substring(payload, CAST(i AS BIGINT), 1) AS ch
-        |      FROM b, unnest(range(1, n + 1, 4)) AS t(i))
+        |           FROM documents)
         |SELECT doc_id, n AS orig_len, (n + 3) // 4 AS resized_len,
-        |       md5(string_agg(ch, '' ORDER BY i)) AS resized_md5
-        |FROM e GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+        |       md5(regexp_replace(payload, '(?s)(.)(.{0,3})', '\1', 'g')) AS resized_md5
+        |FROM b ORDER BY doc_id""".stripMargin,
     // m09: the 60-bit bigram-profile hash replayed over the ASCII payload
     // (byte offsets = char offsets, m05-verified), d03's band layout and
     // pigeonhole (verdict gate ≤ 2 is stricter than the ≤ 3 recall bound,
     // so banding loses no qualifying pair); all arithmetic in plain BIGINT
     // the keyed form is the bounded successor-window view (d02's shape):
-    // ROW_NUMBER within each band bucket, pair with the next M ranks only
+    // ROW_NUMBER within each band bucket, pair with the next M ranks only.
+    // The cell histogram is one UNNEST + GROUP BY per doc (O(len)): the
+    // previous form re-scanned the bucket list once per cell
+    // (60 list_filter passes, O(60·len)) — the x1000 gate timeout. Absent
+    // cells mean cnt=0, never over-occupied, so only present cells can set
+    // bits — the LEFT JOIN keeps empty-payload docs at phash=0 exactly as
+    // the 60-pass form did.
     "m09_phash_neardup" ->
       s"""WITH p AS (SELECT doc_id, 'IMG0' || text AS pay FROM documents),
         |c AS (SELECT doc_id,
@@ -3158,10 +3169,12 @@ object SparkEntry {
         |         list_transform(range(1, len(bytes)), i -> (bytes[i]*131 + bytes[i+1]) % 60) AS buckets,
         |         CAST(len(bytes) - 1 AS BIGINT) AS n
         |       FROM c),
-        |ph AS (SELECT doc_id,
-        |         CAST(SUM(CASE WHEN CAST(len(list_filter(buckets, v -> v = j)) AS BIGINT) * 60 > n
-        |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS phash
-        |       FROM bg, UNNEST(range(0, 60)) r(j) GROUP BY doc_id),
+        |bc AS (SELECT doc_id, u.j, COUNT(*) AS cnt
+        |       FROM bg, UNNEST(buckets) AS u(j) GROUP BY doc_id, u.j),
+        |ph AS (SELECT bg.doc_id,
+        |         CAST(COALESCE(SUM(CASE WHEN bc.cnt * 60 > bg.n
+        |               THEN (CAST(1 AS BIGINT) << bc.j) ELSE 0 END), 0) AS BIGINT) AS phash
+        |       FROM bg LEFT JOIN bc ON bg.doc_id = bc.doc_id GROUP BY bg.doc_id),
         |band AS (SELECT doc_id, phash, b AS band_id, (phash >> (b*15)) & 32767 AS band_bits
         |         FROM ph, UNNEST(range(0, 4)) t2(b)),
         |rk AS (SELECT doc_id, phash, band_id, band_bits,

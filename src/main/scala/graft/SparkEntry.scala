@@ -986,9 +986,15 @@ object SparkEntry {
     // SHARED with s30: the fold's readout must hash-equal the one-shot.
     "q49_anomaly_mad" -> AnomalyMadOracle,
     "s30_anomaly_fold" -> AnomalyMadOracle,
-    // q47: the per-order fold replayed with DuckDB's list machinery —
-    // list(... ORDER BY l_linenumber) pins the element order the Spark
-    // struct-sort pins; every measure is the same exact-cents fold
+    // q47: the per-order fold with every array op replaced by a plain or
+    // windowed aggregate — list()-typed aggregates buffer whole per-group
+    // lists in untracked DuckDB memory (150M orders at x1000 blew a 60GB
+    // cap; the x1000 gate's q47 failure class). `flags` enumerates the
+    // l_returnflag domain {A,N,R} as bool_or flags concatenated in sorted
+    // order ≡ array_to_string(list_sort(list_distinct(list(flag)))); the
+    // top-3 quantities come from a ROW_NUMBER window (spill-tracked) and a
+    // ≤3-element ordered string_agg. Value-identical: equal qty ties
+    // render the same joined string under either tie order.
     "q47_array_suite" ->
       """WITH l AS (SELECT l_orderkey, l_linenumber,
         |             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
@@ -1000,12 +1006,19 @@ object SparkEntry {
         |        CAST(SUM(qty_c) AS BIGINT) AS qty_cents,
         |        CAST(SUM(qty_c * price_c) AS BIGINT) AS weighted_cents,
         |        CAST(SUM((qty_c >= 3000)::INT) AS BIGINT) AS n_heavy,
-        |        array_to_string(list_sort(list_distinct(list(flag))), '') AS flags,
-        |        array_to_string(list_transform(
-        |          list_slice(list_sort(list(qty_c), 'DESC'), 1, 3),
-        |          x -> CAST(x AS VARCHAR)), ',') AS top3_qty
-        |      FROM l GROUP BY l_orderkey)
-        |SELECT * FROM a ORDER BY l_orderkey""".stripMargin,
+        |        CASE WHEN bool_or(flag = 'A') THEN 'A' ELSE '' END ||
+        |        CASE WHEN bool_or(flag = 'N') THEN 'N' ELSE '' END ||
+        |        CASE WHEN bool_or(flag = 'R') THEN 'R' ELSE '' END AS flags
+        |      FROM l GROUP BY l_orderkey),
+        |r AS (SELECT l_orderkey, qty_c,
+        |        ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY qty_c DESC) AS rn
+        |      FROM l),
+        |t AS (SELECT l_orderkey,
+        |        string_agg(CAST(qty_c AS VARCHAR), ',' ORDER BY rn) AS top3_qty
+        |      FROM r WHERE rn <= 3 GROUP BY l_orderkey)
+        |SELECT a.l_orderkey, a.n_lines, a.qty_cents, a.weighted_cents,
+        |       a.n_heavy, a.flags, t.top3_qty
+        |FROM a JOIN t USING (l_orderkey) ORDER BY l_orderkey""".stripMargin,
     // q48: the window law replayed on DuckDB's window engine (an
     // independent RANGE-frame implementation); the spec additionally pins
     // the law against brute-force NOT EXISTS dominance on small data

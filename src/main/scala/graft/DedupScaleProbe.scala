@@ -45,6 +45,11 @@ object DedupScaleProbe {
         expr("percentile_approx(c, array(0.5, 0.9, 0.99, 0.999), 10000)").as("q"),
         sum(when($"c" > 1, $"c" * (operators.Dedup.NeighborWindow: Int))
           .otherwise(0L)).as("pair_upper_bound"),
+        // what an EXHAUSTIVE bucket self-join (successorWindow = None — the
+        // d31-class pair views) would materialize: sum c·(c−1)/2. The gap
+        // between this and pair_upper_bound is the quadratic-vs-linear
+        // spread that decides which keys are gateable at a scale point.
+        sum($"c" * ($"c" - 1) / 2).cast("long").as("exhaustive_pairs"),
         sum(when($"c" > 1000, 1L).otherwise(0L)).as("buckets_gt_1k"),
         sum(when($"c" > 10000, 1L).otherwise(0L)).as("buckets_gt_10k"),
         sum(when($"c" > 100000, 1L).otherwise(0L)).as("buckets_gt_100k")

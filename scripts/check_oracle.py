@@ -152,7 +152,12 @@ for name, sql in sorted(oracles.items()):
     try:
         duck_rel = con.sql(sql)  # lazy: declared schema without execution
         d_cols = [c.lower() for c in duck_rel.columns]
-        d_rows = duck_rel.fetchall() if s_rows is not None else None
+        # Bound the duck-side fetch by the SPARK row count: when the dump is
+        # small but the oracle result is huge (join-fanout oracle bug — the
+        # mismatch class this gate exists to catch), an unbounded fetchall
+        # reproduces the rc=-9 OOM kill instead of a clean row-count FAIL.
+        # fetchmany(s_count + 1): one extra row proves duck > spark.
+        d_rows = duck_rel.fetchmany(s_count + 1) if s_rows is not None else None
     except Exception as e:
         print(f"FAIL {name}: oracle sql error: {e}")
         fails += 1
@@ -213,7 +218,8 @@ for name, sql in sorted(oracles.items()):
             print(f"PASS {name} ({s_n} rows, streaming hash)")
         continue
     if len(s_rows) != len(d_rows):
-        print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+        d_n = (f">={len(d_rows)}" if len(d_rows) > s_count else str(len(d_rows)))
+        print(f"FAIL {name}: rows spark={len(s_rows)} duck={d_n}")
         fails += 1
         continue
     try:

@@ -20,7 +20,11 @@ results = {}
 for spec in sys.argv[3:]:
     label, log = spec.split(":", 1)
     for line in open(log):
-        m = re.match(r"(PASS|FAIL|TIMEOUT|MISSING) (\S+)(?: \((\d+)s\))?", line)
+        # lstrip: trailing_gate.sh indents its "  MISSING k" / "  DEADLINE k"
+        # enumeration lines — an anchored match silently dropped them into
+        # never_gated with no provenance
+        m = re.match(r"(PASS|FAIL|TIMEOUT|MISSING|DEADLINE) (\S+)(?: \((\d+)s\))?",
+                     line.lstrip())
         if not m:
             continue
         status, key, secs = m.group(1), m.group(2), m.group(3)
@@ -28,7 +32,13 @@ for spec in sys.argv[3:]:
             continue
         prev = results.get(key)
         # within one log a key can appear twice (requeue/retry) — last wins;
-        # across logs, later logs override (they are chronological)
+        # across logs, later logs override (they are chronological). BUT a
+        # non-terminal verdict (MISSING/DEADLINE: "this run never saw the
+        # dump" — e.g. a full keys file reused on a partial re-gate) must
+        # not downgrade a standing terminal verdict, especially a PASS.
+        if prev and status in ("MISSING", "DEADLINE") \
+                and prev["status"] in ("PASS", "FAIL", "TIMEOUT"):
+            continue
         results[key] = {"status": status, "run": label,
                         **({"seconds": int(secs)} if secs else {})}
 

@@ -6,7 +6,13 @@ threads, hard timeout with SIGKILL follow-up).
 
 Usage:
   parallel_gate.py <sfDir> <verifyOutDir> <workDir> <keysFile> [--workers N]
-                   [--skip k1,k2] [--timeout SEC]
+                   [--skip k1,k2] [--timeout SEC] [--deadline EPOCH]
+
+--deadline (or env GATE_DEADLINE_EPOCH) mirrors trailing_gate.sh's escape
+hatch: the loose "any graft.Verify" liveness probe means an unrelated
+co-resident Verify (different SF or out dir) would otherwise keep
+never-to-land keys requeueing forever. Past the deadline, a key whose dump
+has not landed is emitted as DEADLINE and dropped instead of requeued.
 
 Why this exists: at the x1000 ScaleGen point a single serial gate is the
 long pole (~minutes per DuckDB check); two bounded workers overlap the
@@ -31,6 +37,8 @@ def main():
     sf, out, work, keys_file = pos
     workers = int(flags.get("workers", "2"))
     timeout = int(flags.get("timeout", "600"))
+    deadline = float(flags.get("deadline",
+                               os.environ.get("GATE_DEADLINE_EPOCH", "0")))
     skip = set(flags.get("skip", "").split(",")) - {""}
     scripts = os.path.dirname(os.path.abspath(__file__))
     os.makedirs(work, exist_ok=True)
@@ -80,6 +88,8 @@ def main():
                     q.put(k)
                 elif not verify_alive:
                     emit(f"MISSING {k} (verify gone, never dumped)")
+                elif deadline and time.time() > deadline:
+                    emit(f"DEADLINE {k} (never dumped by GATE_DEADLINE_EPOCH)")
                 else:
                     q.put(k)
                     misses += 1

@@ -55,9 +55,15 @@ con.close()
 
 # rewrite: the band join reads the materialized signatures
 rewritten = {D03: f"WITH sh AS (SELECT * FROM '{sh_parquet}')," + sql[prefix_end:]}
+# recreate the dump symlink unconditionally: a stale link from a previous
+# run with a DIFFERENT verifyOutDir would compare the rewritten oracle
+# against the OLD run's dump — a wrong PASS, the worst failure mode
 dst = f"{work}/{D03}"
-if not os.path.islink(dst) and not os.path.exists(dst):
-    os.symlink(f"{os.path.abspath(out_dir)}/{D03}", dst)
+if os.path.islink(dst):
+    os.remove(dst)
+elif os.path.exists(dst):
+    raise SystemExit(f"refusing to replace non-symlink {dst}")
+os.symlink(f"{os.path.abspath(out_dir)}/{D03}", dst)
 with open(f"{work}/oracle_sql.json", "w") as fh:
     json.dump(rewritten, fh)
 sys.exit(subprocess.call(

@@ -189,6 +189,7 @@ object SparkEntry {
     "d39_bottomk_containment" -> (Dedup.bottomkContainment _),
     "d40_hard_negatives"  -> (Similarity.hardNegatives _),
     "d41_lsh_quality"     -> (Dedup.lshQuality _),
+    "d42_containment_recall" -> (Dedup.containmentRecall _),
     "m01_multimodal_meta" -> (Multimodal.mediaMeta _),
     "m02_frame_sample"    -> (Multimodal.frameSample _),
     "m03_binary_ingest"   -> (Multimodal.binaryIngest _),
@@ -989,12 +990,14 @@ object SparkEntry {
     // q47: the per-order fold with every array op replaced by a plain or
     // windowed aggregate — list()-typed aggregates buffer whole per-group
     // lists in untracked DuckDB memory (150M orders at x1000 blew a 60GB
-    // cap; the x1000 gate's q47 failure class). `flags` enumerates the
-    // l_returnflag domain {A,N,R} as bool_or flags concatenated in sorted
-    // order ≡ array_to_string(list_sort(list_distinct(list(flag)))); the
-    // top-3 quantities come from a ROW_NUMBER window (spill-tracked) and a
-    // ≤3-element ordered string_agg. Value-identical: equal qty ties
-    // render the same joined string under either tie order.
+    // cap; the x1000 gate's q47 failure class). `flags` is a DISTINCT
+    // ordered string_agg (list-free, same memory profile as bool_or flags
+    // but with NO domain assumption — a generator adding a fourth
+    // returnflag changes the value on both sides instead of surfacing as
+    // an opaque hash mismatch); the top-3 quantities come from a
+    // ROW_NUMBER window (spill-tracked) and a ≤3-element ordered
+    // string_agg. Value-identical: equal qty ties render the same joined
+    // string under either tie order.
     "q47_array_suite" ->
       """WITH l AS (SELECT l_orderkey, l_linenumber,
         |             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c,
@@ -1006,9 +1009,7 @@ object SparkEntry {
         |        CAST(SUM(qty_c) AS BIGINT) AS qty_cents,
         |        CAST(SUM(qty_c * price_c) AS BIGINT) AS weighted_cents,
         |        CAST(SUM((qty_c >= 3000)::INT) AS BIGINT) AS n_heavy,
-        |        CASE WHEN bool_or(flag = 'A') THEN 'A' ELSE '' END ||
-        |        CASE WHEN bool_or(flag = 'N') THEN 'N' ELSE '' END ||
-        |        CASE WHEN bool_or(flag = 'R') THEN 'R' ELSE '' END AS flags
+        |        string_agg(DISTINCT flag, '' ORDER BY flag) AS flags
         |      FROM l GROUP BY l_orderkey),
         |r AS (SELECT l_orderkey, qty_c,
         |        ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY qty_c DESC) AS rn
@@ -2801,7 +2802,8 @@ object SparkEntry {
          |post AS (SELECT doc_id, unnest(hv) AS h FROM dh),
          |q AS (SELECT doc_id AS eval_id, hv[1:16] AS bk,
          |        CAST(least(len(hv), 16) AS BIGINT) AS k_eff
-         |      FROM dh WHERE doc_id % 7 = 3),
+         |      FROM dh WHERE doc_id % 7 = 3
+         |        AND doc_id < ${operators.Dedup.BottomkEvalCap}),
          |qx AS (SELECT eval_id, k_eff, unnest(bk) AS h FROM q),
          |cand AS (SELECT eval_id, doc_id, k_eff, COUNT(*) AS matches
          |         FROM post JOIN qx USING (h) WHERE doc_id <> eval_id
@@ -2943,25 +2945,31 @@ object SparkEntry {
          |FROM r WHERE n_label <> q_label AND neg_rank <= ${Similarity.HardNegK}
          |ORDER BY query_id, rank""".stripMargin,
     // d31: d02's band collisions UNGATED (no est_jaccard cut — containment
-    // pairs are low-Jaccard by construction), distinct 3-gram sets joined
-    // back, directional containment with the empty-set=1.0 d04 convention
+    // pairs are low-Jaccard by construction) but BOUNDED to the successor
+    // window (d02's ROW_NUMBER + rank-range replay, M = NeighborWindow);
+    // distinct HASHED gram sets (the hs CTE's poly31 chain, d39's exact-
+    // verify representation) join back for candidates only; directional
+    // containment keeps the empty-set=1.0 d04 convention
     "d31_containment" ->
       s"""WITH
          |${CrossHashSql.minhashCtes(3)},
+         |dh AS (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
+         |rk AS (SELECT band_id, band_key, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rk
+         |       FROM band),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM band a JOIN band b
+         |         FROM rk a JOIN rk b
          |           ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |          AND a.doc_id < b.doc_id),
-         |gd AS (SELECT doc_id, list_distinct(grams) AS grams FROM g),
+         |          AND b.rk BETWEEN a.rk + 1 AND a.rk + ${operators.Dedup.NeighborWindow}),
          |j AS (SELECT doc_a, doc_b,
-         |        CASE WHEN len(ga.grams) = 0 THEN 1.0
-         |             ELSE FLOOR(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-         |                        / len(ga.grams) * 10000 + 0.5) / 10000 END AS contain_a_in_b,
-         |        CASE WHEN len(gb.grams) = 0 THEN 1.0
-         |             ELSE FLOOR(CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-         |                        / len(gb.grams) * 10000 + 0.5) / 10000 END AS contain_b_in_a
-         |      FROM cand JOIN gd ga ON ga.doc_id = cand.doc_a
-         |                JOIN gd gb ON gb.doc_id = cand.doc_b)
+         |        CASE WHEN len(ga.hv) = 0 THEN 1.0
+         |             ELSE FLOOR(CAST(len(list_intersect(ga.hv, gb.hv)) AS DOUBLE)
+         |                        / len(ga.hv) * 10000 + 0.5) / 10000 END AS contain_a_in_b,
+         |        CASE WHEN len(gb.hv) = 0 THEN 1.0
+         |             ELSE FLOOR(CAST(len(list_intersect(ga.hv, gb.hv)) AS DOUBLE)
+         |                        / len(gb.hv) * 10000 + 0.5) / 10000 END AS contain_b_in_a
+         |      FROM cand JOIN dh ga ON ga.doc_id = cand.doc_a
+         |                JOIN dh gb ON gb.doc_id = cand.doc_b)
          |SELECT doc_a, doc_b, contain_a_in_b, contain_b_in_a,
          |       GREATEST(contain_a_in_b, contain_b_in_a) AS max_containment,
          |       GREATEST(contain_a_in_b, contain_b_in_a) >= 0.8 AS is_contained
@@ -3008,6 +3016,73 @@ object SparkEntry {
          |    // greatest(SUM(cand::INT), 1) AS BIGINT) AS precision_ppm,
          |  CAST(SUM((cand AND j >= threshold_permille)::INT) * 1000000
          |    // greatest(SUM((j >= threshold_permille)::INT), 1) AS BIGINT) AS recall_ppm
+         |FROM fl, th GROUP BY threshold_permille
+         |ORDER BY threshold_permille""".stripMargin
+    },
+    // d42: the containment referee — d41's capped-sample scheme with
+    // PLANTED low-Jaccard/high-containment hosts (perturb every p-th
+    // token, p = 6 + 3·(oid mod 5), then dilute with doc-keyed qq-filler
+    // doubling the token count); truth = exact hashed-gram containment
+    // (max of both directions, empty-set = 1000), candidates replayed
+    // BOTH ways — the exhaustive band self-join and d31's bounded
+    // successor window — so window_loss_ppm is an independently-derived,
+    // hash-checked number. oid is kept distinct from the emitted doc_id
+    // (a lateral-alias resolution difference would otherwise drift)
+    "d42_containment_recall" -> {
+      val cappedCtes = CrossHashSql.minhashCtes(3).replace("FROM documents", "FROM u")
+      s"""WITH
+         |o AS (SELECT doc_id, text FROM documents
+         |      WHERE doc_id < ${operators.Dedup.LshQualityCap}),
+         |otk AS (SELECT doc_id AS oid, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |        FROM o),
+         |syn AS (SELECT oid + ${operators.Dedup.ContainHostOffset} AS doc_id,
+         |          array_to_string(list_transform(range(1, len(toks) + 1),
+         |            i -> CASE WHEN i % (6 + 3 * (oid % 5)) = 0
+         |                 THEN 'zz' || CAST(i - 1 AS VARCHAR) ELSE toks[i] END), ' ')
+         |          || ' ' ||
+         |          array_to_string(list_transform(range(1, len(toks) + 1),
+         |            i -> 'qq' || CAST((oid * 37 + i) % 9973 AS VARCHAR)), ' ') AS text
+         |        FROM otk),
+         |u AS (SELECT doc_id, text FROM o UNION ALL SELECT doc_id, text FROM syn),
+         |$cappedCtes,
+         |dh AS (SELECT doc_id, list_distinct(hv) AS hv FROM hs),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.hv, b.hv)) AS BIGINT) AS inter,
+         |         CAST(len(a.hv) AS BIGINT) AS na, CAST(len(b.hv) AS BIGINT) AS nb
+         |       FROM dh a JOIN dh b ON a.doc_id < b.doc_id),
+         |tr AS (SELECT doc_a, doc_b,
+         |         GREATEST(CASE WHEN na = 0 THEN 1000 ELSE inter * 1000 // na END,
+         |                  CASE WHEN nb = 0 THEN 1000 ELSE inter * 1000 // nb END) AS cont
+         |       FROM pr),
+         |rk AS (SELECT band_id, band_key, doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY band_id, band_key ORDER BY doc_id) AS rk
+         |       FROM band),
+         |cb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM rk a JOIN rk b
+         |         ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |        AND b.rk BETWEEN a.rk + 1 AND a.rk + ${operators.Dedup.NeighborWindow}),
+         |cx AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM band a JOIN band b
+         |         ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |        AND a.doc_id < b.doc_id),
+         |fl AS (SELECT tr.doc_a, tr.doc_b, cont,
+         |         (cb.doc_a IS NOT NULL) AS cand_b, (cx.doc_a IS NOT NULL) AS cand_x
+         |       FROM tr LEFT JOIN cb ON tr.doc_a = cb.doc_a AND tr.doc_b = cb.doc_b
+         |               LEFT JOIN cx ON tr.doc_a = cx.doc_a AND tr.doc_b = cx.doc_b),
+         |th AS (SELECT unnest([${operators.Dedup.ContainmentThresholds.mkString(", ")}]) AS threshold_permille)
+         |SELECT CAST(threshold_permille AS BIGINT) AS threshold_permille,
+         |  CAST(SUM((cont >= threshold_permille)::INT) AS BIGINT) AS n_true,
+         |  CAST(SUM(cand_x::INT) AS BIGINT) AS n_cand_exhaustive,
+         |  CAST(SUM(cand_b::INT) AS BIGINT) AS n_cand_bounded,
+         |  CAST(SUM((cand_x AND cont >= threshold_permille)::INT) AS BIGINT) AS tp_exhaustive,
+         |  CAST(SUM((cand_b AND cont >= threshold_permille)::INT) AS BIGINT) AS tp_bounded,
+         |  CAST(SUM((cand_x AND cont >= threshold_permille)::INT) * 1000000
+         |    // greatest(SUM((cont >= threshold_permille)::INT), 1) AS BIGINT) AS recall_exhaustive_ppm,
+         |  CAST(SUM((cand_b AND cont >= threshold_permille)::INT) * 1000000
+         |    // greatest(SUM((cont >= threshold_permille)::INT), 1) AS BIGINT) AS recall_bounded_ppm,
+         |  CAST((SUM((cand_x AND cont >= threshold_permille)::INT)
+         |        - SUM((cand_b AND cont >= threshold_permille)::INT)) * 1000000
+         |    // greatest(SUM((cand_x AND cont >= threshold_permille)::INT), 1) AS BIGINT) AS window_loss_ppm
          |FROM fl, th GROUP BY threshold_permille
          |ORDER BY threshold_permille""".stripMargin
     },

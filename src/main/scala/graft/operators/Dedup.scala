@@ -70,7 +70,7 @@ object Dedup {
   }
 
   private val NumHashes = 32
-  private val Bands = 8
+  private[graft] val Bands = 8
   private val Rows = NumHashes / Bands // 4 rows per band
   private val ShingleK = 3
 
@@ -864,38 +864,58 @@ object Dedup {
     * Candidates are the d02 band collisions WITHOUT the Jaccard gate (a
     * contained-pair's est_jaccard is low by construction — gating on it
     * would throw away the very pairs this operator exists for); exact
-    * distinct-gram arrays then join back for candidate pairs only. The
+    * distinct-gram sets then join back for candidate pairs only.
+    *
+    * BOUNDED BY DEFAULT (round 13): the keyed form runs the same
+    * successor-window candidate view as d02/m09 ([[bucketPairs]] with
+    * [[NeighborWindow]]) — the exhaustive bucket self-join materialized
+    * 17.77e9 pairs at the measured 5M-doc point (62x the bounded view) and
+    * died disk-full twice; the window keeps pair volume O(docs·bands·M).
+    * The window's containment recall is MEASURED, not assumed: the d42
+    * referee ([[containmentRecall]]) plants low-Jaccard/high-containment
+    * pairs and reports bounded-vs-exhaustive recall per threshold.
+    * Exhaustive stays available behind `successorWindow = None` for
+    * bounded stores.
+    *
+    * Gram sets are HASHED (the shared poly31 chain, d39's exact-verify
+    * representation) rather than gram strings: the per-pair join payload
+    * drops ~4x (5M-doc measured: ~430 B vs ~2 KB per doc), hash collisions
+    * are ~|g|²/2³¹ ≈ 1e-6 per pair on ~50-gram docs, and the oracle
+    * replays the identical hashes so the compare stays bit-exact. The
     * corpus-sized gram table shuffles on doc_id; the pair side is
-    * collision-sized. At 100 TB the principled candidate source is an
-    * LSH-Ensemble / containment-minhash index — the band join here is the
-    * same bucket-local shape with the threshold pushed to the verifier.
+    * window-bounded. At 100 TB the principled candidate source is an
+    * LSH-Ensemble / containment-minhash index (d39 is that path); the band
+    * join here is the same bucket-local shape with the threshold pushed to
+    * the verifier.
     */
   def containmentPairs(s: SparkSession, dir: String): DataFrame =
     containmentPairsOf(Tables.documents(s, dir))
 
-  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+  private[graft] def containmentPairsOf(docs: DataFrame,
+      successorWindow: Option[Int] = Some(NeighborWindow)): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // sig dropped before the bucket window: the pairing needs only ids, so
+    // the window sort carries 3 columns, not the 32-long signature array
     val banded = bandSignatures(signaturesOf(docs))
-    val pa = banded.select($"band_id", $"band_key", $"doc_id".as("doc_a"))
-    val pb = banded.select($"band_id", $"band_key", $"doc_id".as("doc_b"))
-    val pairs = pa.join(pb, Seq("band_id", "band_key"))
-      .filter($"doc_a" < $"doc_b")
+      .select($"doc_id", $"band_id", $"band_key")
+    val pairs = bucketPairs(banded, Seq("band_id", "band_key"),
+        payloadCol = "doc_id", outA = "pa", outB = "pb", successorWindow)
       .select($"doc_a", $"doc_b").distinct()
-    val grams = docs
-      .select($"doc_id",
-        array_distinct(shingleStrings(split(lower(trim($"text")), "\\s+"), lit(3))).as("grams"))
-    val inter = size(array_intersect($"grams_a", $"grams_b")).cast("double")
+    val grams = docs.select($"doc_id",
+      array_distinct(expr("gram_hashes31(split(lower(trim(text)), '\\\\s+'), 3)"))
+        .as("hv"))
+    val inter = size(array_intersect($"hv_a", $"hv_b")).cast("double")
     def contain(base: org.apache.spark.sql.Column) =
       when(size(base) === 0, 1.0)
         .otherwise(floor(inter / size(base).cast("double") * 10000.0 + 0.5) / 10000.0)
     pairs
-      .join(grams.select($"doc_id".as("doc_a"), $"grams".as("grams_a")), Seq("doc_a"))
-      .join(grams.select($"doc_id".as("doc_b"), $"grams".as("grams_b")), Seq("doc_b"))
+      .join(grams.select($"doc_id".as("doc_a"), $"hv".as("hv_a")), Seq("doc_a"))
+      .join(grams.select($"doc_id".as("doc_b"), $"hv".as("hv_b")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
-        contain($"grams_a").as("contain_a_in_b"),
-        contain($"grams_b").as("contain_b_in_a"))
+        contain($"hv_a").as("contain_a_in_b"),
+        contain($"hv_b").as("contain_b_in_a"))
       .withColumn("max_containment", greatest($"contain_a_in_b", $"contain_b_in_a"))
       .withColumn("is_contained", $"max_containment" >= 0.8)
       .orderBy($"doc_a", $"doc_b")
@@ -1120,9 +1140,11 @@ object Dedup {
     * this eval item" costs k posting-list probes per query instead of
     * d31's band-collision scan. Plan: corpus gram hashes explode ONCE into
     * a posting list (at 100 TB: the persisted hash-bucketed index, d20's
-    * artifact shape); queries (d09's eval law, doc_id ≡ 3 mod 7) carry k=16
-    * hashes each and BROADCAST (|eval|×16 narrow rows — eval sets are
-    * benchmarks, not corpora); candidates = one hash-keyed join + a
+    * artifact shape); queries (d09's eval law, doc_id ≡ 3 mod 7, constant-
+    * capped at [[BottomkEvalCap]]) carry k=16 hashes each and BROADCAST
+    * (|eval|×16 narrow rows — eval sets are benchmarks, not corpora, and
+    * the cap keeps that true at every scale point); candidates = one
+    * hash-keyed join + a
     * (query, doc) count, WindowGroupLimit top-10 per query; EXACT
     * containment then verifies candidates only (d31's join-back shape).
     * Everything integer (permille estimates, count matches) under the
@@ -1130,6 +1152,19 @@ object Dedup {
     * bit-for-bit — the estimate's measured error rides along per row.
     */
   val BottomK = 16
+
+  /** Constant cap on d39's query (eval) side — the d13 NumQueries posture.
+    * The eval law alone (doc_id ≡ 3 mod 7) grows the query set WITH the
+    * corpus (714k queries at the 5M-doc point), so the eval×collision
+    * matrix grew superlinearly by fixture construction and the ×1000 dump
+    * died on disk; real decontamination evals are O(10³–10⁴) items
+    * regardless of corpus size. doc_id < 25000 keeps ~3.6k eval items at
+    * every scale point from ×10 up (and is non-binding below 25k docs, so
+    * sf0.01/0.1 results are unchanged), which also keeps the broadcast
+    * query side at |eval|×16 genuinely narrow.
+    */
+  val BottomkEvalCap = 25000L
+
   def bottomkContainment(s: SparkSession, dir: String): DataFrame =
     bottomkContainmentOf(Tables.documents(s, dir))
 
@@ -1142,7 +1177,7 @@ object Dedup {
         array_distinct(expr("gram_hashes31(split(lower(trim(text)), '\\\\s+'), 3)"))
           .as("hv"))
     val postings = hv.select($"doc_id", explode($"hv").as("h"))
-    val queries = hv.filter($"doc_id" % 7 === 3)
+    val queries = hv.filter($"doc_id" % 7 === 3 && $"doc_id" < BottomkEvalCap)
       .select($"doc_id".as("eval_id"),
         slice(array_sort($"hv"), 1, BottomK).as("bk"),
         least(size($"hv"), lit(BottomK)).cast("long").as("k_eff"))
@@ -1231,6 +1266,97 @@ object Dedup {
       .select($"threshold_permille", $"n_true", $"n_cand", $"tp",
         expr("tp * 1000000 div greatest(n_cand, 1L)").as("precision_ppm"),
         expr("tp * 1000000 div greatest(n_true, 1L)").as("recall_ppm"))
+      .orderBy($"threshold_permille")
+  }
+
+  /** d42: the CONTAINMENT referee for d31's bounded candidate view — d41's
+    * role (measure the candidate stage against exact truth on a
+    * constant-capped sample) asked about asymmetric containment instead of
+    * symmetric Jaccard. d31's round-13 move to the successor-window view
+    * needs its M argued against CONTAINMENT recall, not the Jaccard
+    * S-curve (containment pairs are low-Jaccard by construction — the
+    * S-curve says little about them), so this referee PLANTS the regime
+    * d31 exists for: each sample doc (doc_id < [[LshQualityCap]], the d41
+    * cap) gets a synthetic HOST — every p-th token replaced
+    * (p = 6 + 3·(doc_id mod 5), landing true containment ≈ 0.5–0.85
+    * across the 0.8 gate) then diluted with doc-keyed filler tokens
+    * (token count doubled, halving Jaccard again). Both engines rebuild
+    * the host byte-identically (the d41 fixture convention).
+    *
+    * Per containment threshold (0.5 / 0.7 / 0.8): true pairs (exact
+    * hashed-gram containment, max of both directions, empty-set = 1000
+    * permille), candidates from the EXHAUSTIVE band self-join and from the
+    * BOUNDED successor window ([[NeighborWindow]]), their true-positive
+    * counts, recall ppm for each, and window_loss_ppm — the fraction of
+    * exhaustive's true positives the window drops. That last column is
+    * the measured price of d31's ×62 pair-volume cut; a fixture or kernel
+    * change that re-concentrates buckets (pushing true pairs > M ranks
+    * apart) surfaces here as a hash-checked number, not a bench anecdote.
+    * All integers ⇒ exact oracle replay, truth and both candidate sets
+    * derived independently from the shared poly31/affine constants.
+    */
+  val ContainmentThresholds: Seq[Long] = Seq(500L, 700L, 800L)
+  val ContainHostOffset = 200000L
+  def containmentRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val origs = Tables.documents(s, dir)
+      .filter($"doc_id" < LshQualityCap).select($"doc_id", $"text")
+    // host construction: oid kept distinct from the emitted doc_id so both
+    // engines unambiguously key the perturbation/filler off the ORIGINAL id
+    // (a lateral-alias resolution difference would otherwise drift silently)
+    val hosts = origs
+      .select($"doc_id".as("oid"), split(lower(trim($"text")), "\\s+").as("toks"))
+      .select(($"oid" + ContainHostOffset).as("doc_id"),
+        concat(
+          array_join(expr(
+            "transform(toks, (x, i) -> CASE WHEN (i + 1) % (6 + 3 * (oid % 5)) = 0 " +
+            "THEN concat('zz', i) ELSE x END)"), " "),
+          lit(" "),
+          array_join(expr(
+            "transform(sequence(1, size(toks)), i -> concat('qq', (oid * 37 + i) % 9973))"),
+            " ")).as("text"))
+    val sample = origs.unionByName(hosts)
+    val gd = sample.select($"doc_id",
+      array_distinct(expr("gram_hashes31(split(lower(trim(text)), '\\\\s+'), 3)"))
+        .as("hv"))
+    val truth = broadcast(gd.select($"doc_id".as("doc_a"), $"hv".as("ha")))
+      .join(gd.select($"doc_id".as("doc_b"), $"hv".as("hb")), $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"ha", $"hb")).cast("long").as("inter"),
+        size($"ha").cast("long").as("na"), size($"hb").cast("long").as("nb"))
+      .select($"doc_a", $"doc_b",
+        greatest(
+          when($"na" === 0L, 1000L).otherwise(expr("inter * 1000 div na")),
+          when($"nb" === 0L, 1000L).otherwise(expr("inter * 1000 div nb"))).as("cont"))
+    val banded = bandSignatures(signaturesOf(sample))
+      .select($"doc_id", $"band_id", $"band_key")
+    def cands(w: Option[Int], name: String) =
+      bucketPairs(banded, Seq("band_id", "band_key"),
+          payloadCol = "doc_id", outA = "pa", outB = "pb", w)
+        .select($"doc_a", $"doc_b").distinct().withColumn(name, lit(true))
+    val flagged = truth
+      .join(cands(Some(NeighborWindow), "cand_b"), Seq("doc_a", "doc_b"), "left")
+      .join(cands(None, "cand_x"), Seq("doc_a", "doc_b"), "left")
+      .withColumn("cand_b", coalesce($"cand_b", lit(false)))
+      .withColumn("cand_x", coalesce($"cand_x", lit(false)))
+    val th = ContainmentThresholds.toDF("threshold_permille")
+    flagged.crossJoin(broadcast(th))
+      .groupBy($"threshold_permille")
+      .agg(
+        sum(when($"cont" >= $"threshold_permille", 1L).otherwise(0L)).as("n_true"),
+        sum(when($"cand_x", 1L).otherwise(0L)).as("n_cand_exhaustive"),
+        sum(when($"cand_b", 1L).otherwise(0L)).as("n_cand_bounded"),
+        sum(when($"cand_x" && $"cont" >= $"threshold_permille", 1L).otherwise(0L))
+          .as("tp_exhaustive"),
+        sum(when($"cand_b" && $"cont" >= $"threshold_permille", 1L).otherwise(0L))
+          .as("tp_bounded"))
+      .select($"threshold_permille", $"n_true", $"n_cand_exhaustive", $"n_cand_bounded",
+        $"tp_exhaustive", $"tp_bounded",
+        expr("tp_exhaustive * 1000000 div greatest(n_true, 1L)").as("recall_exhaustive_ppm"),
+        expr("tp_bounded * 1000000 div greatest(n_true, 1L)").as("recall_bounded_ppm"),
+        expr("(tp_exhaustive - tp_bounded) * 1000000 div greatest(tp_exhaustive, 1L)")
+          .as("window_loss_ppm"))
       .orderBy($"threshold_permille")
   }
 }

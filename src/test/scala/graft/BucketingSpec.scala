@@ -43,17 +43,27 @@ class BucketingSpec extends SparkSpec {
     try {
       // force the sort-merge path so the exchange structure is visible
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // the REAL artifact d20 consumes, not a fixture copy
-      val index = operators.Dedup.signatureIndexTable(s, sfDir)
+      // the REAL artifacts d20 consumes, not fixture copies
+      val postings = operators.Dedup.signatureIndexBands(s, sfDir)
       val banded = operators.Dedup.bandSignatures(
         operators.Dedup.signaturesOf(Tables.documents(s, sfDir)))
       val joined = banded.filter($"doc_id" % 3 === 0)
-        .join(index, Seq("band_id", "band_key"))
+        .join(postings, Seq("band_id", "band_key"))
       joined.collect()
       val found = deepExchanges(physical(joined))
       assert(found.length == 1,
         s"expected only the batch-side exchange, got ${found.length}:\n${physical(joined)}")
       assert(physical(joined).toString.contains("SortMergeJoin"))
+      // the payload table joins the (skinny) collision side with zero
+      // exchange under ITS bucket key too
+      val sigs = operators.Dedup.signatureIndexSigs(s, sfDir)
+      val verified = joined.select($"doc_id", $"sig", $"state_id").distinct()
+        .join(sigs, Seq("state_id"))
+      verified.collect()
+      val sigSideShuffled = deepExchanges(physical(verified)).exists(e =>
+        scansTable(e.child, "_sigs") && !scansTable(e.child, "documents.parquet"))
+      assert(!sigSideShuffled,
+        s"the payload table re-shuffled on its own bucket key:\n${physical(verified)}")
       // and on the full KEYED d20 plan: the index scan appears, and no
       // shuffle exchange moves INDEX rows alone — exchanges above the join
       // carry joined (batch-derived) rows and are fine; an exchange whose

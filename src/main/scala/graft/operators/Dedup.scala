@@ -280,11 +280,19 @@ object Dedup {
     val isNew = $"doc_id" % 3 === 0
     val batch = banded.filter(isNew)
     // posting probe: zero index-side exchange (bucketed on the band key);
-    // pairs colliding on several bands dedup BEFORE the payload join, so
-    // each (batch doc, index doc) pair is verified exactly once
-    val collisions = batch.join(signatureIndexBands(s, dir), Seq("band_id", "band_key"))
-      .select($"doc_id", $"sig", $"state_id").distinct()
-    val matches = collisions.join(signatureIndexSigs(s, dir), Seq("state_id"))
+    // pairs colliding on several bands dedup SKINNY (16 B/row) before any
+    // payload joins, so each (batch doc, index doc) pair is verified
+    // exactly once and no signature array rides the distinct exchange
+    val collisions = batch.select($"doc_id", $"band_id", $"band_key")
+      .join(signatureIndexBands(s, dir), Seq("band_id", "band_key"))
+      .select($"doc_id", $"state_id").distinct()
+    // payload joins on the deduplicated pair volume only: batch sigs are
+    // re-derived doc-keyed (one more scan-local signing pass over |batch| —
+    // linear CPU, cheaper than carrying the array through the exchanges);
+    // the index payload table joins bucketed on state_id
+    val batchSigs = signatures(s, dir).filter(isNew)
+    val matches = collisions.join(batchSigs, Seq("doc_id"))
+      .join(signatureIndexSigs(s, dir), Seq("state_id"))
       .filter(estJaccard("sig", "state_sig") >= threshold)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_matches"), min($"state_id").as("matched_id"))

@@ -57,7 +57,7 @@ class BucketingSpec extends SparkSpec {
       // the payload table joins the (skinny) collision side with zero
       // exchange under ITS bucket key too
       val sigs = operators.Dedup.signatureIndexSigs(s, sfDir)
-      val verified = joined.select($"doc_id", $"sig", $"state_id").distinct()
+      val verified = joined.select($"doc_id", $"state_id").distinct()
         .join(sigs, Seq("state_id"))
       verified.collect()
       val sigSideShuffled = deepExchanges(physical(verified)).exists(e =>

@@ -19,13 +19,44 @@ import org.apache.spark.sql.functions._
   *   - events keep their timestamps (10x rows per window — how a busier
   *     stream actually scales); region/nation stay as-is (dims are fixed)
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor> [mode] [tables]
+  *
+  *   mode   = replica (default) | realistic
+  *   tables = comma-list to generate (default: all) — lets a realistic run
+  *            regenerate documents only and symlink the rest from an
+  *            existing replica-mode point
+  *
+  * `realistic` models how a big corpus ACTUALLY grows: factor-many
+  * independent shards, each with the base corpus's internal similarity
+  * statistics, and no structural cross-shard near-duplication. Replica-mode
+  * replication (" r$i" text suffix) keeps every replica of a doc a near-dup
+  * of every other — any pair-view operator then sees ~factor² cross-replica
+  * collisions, a fixture artifact that walls single-box oracles (measured:
+  * d20 C_pairs 12.2M at ×100, ~1.2e9 projected at ×1000). Realistic mode
+  * instead makes each replica's SHINGLE SPACE disjoint (every whitespace
+  * token gets a replica-unique "x$i" suffix), so minhash/LSH band keys
+  * never collide across replicas and candidate-pair volume scales linearly
+  * in the factor — real-world collision economics at the same row count.
   */
 object ScaleGen {
   val KeyOffset = 10000000L
 
+  /** Realistic-mode documents tweak: replica-unique token suffix ("x$i"
+    * — the 'x' keeps Java's "$1" group ref from swallowing the digits),
+    * preserving the n_chars == length(text) invariant. Replica 0 is the
+    * base corpus unchanged, so sf-point results embed exactly.
+    */
+  private[graft] def realisticDocTweak(d: DataFrame, i: Int): DataFrame =
+    if (i == 0) d
+    else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1x" + i))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   def main(args: Array[String]): Unit = {
     val src = args(0); val out = args(1); val factor = args(2).toInt
+    val mode = if (args.length > 3) args(3) else "replica"
+    require(mode == "replica" || mode == "realistic", s"unknown mode $mode")
+    val only: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,13 +68,18 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      System.err.println(s"[scalegen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    def write(name: String, df: => DataFrame): Unit = {
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        System.err.println(s"[scalegen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      } else System.err.println(s"[scalegen] $name: skipped (not in tables list)")
     }
 
     def replicate(name: String, keys: Seq[String],
                   tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (!only.forall(_.contains(name))) {
+        System.err.println(s"[scalegen] $name: skipped (not in tables list)"); return
+      }
       val base = Tables.table(spark, src, name)
       // disjointness of the shifted replicas requires every source key to
       // sit below KeyOffset — fail fast instead of silently colliding
@@ -73,11 +109,13 @@ object ScaleGen {
     // events.parquet ts keeps whatever physical type the source has (nanos
     // long or micros NTZ) — Tables.events adapts to the read schema
     replicate("events", Seq("event_id", "user_id"))
-    replicate("documents", Seq("doc_id"), (d, i) =>
-      if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" r$i")))
-        // keep the n_chars == length(text) invariant that gates/fixtures rely on
-        .withColumn("n_chars", length(col("text")).cast("long")))
+    replicate("documents", Seq("doc_id"),
+      if (mode == "realistic") realisticDocTweak _
+      else (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text", concat(col("text"), lit(s" r$i")))
+          // keep the n_chars == length(text) invariant that gates/fixtures rely on
+          .withColumn("n_chars", length(col("text")).cast("long")))
     replicate("embeddings", Seq("vec_id"), (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",

@@ -693,6 +693,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs <= nf * operators.Dedup.Bands * operators.Dedup.NeighborWindow)
   }
 
+  test("realistic ScaleGen mode: cross-replica shingle spaces are disjoint (linear pair volume)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // ScaleGen's realistic mode models corpus growth as factor-many
+    // INDEPENDENT shards (replica-unique token suffix), not factor-many
+    // near-copies: the load-bearing property is that LSH band buckets never
+    // span replicas, so every pair view's candidate volume is the SUM of
+    // per-replica volumes — linear in the factor — for the bounded AND the
+    // exhaustive view alike. This is what converts the d02/d11/d20 ×1000
+    // oracle walls (fixture-quadratic cross-replica collisions) into
+    // gateable points (§7l).
+    val base = Tables.documents(spark, sfDir).select($"doc_id", $"text", $"n_chars")
+    val factor = 3
+    val big = (0 until factor).map { i =>
+      ScaleGen.realisticDocTweak(
+        base.withColumn("doc_id", $"doc_id" + i.toLong * ScaleGen.KeyOffset), i)
+    }.reduce(_.unionByName(_))
+    // the n_chars == length(text) invariant survives the rewrite
+    assert(big.filter(length($"text").cast("long") =!= $"n_chars").isEmpty)
+    val banded = Dedup.bandSignatures(Dedup.signaturesOf(big))
+    val spanning = banded
+      .groupBy($"band_id", $"band_key")
+      .agg(min(floor($"doc_id" / ScaleGen.KeyOffset)).as("lo"),
+           max(floor($"doc_id" / ScaleGen.KeyOffset)).as("hi"))
+      .filter($"lo" =!= $"hi").count()
+    assert(spanning == 0, s"$spanning band buckets span replicas")
+    // inside a replica the token rewrite is injective and uniform, so
+    // within-shard similarity structure is preserved: replica 1 has exactly
+    // the base corpus's exact-duplicate group structure
+    def fpGroups(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(md5(regexp_replace(lower($"text"), "\\s+", " ")).as("fp"))
+        .groupBy($"fp").count().count()
+    assert(fpGroups(ScaleGen.realisticDocTweak(base, 1)) == fpGroups(base))
+  }
+
   test("d09 decontamination drops eval docs and their content-identical copies") {
     import spark.implicits._
     val kept = SparkEntry.queries("d09_decontaminate")(spark, sfDir).cache()

@@ -106,4 +106,37 @@ object CrossHashSql {
        |                CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
        |         FROM band a JOIN band b
        |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Wide (120-bit) simhash chain for d43: two independently-salted 60-bit
+    * halves through the same kernel arithmetic as [[simhashCtes]] — lo is
+    * the d03 fingerprint, hi runs the identical chain over 'w'-prefixed
+    * tokens (an independent hash family; both engines build the prefix the
+    * same way) — then 4 x 30-bit bands and exact hamming over the
+    * concatenated signature. The 2^30-key band space is what keeps the
+    * candidate pair view linear at multi-million-doc corpora where d03's
+    * 2^15-key bands saturate (expected bucket occupancy |corpus|/2^30).
+    */
+  def simhashWideCtes: String =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+       |th AS (SELECT doc_id,
+       |         (${poly31("t", 1)} % 1073741824) + (${poly31("t", 2)} % 1073741824) * 1073741824 AS hl,
+       |         (${poly31("'w' || t", 1)} % 1073741824) + (${poly31("'w' || t", 2)} % 1073741824) * 1073741824 AS hh
+       |       FROM tok),
+       |bits AS (SELECT doc_id, b,
+       |           SUM(CASE WHEN (hl >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vl,
+       |           SUM(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vh
+       |         FROM th, UNNEST(range(0, 60)) r(b) GROUP BY doc_id, b),
+       |sg AS (SELECT doc_id,
+       |         CAST(SUM(CASE WHEN vl > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh_lo,
+       |         CAST(SUM(CASE WHEN vh > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh_hi
+       |       FROM bits GROUP BY doc_id),
+       |band AS (SELECT doc_id, sh_lo, sh_hi, b AS band_id,
+       |           CASE WHEN b < 2 THEN (sh_lo >> (b*30)) & 1073741823
+       |                ELSE (sh_hi >> ((b-2)*30)) & 1073741823 END AS band_bits
+       |         FROM sg, UNNEST(range(0, 4)) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
+       |         FROM band a JOIN band b
+       |           ON a.band_id = b.band_id AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id)""".stripMargin
 }

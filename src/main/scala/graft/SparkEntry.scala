@@ -153,6 +153,7 @@ object SparkEntry {
     "d01_exact_dedup"   -> (Dedup.exactDedup _),
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "d03_simhash"       -> ((s, d) => Dedup.simhashDedup(s, d)),
+    "d43_simhash_wide"  -> ((s, d) => Dedup.simhashWide(s, d)),
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d09_decontaminate" -> (Dedup.decontaminate _),
     "d10_neardup_clusters" -> ((s, d) => Dedup.neardupClusters(s, d)),
@@ -2547,6 +2548,13 @@ object SparkEntry {
     "d03_simhash" ->
       s"""WITH
          |${CrossHashSql.simhashCtes}
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // d43: identical near-dup contract at 120 bits / 4x30-bit bands — the
+    // band space that does NOT saturate at 5M docs (see Dedup.simhashWide)
+    "d43_simhash_wide" ->
+      s"""WITH
+         |${CrossHashSql.simhashWideCtes}
          |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d10_neardup_clusters" ->

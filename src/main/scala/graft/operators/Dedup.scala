@@ -578,6 +578,49 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** d43: [[simhashDedup]]'s near-dup contract with a WIDE signature so the
+    * band space never saturates — the 100-TB simhash. d03's 60-bit/4×15-bit
+    * layout is exact at hamming ≤ 3 but its 32,768-key band space caps the
+    * corpus: at 5M docs every band bucket averages ~150 members and the
+    * candidate pair view is ~6e9 rows no matter how DISSIMILAR the corpus
+    * is (the §7j ×1000 exclusion — saturation, not fixture geometry).
+    * Here the signature is 120 bits — two independently-salted 60-bit
+    * halves through the same cross-engine kernel (hi hashes 'w'-prefixed
+    * tokens) — banded at 4×30 bits. Pigeonhole exactness survives: ≤ 3
+    * differing bits over the CONCATENATED signature leave at least one of
+    * the 4 disjoint 30-bit bands untouched, so every true pair still
+    * surfaces. The 2^30-key band space holds expected bucket occupancy at
+    * |corpus|/2^30 (~0.005 at 5M docs): collisions are dominated by true
+    * near-dups at any realistic corpus size, the pair view stays linear,
+    * and the key gates at the ×1000 point (§7l) where d03 cannot.
+    */
+  def simhashWide(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val toks = split(lower(trim($"text")), "\\s+")
+    val hashed = Tables.documents(s, dir)
+      .select($"doc_id",
+        simhash60(toks).as("sh_lo"),
+        simhash60(transform(toks, t => concat(lit("w"), t))).as("sh_hi"))
+    val banded = hashed.select($"doc_id", $"sh_lo", $"sh_hi",
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band_id, " +
+          "CASE WHEN b < 2 THEN shiftright(sh_lo, b*30) & 1073741823 " +
+          "ELSE shiftright(sh_hi, (b-2)*30) & 1073741823 END AS band_bits))")).as("band"))
+      .select($"doc_id", $"sh_lo", $"sh_hi", $"band.band_id", $"band.band_bits")
+    val a = banded.select($"band_id", $"band_bits",
+      $"doc_id".as("doc_a"), $"sh_lo".as("lo_a"), $"sh_hi".as("hi_a"))
+    val b = banded.select($"band_id", $"band_bits",
+      $"doc_id".as("doc_b"), $"sh_lo".as("lo_b"), $"sh_hi".as("hi_b"))
+    a.join(b, Seq("band_id", "band_bits"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (bit_count($"lo_a".bitwiseXOR($"lo_b")) +
+          bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= maxHamming)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** The materialized near-dup cluster artifact: (doc_id, cluster_id) for
     * every EDGE-ENDPOINT doc (singletons are implicit — their cluster is
     * their own id). d10 is the builder; d22/d26 are consumers that JOIN this

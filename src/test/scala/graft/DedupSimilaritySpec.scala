@@ -131,6 +131,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(java.lang.Long.bitCount(m(0L) ^ m(2L)) >= 20)
   }
 
+  test("d43 wide simhash banding is exact at hamming<=3: equals brute force all-pairs") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // the pigeonhole claim, checked against ground truth: 4 disjoint 30-bit
+    // bands over the 120-bit signature must surface EVERY pair within
+    // hamming 3 — compare the banded key's output to an exhaustive
+    // all-pairs hamming scan (bounded: |sf0.001|² ≈ 125k pairs)
+    val toks = split(lower(trim($"text")), "\\s+")
+    val sg = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        GraftFunctions.simhash60(toks).as("lo"),
+        GraftFunctions.simhash60(transform(toks, t => concat(lit("w"), t))).as("hi"))
+      .cache()
+    val a = sg.select($"doc_id".as("doc_a"), $"lo".as("lo_a"), $"hi".as("hi_a"))
+    val b = sg.select($"doc_id".as("doc_b"), $"lo".as("lo_b"), $"hi".as("hi_b"))
+    val brute = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (bit_count($"lo_a".bitwiseXOR($"lo_b")) +
+          bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = SparkEntry.queries("d43_simhash_wide")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}: wide banding must be exact, not approximate")
+    assert(brute.nonEmpty, "fixture must contain true near-dup pairs at hamming<=3")
+    sg.unpersist()
+  }
+
   test("d13 recall gate is probe-capped: brute force stays a bounded verification key") {
     import spark.implicits._
     // the exact side costs O(|corpus|) per probe — the constant cap is what

@@ -72,6 +72,12 @@ def main():
 
     with open(f"{out_dir}/oracle_sql.json") as fh:
         sql = json.load(fh)[key]
+    # a WITH RECURSIVE oracle (e.g. the reachability closures) keeps the
+    # keyword in every rewritten statement — DuckDB accepts RECURSIVE with
+    # non-recursive CTE lists, so using it uniformly is safe, while dropping
+    # it breaks any suffix that still contains the recursive CTE
+    with_kw = "WITH RECURSIVE " if re.match(r"\s*WITH\s+RECURSIVE", sql, re.I) \
+        else "WITH "
     ctes, _ = parse_ctes(sql)
     spans = {n: (s, e) for n, s, e in ctes}
     order = [n for n, _, _ in ctes]
@@ -117,7 +123,7 @@ def main():
         stmt_ctes = memo_reads(idx) + [
             sql[s:e] for (nm, s, e) in ctes
             if e <= spans[n][1] and nm not in memo_names[:idx]]
-        stmt = "WITH " + ",\n".join(stmt_ctes) + f" SELECT {cols} FROM {n}"
+        stmt = with_kw + ",\n".join(stmt_ctes) + f" SELECT {cols} FROM {n}"
         sig_path = pq + ".sql"
         if reuse and os.path.exists(pq) and os.path.exists(sig_path) \
                 and open(sig_path).read() == stmt:
@@ -133,7 +139,7 @@ def main():
         print(f"[memo_gate] {n}: {nr} rows in {int(time.time() - t0)}s", flush=True)
     con.close()
 
-    rewritten = "WITH " + ",\n".join(memo_reads(len(memos)))
+    rewritten = with_kw + ",\n".join(memo_reads(len(memos)))
     if suffix.upper().startswith("SELECT"):
         rewritten += " " + suffix
     else:

@@ -154,6 +154,7 @@ object SparkEntry {
     "d02_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "d03_simhash"       -> ((s, d) => Dedup.simhashDedup(s, d)),
     "d43_simhash_wide"  -> ((s, d) => Dedup.simhashWide(s, d)),
+    "d44_neardup_clusters_wide" -> ((s, d) => Dedup.neardupClustersWide(s, d)),
     "d04_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "d09_decontaminate" -> (Dedup.decontaminate _),
     "d10_neardup_clusters" -> ((s, d) => Dedup.neardupClusters(s, d)),
@@ -2557,6 +2558,19 @@ object SparkEntry {
          |${CrossHashSql.simhashWideCtes}
          |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d44: d10's reachability closure over d43's wide edge set — same
+    // recursive-CTE oracle shape, non-saturating candidate source
+    "d44_neardup_clusters_wide" ->
+      s"""WITH RECURSIVE
+         |${CrossHashSql.simhashWideCtes},
+         |e AS (SELECT doc_a AS ea, doc_b AS eb FROM cand WHERE hamming <= 3
+         |      UNION ALL
+         |      SELECT doc_b AS ea, doc_a AS eb FROM cand WHERE hamming <= 3),
+         |reach AS (SELECT doc_id AS src, doc_id AS dst FROM documents
+         |          UNION
+         |          SELECT r.src, e.eb FROM reach r JOIN e ON r.dst = e.ea)
+         |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+         |ORDER BY doc_id""".stripMargin,
     "d10_neardup_clusters" ->
       s"""WITH RECURSIVE
          |${CrossHashSql.simhashCtes},

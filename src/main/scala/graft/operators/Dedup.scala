@@ -652,9 +652,17 @@ object Dedup {
     * diameter; at 100 TB the same loop runs with AQE until a fixpoint.
     */
   private def buildClusterLabels(s: SparkSession, dir: String,
-                                 maxIterations: Int): DataFrame = {
+                                 maxIterations: Int): DataFrame =
+    labelPropagation(simhashDedup(s, dir), maxIterations)
+
+  /** The min-label + pointer-jumping propagation loop shared by the d10
+    * (60-bit) and d44 (120-bit) cluster artifacts — input is any
+    * (doc_a, doc_b) candidate-pair frame.
+    */
+  private def labelPropagation(pairs0: DataFrame, maxIterations: Int): DataFrame = {
+    val s = pairs0.sparkSession
     import s.implicits._
-    val pairs = simhashDedup(s, dir).select($"doc_a", $"doc_b")
+    val pairs = pairs0.select($"doc_a", $"doc_b")
       .localCheckpoint(true)
     val edges = pairs.union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
     // Only edge endpoints participate in propagation — in a deduped corpus
@@ -707,6 +715,31 @@ object Dedup {
     import s.implicits._
     Tables.documents(s, dir)
       .join(clusterLabels(s, dir, maxIterations).select($"doc_id".as("l_doc"), $"cluster_id"),
+            $"doc_id" === $"l_doc", "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  private val clusterLabelWideCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  /** d44: d10's cluster contract over d43's WIDE edge set — the closure
+    * family's 100-TB path. d10/d22/d26 are capped at the ×100 gate because
+    * their EDGE SET (d03's 15-bit-band candidates) saturates at 5M docs
+    * (measured 34.6e9-row pair view, §7l); the propagation loop itself was
+    * never the bottleneck. Swapping in [[simhashWide]]'s 30-bit-band edges
+    * (identical near-dup contract, 2142× less candidate volume at 5M docs)
+    * lets the same [[labelPropagation]] loop — and the same recursive-
+    * closure oracle — gate at the ×1000 point. Singletons surface as their
+    * own id via the left join's coalesce, exactly d10's view.
+    */
+  def neardupClustersWide(s: SparkSession, dir: String,
+                          maxIterations: Int = 20): DataFrame = {
+    import s.implicits._
+    val labels = clusterLabelWideCache.getOrElseUpdate((s, dir, maxIterations),
+      labelPropagation(simhashWide(s, dir), maxIterations))
+    Tables.documents(s, dir)
+      .join(labels.select($"doc_id".as("l_doc"), $"cluster_id"),
             $"doc_id" === $"l_doc", "left")
       .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
       .orderBy($"doc_id")

@@ -160,6 +160,26 @@ class DedupSimilaritySpec extends SparkSpec {
     sg.unpersist()
   }
 
+  test("d44 wide clusters: edge endpoints co-cluster, labels are minimal, corpus is total") {
+    import spark.implicits._
+    val labels = SparkEntry.queries("d44_neardup_clusters_wide")(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    // every doc gets exactly one label, and a min-label is never above the id
+    assert(labels.count() == docs.count())
+    assert(labels.filter($"cluster_id" > $"doc_id").isEmpty)
+    // every d43 edge's endpoints share a cluster (the connectivity contract)
+    val pairs = SparkEntry.queries("d43_simhash_wide")(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    val la = labels.select($"doc_id".as("doc_a"), $"cluster_id".as("cl_a"))
+    val lb = labels.select($"doc_id".as("doc_b"), $"cluster_id".as("cl_b"))
+    assert(pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter($"cl_a" =!= $"cl_b").isEmpty,
+      "near-dup pair endpoints must land in the same cluster")
+    // non-trivial: the sf fixture has at least one multi-doc cluster
+    assert(labels.groupBy($"cluster_id").count().filter($"count" > 1).count() > 0)
+    labels.unpersist()
+  }
+
   test("d13 recall gate is probe-capped: brute force stays a bounded verification key") {
     import spark.implicits._
     // the exact side costs O(|corpus|) per probe — the constant cap is what

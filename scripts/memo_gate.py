@@ -92,7 +92,6 @@ def main():
 
     # the suffix may only reference memoized CTEs or CTEs it defines itself
     suffix = sql[last_end:].lstrip().lstrip(",").lstrip()
-    suffix_defined = {n for n, s, e in ctes if s >= last_end}
     for n, s, e in ctes:
         if e <= last_end and n not in memo_names:
             assert not re.search(rf"\b{n}\b", suffix), \

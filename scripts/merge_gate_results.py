@@ -38,6 +38,11 @@ for spec in sys.argv[3:]:
         # not downgrade a standing terminal verdict, especially a PASS.
         if prev and status in ("MISSING", "DEADLINE") \
                 and prev["status"] in ("PASS", "FAIL", "TIMEOUT"):
+            # keep the terminal verdict, but don't let a stale PASS hide
+            # that the LATEST run never reproduced the dump — flag it so an
+            # engine regression that kills the dump step stays visible in
+            # the artifact instead of riding an old run's green
+            prev["later_" + status.lower() + "_in"] = label
             continue
         results[key] = {"status": status, "run": label,
                         **({"seconds": int(secs)} if secs else {})}

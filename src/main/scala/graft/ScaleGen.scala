@@ -45,6 +45,14 @@ object ScaleGen {
     * — the 'x' keeps Java's "$1" group ref from swallowing the digits),
     * preserving the n_chars == length(text) invariant. Replica 0 is the
     * base corpus unchanged, so sf-point results embed exactly.
+    *
+    * Disjointness precondition (checked at generation time, fail-fast):
+    * a cross-replica token collision t1+"x"+i == t2+"x"+j (or == a raw
+    * replica-0 token) forces one BASE token to end in "x"+digits — so a
+    * base vocabulary with no `.*x\d+$` token makes the suffix map exactly
+    * injective across replicas. The generated corpora satisfy this; real
+    * corpora (hex ids etc.) may not, hence the generation-time scan
+    * instead of an assumed invariant.
     */
   private[graft] def realisticDocTweak(d: DataFrame, i: Int): DataFrame =
     if (i == 0) d
@@ -55,8 +63,15 @@ object ScaleGen {
     val src = args(0); val out = args(1); val factor = args(2).toInt
     val mode = if (args.length > 3) args(3) else "replica"
     require(mode == "replica" || mode == "realistic", s"unknown mode $mode")
+    val AllTables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val only: Option[Set[String]] =
       if (args.length > 4) Some(args(4).split(",").toSet) else None
+    only.foreach { ts =>
+      val unknown = ts -- AllTables.toSet
+      require(unknown.isEmpty,
+        s"unknown table(s) ${unknown.mkString(",")} — valid: ${AllTables.mkString(",")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -95,6 +110,16 @@ object ScaleGen {
         tweak(shifted, i)
       }
       write(name, parts.reduce(_.unionByName(_)))
+    }
+
+    // realistic mode's injectivity precondition (see realisticDocTweak)
+    if (mode == "realistic" && only.forall(_.contains("documents"))) {
+      val aliasable = Tables.table(spark, src, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .filter(col("t").rlike("x\\d+$")).count()
+      require(aliasable == 0,
+        s"realistic mode: $aliasable base token(s) end in x<digits> — the replica " +
+          "suffix could alias across replicas and break shingle-space disjointness")
     }
 
     // fixed dimensions: copy untouched

@@ -22,6 +22,7 @@ object GraftFunctions {
     "minhash_sig"     -> (es => MinHashSignatureExpr(es(0), es(1))),
     "shingle_strings" -> (es => ShingleStringsExpr(es(0), es(1))),
     "simhash60"       -> (es => SimHash60Expr(es(0))),
+    "simhash_wide120" -> (es => SimHashWide120Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
     "gram_hashes31"   -> (es => GramHashes31Expr(es(0), es(1))),
     "term_counts"     -> (es => TermCountsExpr(es(0), es(1))),
@@ -57,6 +58,7 @@ object GraftFunctions {
   def minhashSig(hashes: Column, n: Column): Column = call_function("minhash_sig", hashes, n)
   def shingleStrings(tokens: Column, k: Column): Column = call_function("shingle_strings", tokens, k)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
+  def simhashWide120(tokens: Column): Column = call_function("simhash_wide120", tokens)
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)
   def termCounts(toks: Column, terms: Column): Column = call_function("term_counts", toks, terms)
   def minhashShingleSig(tokens: Column, k: Column, n: Column): Column =
@@ -113,6 +115,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleStringsExpr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("simhash60"), info("simhash60"),
       (es: Seq[Expression]) => SimHash60Expr(es(0))))
+    ext.injectFunction((FunctionIdentifier("simhash_wide120"), info("simhash_wide120"),
+      (es: Seq[Expression]) => SimHashWide120Expr(es(0))))
     ext.injectFunction((FunctionIdentifier("minhash_sig31"), info("minhash_sig31"),
       (es: Seq[Expression]) => MinHashSig31Expr(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("minhash_shingle_sig"), info("minhash_shingle_sig"),

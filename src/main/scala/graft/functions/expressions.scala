@@ -472,6 +472,61 @@ object crosskernels {
     out
   }
 
+  /** 120-bit wide simhash for d43/d44: out(0) ≡ simhash60(tokens) and
+    * out(1) ≡ simhash60 of 'w'-prefixed tokens, computed VALUE-IDENTICALLY
+    * in one code-point decode pass with four accumulators — the hi half's
+    * salts are the lo salts advanced by 'w' (modP(1·131+119) = 250,
+    * modP(2·131+119) = 381), so no prefixed token array is ever
+    * materialized and the corpus is scanned once, not twice (the d43
+    * signing cost at the ×1000 point). Spec-pinned equal to the two-pass
+    * form in KernelPropertySpec.
+    */
+  def simhashWide120(tokens: ArrayData): ArrayData = {
+    val cl = new Array[Int](60)
+    val ch = new Array[Int](60)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      var a1 = 1L; var a2 = 2L   // lo: poly31(t, 1) / poly31(t, 2)
+      var a3 = 250L; var a4 = 381L // hi: poly31("w"+t, 1) / poly31("w"+t, 2)
+      val nb = t.numBytes()
+      var p = 0
+      while (p < nb) {
+        val b0 = t.getByte(p) & 0xff
+        var cp = 0
+        var len = 1
+        if (b0 < 0x80) cp = b0
+        else if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len) { cp = (cp << 6) | (t.getByte(p + j) & 0x3f); j += 1 }
+        a1 = modP(a1 * Base + cp)
+        a2 = modP(a2 * Base + cp)
+        a3 = modP(a3 * Base + cp)
+        a4 = modP(a4 * Base + cp)
+        p += len
+      }
+      val hl = (a1 & 0x3fffffffL) | ((a2 & 0x3fffffffL) << 30)
+      val hh = (a3 & 0x3fffffffL) | ((a4 & 0x3fffffffL) << 30)
+      var b = 0
+      while (b < 60) {
+        if (((hl >>> b) & 1L) == 1L) cl(b) += 1 else cl(b) -= 1
+        if (((hh >>> b) & 1L) == 1L) ch(b) += 1 else ch(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var lo = 0L; var hi = 0L; var b = 0
+    while (b < 60) {
+      if (cl(b) > 0) lo |= (1L << b)
+      if (ch(b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+
   /** Unicode NFC (canonical composition). */
   def nfc(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -756,6 +811,23 @@ case class SimHash60Expr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.crosskernels.simhash60($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "simhash60"
+}
+
+/** simhash_wide120(array<string>) -> array<long> [lo, hi]; one-pass fused
+  * form of (simhash60(toks), simhash60('w'-prefixed toks)) — see
+  * crosskernels.simhashWide120.
+  */
+case class SimHashWide120Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(child), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    crosskernels.simhashWide120(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.crosskernels.simhashWide120($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash_wide120"
 }
 
 /** minhash_sig31(array<string>, numHashes) -> array<long>; oracle-mirrorable. */

@@ -597,11 +597,13 @@ object Dedup {
   def simhashWide(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // fused one-pass kernel: value-identical to simhash60(toks) /
+    // simhash60('w'-prefixed toks) but decodes each token once and never
+    // materializes the prefixed array (KernelPropertySpec pins equality)
     val toks = split(lower(trim($"text")), "\\s+")
     val hashed = Tables.documents(s, dir)
-      .select($"doc_id",
-        simhash60(toks).as("sh_lo"),
-        simhash60(transform(toks, t => concat(lit("w"), t))).as("sh_hi"))
+      .select($"doc_id", simhashWide120(toks).as("shw"))
+      .select($"doc_id", $"shw".getItem(0).as("sh_lo"), $"shw".getItem(1).as("sh_hi"))
     val banded = hashed.select($"doc_id", $"sh_lo", $"sh_hi",
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band_id, " +
           "CASE WHEN b < 2 THEN shiftright(sh_lo, b*30) & 1073741823 " +
@@ -654,6 +656,19 @@ object Dedup {
   private def buildClusterLabels(s: SparkSession, dir: String,
                                  maxIterations: Int): DataFrame =
     labelPropagation(simhashDedup(s, dir), maxIterations)
+
+  /** The (doc_id, cluster_id) corpus view shared by d10 and d44: every doc
+    * labeled, singletons as their own id via the left join's coalesce.
+    */
+  private def clusterCorpusView(s: SparkSession, dir: String,
+                                labels: DataFrame): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .join(labels.select($"doc_id".as("l_doc"), $"cluster_id"),
+            $"doc_id" === $"l_doc", "left")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
 
   /** The min-label + pointer-jumping propagation loop shared by the d10
     * (60-bit) and d44 (120-bit) cluster artifacts — input is any
@@ -711,14 +726,8 @@ object Dedup {
     * [[clusterLabels]] artifact (singletons surface as their own id via the
     * left join's coalesce).
     */
-  def neardupClusters(s: SparkSession, dir: String, maxIterations: Int = 20): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .join(clusterLabels(s, dir, maxIterations).select($"doc_id".as("l_doc"), $"cluster_id"),
-            $"doc_id" === $"l_doc", "left")
-      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
-      .orderBy($"doc_id")
-  }
+  def neardupClusters(s: SparkSession, dir: String, maxIterations: Int = 20): DataFrame =
+    clusterCorpusView(s, dir, clusterLabels(s, dir, maxIterations))
 
   private val clusterLabelWideCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
@@ -734,16 +743,10 @@ object Dedup {
     * own id via the left join's coalesce, exactly d10's view.
     */
   def neardupClustersWide(s: SparkSession, dir: String,
-                          maxIterations: Int = 20): DataFrame = {
-    import s.implicits._
-    val labels = clusterLabelWideCache.getOrElseUpdate((s, dir, maxIterations),
-      labelPropagation(simhashWide(s, dir), maxIterations))
-    Tables.documents(s, dir)
-      .join(labels.select($"doc_id".as("l_doc"), $"cluster_id"),
-            $"doc_id" === $"l_doc", "left")
-      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster_id"))
-      .orderBy($"doc_id")
-  }
+                          maxIterations: Int = 20): DataFrame =
+    clusterCorpusView(s, dir,
+      clusterLabelWideCache.getOrElseUpdate((s, dir, maxIterations),
+        labelPropagation(simhashWide(s, dir), maxIterations)))
 
   /** d26: leakage-free train/val/test split — the assignment is a pure
     * function of the near-dup CLUSTER id ([[neardupClusters]]' min-label),

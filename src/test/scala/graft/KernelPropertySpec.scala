@@ -102,6 +102,25 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("fused simhash_wide120 is bit-equal to the two-pass salted form") {
+    import graft.functions.crosskernels
+    // d43's one-decode-pass kernel must stay value-identical to the form
+    // the DuckDB oracle recomputes: lo = simhash60(toks), hi = simhash60
+    // of 'w'-prefixed toks
+    (1 to 50).foreach { _ =>
+      val tokens = randTokens(rng.nextInt(60) + 1)
+      val wide = crosskernels.simhashWide120(arr(tokens))
+      assert(wide.getLong(0) == crosskernels.simhash60(arr(tokens)))
+      assert(wide.getLong(1) == crosskernels.simhash60(arr(tokens.map("w" + _))))
+    }
+    // edge cases: empty doc, empty token, unicode
+    for (ts <- Seq(Seq.empty[String], Seq(""), Seq("Ünïcødé☃", "文字", ""))) {
+      val wide = crosskernels.simhashWide120(arr(ts))
+      assert(wide.getLong(0) == crosskernels.simhash60(arr(ts)))
+      assert(wide.getLong(1) == crosskernels.simhash60(arr(ts.map("w" + _))))
+    }
+  }
+
   test("fused minhash_shingle_sig is bit-equal to the composed string form") {
     import graft.functions.crosskernels
     // arbitrary unicode incl. empty tokens, multi-byte code points, and

@@ -158,6 +158,12 @@ class DedupSimilaritySpec extends SparkSpec {
       s"banded=${banded.size} brute=${brute.size}: wide banding must be exact, not approximate")
     assert(brute.nonEmpty, "fixture must contain true near-dup pairs at hamming<=3")
     sg.unpersist()
+    // plan shape: the candidate join must be keyed on the band columns —
+    // a cartesian/nested-loop here is the all-pairs scan the banding exists
+    // to avoid
+    val p = plan("d43_simhash_wide")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(400))
   }
 
   test("d44 wide clusters: edge endpoints co-cluster, labels are minimal, corpus is total") {

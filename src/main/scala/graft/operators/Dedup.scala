@@ -1213,18 +1213,25 @@ object Dedup {
   }
 
   /** Per-(dim, bucket) conditional counts over any driftBase-shaped frame
-    * — additive, so s24 folds them batch by batch.
+    * — additive, so s24 folds them batch by batch. `extraKeys` lets the
+    * s24 replay derive ALL batch partials from one scan (grouping by the
+    * batch column as well); additivity makes the regrouped counts fold to
+    * the same state bit-for-bit.
     */
-  private[graft] def driftCounts(base: DataFrame): DataFrame = {
+  private[graft] def driftCounts(base: DataFrame,
+                                 extraKeys: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     val dims = Seq(
       ("lang", $"lang".cast("string")),
       ("source", $"source".cast("string")),
       ("quality_decile", $"q_dec".cast("string")))
-    base.select($"in_base", explode(array(dims.map { case (d, c) =>
-        struct(lit(d).as("dim"), c.as("bucket")) }: _*)).as("k"))
-      .groupBy($"k.dim".as("dim"), $"k.bucket".as("bucket"))
+    base.select(($"in_base" +: extraKeys.map { case (n, c) => c.as(n) }) :+
+        explode(array(dims.map { case (d, c) =>
+          struct(lit(d).as("dim"), c.as("bucket")) }: _*)).as("k"): _*)
+      .groupBy(extraKeys.map { case (n, _) => col(n) } ++
+               Seq($"k.dim".as("dim"), $"k.bucket".as("bucket")): _*)
       .agg(sum(when($"in_base", 1L).otherwise(0L)).as("n_a"),
            count(lit(1)).as("n_b"))
   }

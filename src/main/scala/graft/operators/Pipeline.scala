@@ -309,10 +309,21 @@ object PipelineOps {
   def bm25Fold(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = bm25Base(Tables.documents(s, dir))
+    // Per-batch stats rows from ONE tokenization pass (q45's replay-harness
+    // rule: sums/counts are additive, so the grouped-by-batch partials fold
+    // to the same one-row state; the fold loop and its per-batch
+    // materialization are unchanged). The previous shape re-ran the
+    // term-count kernel over the whole corpus once per batch.
+    val partials = base
+      .groupBy(pmod($"doc_id", lit(Bm25ReplayBatches.toLong)).as("b"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"dl").as("total_toks") +:
+         SearchTerms.indices.map(i =>
+           sum(when(col(tfCol(i)) > 0, 1L).otherwise(0L)).as(dfCol(i)))): _*)
+      .localCheckpoint(true)
     var stats: Option[DataFrame] = None
     for (b <- 0 until Bm25ReplayBatches) {
-      val inc = bm25Stats(
-        base.filter(pmod($"doc_id", lit(Bm25ReplayBatches.toLong)) === b))
+      val inc = partials.filter($"b" === b.toLong).drop("b")
       stats = Some((stats match {
         case None => inc
         case Some(st) => st.unionByName(inc).agg(
@@ -332,9 +343,15 @@ object PipelineOps {
   def hierarchyDescendants(s: SparkSession, dir: String, rootId: Long = 5L): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    // The edge projection is consumed once PER LEVEL by the chained BFS
+    // joins below — materialize it once (localCheckpoint of two-long rows)
+    // so the closure reads the parquet corpus once, not depth (= log2 n)
+    // times. At 100 TB this is the difference between one corpus scan and
+    // ~25 of them; the reused-DataFrame caching rule applies exactly here.
     val edges = docs
       .filter($"doc_id" >= 1)
       .select($"doc_id".as("child"), expr("(doc_id - 1) div 2").as("parent"))
+      .localCheckpoint(true)
     // One metadata-only scalar job bounds the tree depth (parquet aggregate
     // pushdown answers max(doc_id) from file footers — no data scan even at
     // 100 TB); the whole closure is then built lazily (depth chained joins)

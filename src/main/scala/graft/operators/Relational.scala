@@ -999,13 +999,25 @@ object Relational {
         dec2($"l_quantity").as("qty"), dec2($"l_extendedprice").as("price"),
         (dec2($"l_extendedprice") *
           (lit(1).cast("decimal(18,2)") - dec2($"l_discount"))).as("disc_price"))
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy($"l_returnflag", $"l_linestatus")
-        .agg(sum($"qty").as("s_qty"), sum($"price").as("s_price"),
-             sum($"disc_price").as("s_disc"), count(lit(1)).as("n"))
+    // All per-batch partials derive from ONE fact scan (groupBy batch +
+    // group keys), materialized once; the previous per-batch
+    // filter-then-aggregate replay re-scanned the fact table once per
+    // batch (3 full scans for a 3-batch replay — at 100 TB, 3 corpus
+    // passes where one suffices). The fold itself is untouched: state
+    // still merges batch by batch and MATERIALIZES between folds (the MV
+    // refresh loop being modeled); only the replay harness's batch
+    // partials are produced together — which is exactly what a historical
+    // backfill of an incremental MV does. DECIMAL partials make the
+    // regrouped sums bit-identical to the per-batch aggregation.
+    val partials = rows
+      .withColumn("b", pmod($"l_orderkey", lit(MvReplayBatches.toLong)))
+      .groupBy($"b", $"l_returnflag", $"l_linestatus")
+      .agg(sum($"qty").as("s_qty"), sum($"price").as("s_price"),
+           sum($"disc_price").as("s_disc"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
     var state: Option[DataFrame] = None
     for (b <- 0 until MvReplayBatches) {
-      val inc = partial(rows.filter(pmod($"l_orderkey", lit(MvReplayBatches.toLong)) === b))
+      val inc = partials.filter($"b" === b.toLong).drop("b")
       state = Some((state match {
         case None => inc
         case Some(st) => st.unionByName(inc)

@@ -212,6 +212,15 @@ object Similarity {
     * nondeterminism of the reduce cannot perturb the Float means (ULP
     * drift at argmax ties would otherwise make neighbor lists vary
     * run-to-run). The 100 TB shape: per-iteration cost is one corpus scan.
+    *
+    * Each iteration's codebook is MATERIALIZED (localCheckpoint of k ≤
+    * [[IvfMaxCentroids]] rows — driver-bounded by construction): iteration
+    * i's plan embeds iteration i-1's whole lineage, and the finished
+    * codebook is consumed by SEVERAL subtrees downstream (ivfSearch
+    * broadcasts it once collapsed and once raw; d17 joins it again), so an
+    * unmaterialized chain re-runs every earlier iteration's corpus scan
+    * once per consumer — measured 1.74 s vs 1.1 s for d15 at sf0.1, and at
+    * 100 TB the waste is (iters × consumers) extra corpus scans.
     */
   def kmeansCentroids(emb: DataFrame, iters: Int): DataFrame = {
     import emb.sparkSession.implicits._
@@ -240,6 +249,7 @@ object Similarity {
           (cid, m)
         }
         .toDF("centroid_id", "ce")
+        .localCheckpoint(true) // k rows; truncates the per-iteration lineage
     }
     centroids
   }
@@ -480,13 +490,25 @@ object Similarity {
     val methods = Map[String, DataFrame](
       "ivf" -> annIvf(s, dir), "ivf2" -> annIvfTrained(s, dir),
       "lsh" -> annLsh(s, dir), "pq" -> annPq(s, dir))
-    RecallFloors.map { case (name, floor) =>
-      methods(name).select($"query_id", $"neighbor_id")
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg((count(lit(1)) / (K * NumQueries).toDouble).as("recall"))
-        .select(lit(name).as("method"), lit(floor).as("recall_floor"),
-                ($"recall" >= floor).as("recall_ok"))
-    }.reduce(_.union(_)).orderBy($"method")
+    // ONE tagged union + ONE semi-join + ONE grouped count instead of a
+    // per-method (semi-join, scalar agg) chain: the previous shape embedded
+    // the exact brute-force subtree once per method, so the reference scan
+    // (the expensive side of this referee) executed four times; here it is
+    // a single build side. The floors frame (4 literal rows) re-attaches
+    // per-method floors and keeps a method row present even in the
+    // degenerate empty-neighbor-list case the old scalar agg handled.
+    val tagged = methods.toSeq.map { case (name, df) =>
+      df.select(lit(name).as("method"), $"query_id", $"neighbor_id")
+    }.reduce(_.unionByName(_))
+    val hits = tagged
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"method").agg(count(lit(1)).as("n_hit"))
+    val floors = RecallFloors.toDF("method", "recall_floor")
+    floors.join(hits, Seq("method"), "left")
+      .select($"method", $"recall_floor",
+        (coalesce($"n_hit", lit(0L)) / (K * NumQueries).toDouble >= $"recall_floor")
+          .as("recall_ok"))
+      .orderBy($"method")
   }
 
   /** Cohesion floors for the d17 cluster-quality gate: the mean margin

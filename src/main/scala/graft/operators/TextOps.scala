@@ -1199,7 +1199,13 @@ object TextOps {
     val raw = toks.groupBy($"term")
       .agg(count(lit(1)).as("cnt_raw"),
            sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("cnt_t"))
+    // The unigram model is consumed by TWO subtrees (the totals row and the
+    // scoring join) and the per-doc scores by two more (the histogram-cutoff
+    // path and the final verdict) — materialize each once (vocab-sized and
+    // |docs|-sized respectively), so the corpus token explode runs twice
+    // (census + scoring join) instead of four times. Same rows, same math.
     val model = raw.select($"term", $"cnt_raw", ($"cnt_t" + 1L).as("cnt_tgt"))
+      .localCheckpoint(true)
     val totals = model.agg(sum($"cnt_raw").as("total_raw"),
                            sum($"cnt_tgt").as("total_tgt"))
     def bits2(c: Column) = length(bin(c * c))
@@ -1211,6 +1217,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_toks"), sum($"imp").as("imp_halfbits_total"))
       .select($"doc_id", $"source", $"n_toks", $"imp_halfbits_total",
         expr("imp_halfbits_total * 1000 div n_toks").as("mean_imp_milli"))
+      .localCheckpoint(true)
     import org.apache.spark.sql.expressions.Window
     val pool = scored.filter($"source" =!= DsirTarget)
     val hist = pool.groupBy($"mean_imp_milli").agg(count(lit(1)).as("c"))

@@ -226,14 +226,20 @@ object Streams {
   val AnomalyReplayBatches = 3
   def anomalyFoldBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, dir)
+    // Per-batch partials from ONE corpus scan (q45's replay-harness rule:
+    // batch partials computed together, fold loop — merge + materialize
+    // per batch — unchanged); the previous shape re-scanned events once
+    // per batch. Counts are additive, so the regrouped partials fold to
+    // the same state bit-for-bit.
+    val partials = Tables.events(s, dir)
       .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hb"),
-              $"event_id")
+              pmod($"event_id", lit(AnomalyReplayBatches.toLong)).as("b"))
+      .groupBy($"b", $"event_type", $"hb")
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true)
     var state: Option[DataFrame] = None
     for (b <- 0 until AnomalyReplayBatches) {
-      val inc = rows.filter(pmod($"event_id", lit(AnomalyReplayBatches.toLong)) === b)
-        .groupBy($"event_type", $"hb")
-        .agg(count(lit(1)).as("n_events"))
+      val inc = partials.filter($"b" === b.toLong).drop("b")
       state = Some((state match {
         case None => inc
         case Some(st) => st.unionByName(inc)
@@ -567,10 +573,24 @@ object Streams {
   def sketchFoldBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).select($"event_id", $"event_type", $"user_id")
+    // Per-batch sketches from ONE corpus scan (q45's replay-harness rule):
+    // hll_sketch_agg is register-max based, so the per-(type, batch) sketch
+    // is identical however the batch's rows are delivered, and the fold
+    // below unions precisely the sketch sketchMerge would have built from
+    // the raw batch. The previous shape re-scanned events once per batch.
+    val partials = ev
+      .groupBy(pmod($"event_id", lit(SketchFoldBatches.toLong)).as("b"), $"event_type")
+      .agg(hll_sketch_agg($"user_id", lit(12)).as("sketch"))
+      .localCheckpoint(true)
     var state: Option[DataFrame] = None
     for (b <- 0 until SketchFoldBatches) {
-      val batch = ev.filter(pmod($"event_id", lit(SketchFoldBatches.toLong)) === b)
-      state = Some(sketchMerge(state, batch).localCheckpoint(true))
+      val inc = partials.filter($"b" === b.toLong).select($"event_type", $"sketch")
+      state = Some((state match {
+        case None => inc
+        case Some(st) => st.unionByName(inc)
+          .groupBy($"event_type")
+          .agg(hll_union_agg($"sketch").as("sketch"))
+      }).localCheckpoint(true))
     }
     val exact = ev.groupBy($"event_type")
       .agg(countDistinct($"user_id").as("exact_users"))
@@ -1184,10 +1204,14 @@ object Streams {
   def driftFoldBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = graft.operators.Dedup.driftBase(s, dir)
+    // Per-batch partials from ONE scan (q45's replay-harness rule; the
+    // full-outer-add fold and per-batch materialization are unchanged).
+    val partials = graft.operators.Dedup.driftCounts(base,
+        extraKeys = Seq("b" -> pmod($"doc_id", lit(DriftReplayBatches.toLong))))
+      .localCheckpoint(true)
     var state: Option[DataFrame] = None
     for (b <- 0 until DriftReplayBatches) {
-      val inc = graft.operators.Dedup.driftCounts(
-        base.filter(pmod($"doc_id", lit(DriftReplayBatches.toLong)) === b))
+      val inc = partials.filter($"b" === b.toLong).drop("b")
       state = Some((state match {
         case None => inc
         case Some(st) =>
@@ -1217,10 +1241,17 @@ object Streams {
   def censusFoldBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = graft.operators.TextOps.surprisalToks(Tables.documents(s, dir))
+    // Per-batch term partials from ONE tokenization pass (q45's replay-
+    // harness rule; the full-outer-add fold and its per-batch
+    // materialization are unchanged) — the previous shape re-tokenized the
+    // corpus once per batch, and tokenization is the expensive side here.
+    val partials = toks
+      .groupBy(pmod($"doc_id", lit(CensusReplayBatches.toLong)).as("b"), $"term")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     var census: Option[DataFrame] = None
     for (b <- 0 until CensusReplayBatches) {
-      val inc = toks.filter(pmod($"doc_id", lit(CensusReplayBatches.toLong)) === b)
-        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val inc = partials.filter($"b" === b.toLong).drop("b")
       census = Some((census match {
         case None => inc
         case Some(st) =>
@@ -1356,14 +1387,18 @@ object Streams {
   val FillReplayBatches = 3
   def fillFoldBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, dir)
+    // Per-batch partials from ONE corpus scan (q45's replay-harness rule;
+    // fold loop unchanged). Counts and DECIMAL sums regroup exactly.
+    val partials = Tables.events(s, dir)
       .select($"event_type", expr("unix_micros(ts) div 3600000000").as("hb"),
-              $"value".cast("decimal(18,6)").as("v"), $"event_id")
+              $"value".cast("decimal(18,6)").as("v"),
+              pmod($"event_id", lit(FillReplayBatches.toLong)).as("b"))
+      .groupBy($"b", $"event_type", $"hb")
+      .agg(count(lit(1)).as("n_events"), sum($"v").as("sum_v"))
+      .localCheckpoint(true)
     var state: Option[DataFrame] = None
     for (b <- 0 until FillReplayBatches) {
-      val inc = rows.filter(pmod($"event_id", lit(FillReplayBatches.toLong)) === b)
-        .groupBy($"event_type", $"hb")
-        .agg(count(lit(1)).as("n_events"), sum($"v").as("sum_v"))
+      val inc = partials.filter($"b" === b.toLong).drop("b")
       state = Some((state match {
         case None => inc
         case Some(st) => st.unionByName(inc)

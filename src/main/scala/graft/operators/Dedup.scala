@@ -1082,7 +1082,21 @@ object Dedup {
     * the q43 ReusedExchange lesson). Exact integers only (permille via
     * BIGINT div) ⇒ bit-exact oracle.
     */
-  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame =
+    overlapMatrix(s, dir, withSketch = false)
+
+  /** Shared core of d36 (exact matrix) and d38 (exact anchors + HLL
+    * referee). With `withSketch` the per-(a,b) marker aggregate ALSO folds
+    * an HLL sketch of the shingles it sees: the membership-marker rows
+    * (src_b null) are exactly the DISTINCT (source, shingle) pairs, and
+    * HLL register updates are duplicate-insensitive maxes, so the sketch
+    * built here is bit-identical to one built over every occurrence — at
+    * the price of zero extra scans. (d38 previously re-scanned the corpus
+    * and re-exploded every shingle OCCURRENCE into a second per-source
+    * exchange just to feed hll_sketch_agg — one full corpus pass, deleted.)
+    */
+  private def overlapMatrix(s: SparkSession, dir: String,
+                            withSketch: Boolean): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     // gram construction through the codegen'd shingle_strings kernel — an
@@ -1108,23 +1122,30 @@ object Dedup {
       transform(sequence(i + 1, m), j =>
         struct(element_at($"srcs", i).as("src_a"),
                element_at($"srcs", j).as("src_b")))))
-    val marks = byShingle.select(explode(concat(
+    val marked = byShingle.select(
+      (if (withSketch) Seq($"shingle") else Nil) :+
+      explode(concat(
         transform($"srcs", s0 =>
           struct(s0.as("src_a"), lit(null).cast("string").as("src_b"))),
         when(m >= 2, pairArr)
-          .otherwise(array().cast("array<struct<src_a:string,src_b:string>>")))).as("p"))
-      .groupBy($"p.src_a".as("a"), $"p.src_b".as("b"))
-      .agg(count(lit(1)).as("n"))
-    val totals = marks.filter($"b".isNull).select($"a".as("source"), $"n")
+          .otherwise(array().cast("array<struct<src_a:string,src_b:string>>")))).as("p"): _*)
+    val marks = marked.groupBy($"p.src_a".as("a"), $"p.src_b".as("b"))
+      .agg(count(lit(1)).as("n"),
+        (if (withSketch) Seq(hll_sketch_agg($"shingle", lit(SketchLgK)).as("sk"))
+         else Nil): _*)
+    val totals = marks.filter($"b".isNull)
     val inter = marks.filter($"b".isNotNull)
       .select($"a".as("src_a"), $"b".as("src_b"), $"n".as("inter"))
     // complete |sources|² upper-triangle matrix: zero-overlap pairs appear
-    val ta = totals.select($"source".as("src_a"), $"n".as("n_a"))
-    val tb = totals.select($"source".as("src_b"), $"n".as("n_b"))
-    ta.join(tb, $"src_a" < $"src_b")
+    val ta = totals.select($"a".as("src_a") +: $"n".as("n_a") +:
+      (if (withSketch) Seq($"sk".as("sk_a")) else Nil): _*)
+    val tb = totals.select($"a".as("src_b") +: $"n".as("n_b") +:
+      (if (withSketch) Seq($"sk".as("sk_b")) else Nil): _*)
+    val px = ta.join(tb, $"src_a" < $"src_b")
       .join(inter, Seq("src_a", "src_b"), "left")
       .na.fill(0L, Seq("inter"))
-      .select($"src_a", $"src_b", $"inter", $"n_a", $"n_b",
+    if (!withSketch)
+      px.select($"src_a", $"src_b", $"inter", $"n_a", $"n_b",
         ($"n_a" + $"n_b" - $"inter").as("n_union"),
         // greatest(.,1) guards the degenerate all-short-docs corpus: Spark's
         // div NULLs on zero while DuckDB errors — the guard (mirrored in the
@@ -1133,45 +1154,13 @@ object Dedup {
         expr("inter * 1000 div greatest(n_a, 1L)").as("a_in_b_permille"),
         expr("inter * 1000 div greatest(n_b, 1L)").as("b_in_a_permille"))
       .orderBy($"src_a", $"src_b")
-  }
-
-  /** d38: SKETCH-based corpus overlap — the 100-TB path next to d36's
-    * exact matrix. Per-source HLL sketches of the shingle sets (Spark 4's
-    * Datasketches `hll_sketch_agg` — mergeable, a few KB each, built
-    * map-side in ONE corpus scan so only |sources| sketch rows ever cross
-    * an exchange), then the pairwise matrix is |sources|² sketch unions on
-    * a driver-sized frame: est(A), est(B), est(A∪B) by `hll_union`, the
-    * intersection and Jaccard by inclusion–exclusion. Where d36 moves
-    * every distinct shingle through a shuffle once, the sketch path moves
-    * kilobytes per source — at 100 TB the difference between a
-    * corpus-sized exchange and a broadcast. HLL estimates are
-    * engine-specific, so the key follows d13's referee pattern: d36's
-    * exact integers ride along as anchors and the HASH-CHECKED claim is
-    * the error bounds — per-source and union estimates within 5%
-    * relative, Jaccard estimate within 0.05 absolute (lgK=12 standard
-    * error ≈ 1.6%, independent of set size, so the bounds are SF-stable).
-    * Production emits the estimate columns alone; the exact side here is
-    * the verification referee, never the production cost.
-    */
-  val SketchLgK = 12
-  def sketchOverlap(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    val sk = Tables.documents(s, dir)
-      .select($"source",
-        explode(shingleStrings(split(lower(trim($"text")), "\\s+"), lit(3))).as("shingle"))
-      .groupBy($"source").agg(hll_sketch_agg($"shingle", lit(SketchLgK)).as("sk"))
-    val ta = sk.select($"source".as("src_a"), $"sk".as("sk_a"))
-    val tb = sk.select($"source".as("src_b"), $"sk".as("sk_b"))
-    val exact = corpusOverlap(s, dir)
-      .select($"src_a", $"src_b", $"inter", $"n_a", $"n_b", $"n_union", $"jaccard_permille")
-    ta.join(tb, $"src_a" < $"src_b")
-      .join(exact, Seq("src_a", "src_b"))
-      .select($"src_a", $"src_b", $"jaccard_permille",
+    else
+      px.select($"src_a", $"src_b",
+        expr("inter * 1000 div greatest(n_a + n_b - inter, 1L)").as("jaccard_permille"),
+        ($"n_a" + $"n_b" - $"inter").as("n_union"), $"inter", $"n_a", $"n_b",
         hll_sketch_estimate($"sk_a").cast("double").as("est_a"),
         hll_sketch_estimate($"sk_b").cast("double").as("est_b"),
-        hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).cast("double").as("est_union"),
-        $"inter", $"n_a", $"n_b", $"n_union")
+        hll_sketch_estimate(hll_union($"sk_a", $"sk_b")).cast("double").as("est_union"))
       .select($"src_a", $"src_b", $"jaccard_permille",
         (abs($"est_a" - $"n_a") <= $"n_a" * 0.05).as("a_est_ok"),
         (abs($"est_b" - $"n_b") <= $"n_b" * 0.05).as("b_est_ok"),
@@ -1180,6 +1169,32 @@ object Dedup {
              $"inter".cast("double") / $"n_union") <= lit(0.05)).as("jaccard_est_ok"))
       .orderBy($"src_a", $"src_b")
   }
+
+  /** d38: SKETCH-based corpus overlap — the 100-TB path next to d36's
+    * exact matrix. Per-source HLL sketches of the shingle sets (Spark 4's
+    * Datasketches `hll_sketch_agg` — mergeable, a few KB each), then the
+    * pairwise matrix is |sources|² sketch unions on a driver-sized frame:
+    * est(A), est(B), est(A∪B) by `hll_union`, the intersection and Jaccard
+    * by inclusion–exclusion. A production sketch-only run is ONE corpus
+    * scan with map-side sketch partials — only |sources| sketch rows cross
+    * an exchange; at 100 TB the difference between a corpus-sized exchange
+    * and a broadcast. HLL estimates are engine-specific, so the key follows
+    * d13's referee pattern: d36's exact integers ride along as anchors and
+    * the HASH-CHECKED claim is the error bounds — per-source and union
+    * estimates within 5% relative, Jaccard estimate within 0.05 absolute
+    * (lgK=12 standard error ≈ 1.6%, independent of set size, so the bounds
+    * are SF-stable). Production emits the estimate columns alone; the exact
+    * side here is the verification referee, never the production cost —
+    * and since the referee key must compute d36's exact matrix anyway, the
+    * sketches fold into the SAME marker aggregate ([[overlapMatrix]]): HLL
+    * updates are duplicate-insensitive, so sketching the distinct
+    * (source, shingle) membership rows yields registers bit-identical to
+    * sketching every occurrence, and the r12 shape's second corpus scan +
+    * occurrence-level exchange is deleted.
+    */
+  val SketchLgK = 12
+  def sketchOverlap(s: SparkSession, dir: String): DataFrame =
+    overlapMatrix(s, dir, withSketch = true)
 
   /** d37: corpus drift monitor — the retraining trigger a continuously
     * ingested 100-TB corpus needs: between a baseline snapshot (fixture

@@ -16,6 +16,9 @@ object Similarity {
 
   val K = 10
   val NumQueries = 5
+  /** Fixture embedding dimensionality — already assumed by [[planes]]
+    * (64-float hyperplanes) and the PQ layout (8 subspaces × 8 dims). */
+  private[graft] val EmbedDim = 64
 
   private def queries(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -206,12 +209,13 @@ object Similarity {
     * training job the deterministic samples stand in for elsewhere. Per
     * iteration: the codebook collapses to ONE broadcast row and assignment
     * is a pure argmax-cosine projection (no shuffle); new centroids are
-    * element-wise means via typed reduceGroups, which partial-reduces
-    * map-side so the shuffle carries at most k x partitions rows — never
-    * the corpus. Sums accumulate in Double so the merge-order
-    * nondeterminism of the reduce cannot perturb the Float means (ULP
-    * drift at argmax ties would otherwise make neighbor lists vary
-    * run-to-run). The 100 TB shape: per-iteration cost is one corpus scan.
+    * element-wise means via [[EmbedDim]] built-in sum() aggregates (one
+    * codegen'd HashAggregate), which partial-aggregates map-side so the
+    * shuffle carries at most k x partitions rows — never the corpus. Sums
+    * accumulate in Double so the merge-order nondeterminism of the partial
+    * merge cannot perturb the Float means (ULP drift at argmax ties would
+    * otherwise make neighbor lists vary run-to-run). The 100 TB shape:
+    * per-iteration cost is one corpus scan.
     *
     * Each iteration's codebook is MATERIALIZED (localCheckpoint of k ≤
     * [[IvfMaxCentroids]] rows — driver-bounded by construction): iteration
@@ -228,27 +232,22 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, collapseCodebook(centroids))
         .select($"embedding", $"centroid_id")
-      centroids = assigned.as[(Array[Float], Long)]
-        .map { case (v, cid) =>
-          val d = new Array[Double](v.length)
-          var i = 0
-          while (i < d.length) { d(i) = v(i).toDouble; i += 1 }
-          (cid, d, 1L)
-        }
-        .groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          val s = new Array[Double](a._2.length)
-          var i = 0
-          while (i < s.length) { s(i) = a._2(i) + b._2(i); i += 1 }
-          (a._1, s, a._3 + b._3)
-        }
-        .map { case (cid, (_, sum, n)) =>
-          val m = new Array[Float](sum.length)
-          var i = 0
-          while (i < m.length) { m(i) = (sum(i) / n).toFloat; i += 1 }
-          (cid, m)
-        }
-        .toDF("centroid_id", "ce")
+      // Element-wise mean as EmbedDim codegen'd DeclarativeAggregates: one
+      // whole-stage HashAggregate with (count, 64 double sums) per centroid,
+      // partial map-side so the exchange carries k×partitions 520-byte rows.
+      // The r12 shape was a typed map/groupByKey/reduceGroups chain — the
+      // same partial-reduce volume, but every corpus row paid InternalRow →
+      // Array[Float] → tuple deserialization and the reduce ran as an
+      // interpreted Scala closure outside codegen (guide: prefer built-in
+      // aggregates in hot paths). Double accumulation keeps the Float means
+      // stable against partial-merge order, exactly as before.
+      val sums = (1 to EmbedDim).map(i =>
+        sum(element_at($"embedding", i).cast("double")).as(s"s_$i"))
+      centroids = assigned
+        .groupBy($"centroid_id")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select($"centroid_id",
+          array((1 to EmbedDim).map(i => (col(s"s_$i") / $"n").cast("float")): _*).as("ce"))
         .localCheckpoint(true) // k rows; truncates the per-iteration lineage
     }
     centroids
@@ -566,13 +565,23 @@ object Similarity {
     val wide = cohesionMargins(s, dir).agg(
       max(when($"clustering" === "sampled", $"margin")).as("ms"),
       max(when($"clustering" === "trained", $"margin")).as("mt"))
-    wide.select(lit("sampled").as("clustering"),
-                lit(floorOf("sampled")).as("margin_floor"),
-                ($"ms" >= floorOf("sampled")).as("cohesive"))
-      .union(wide.select(lit("trained"), lit(floorOf("trained")),
-                         $"mt" >= floorOf("trained")))
-      .union(wide.select(lit("trained_vs_sampled"), lit(0.0),
-                         $"mt" >= $"ms" - TrainedVsSampledSlack))
+    // all three claim rows explode from the ONE wide row: the r12 shape
+    // unioned three selects over `wide`, which re-evaluated the whole
+    // cohesion subtree (2 codebooks × assignment scans) once per claim —
+    // 18 embedding scans in the analyzed plan where 6 suffice
+    wide.select(explode(array(
+        struct(lit("sampled").as("clustering"),
+               lit(floorOf("sampled")).as("margin_floor"),
+               ($"ms" >= floorOf("sampled")).as("cohesive")),
+        struct(lit("trained").as("clustering"),
+               lit(floorOf("trained")).as("margin_floor"),
+               ($"mt" >= floorOf("trained")).as("cohesive")),
+        struct(lit("trained_vs_sampled").as("clustering"),
+               lit(0.0).as("margin_floor"),
+               ($"mt" >= $"ms" - TrainedVsSampledSlack).as("cohesive")))).as("r"))
+      .select($"r.clustering".as("clustering"),
+              $"r.margin_floor".as("margin_floor"),
+              $"r.cohesive".as("cohesive"))
       .orderBy($"clustering")
   }
 

@@ -21,6 +21,9 @@ object GraftFunctions {
     "shingle_hashes"  -> (es => ShingleHashesExpr(es(0), es(1))),
     "minhash_sig"     -> (es => MinHashSignatureExpr(es(0), es(1))),
     "shingle_strings" -> (es => ShingleStringsExpr(es(0), es(1))),
+    "overlap_marks"   -> (es => OverlapMarksExpr(es(0))),
+    "lsh_buckets"     -> (es => LshBucketsExpr(es(0))),
+    "vec_mean_agg"    -> (es => VecMeanAggExpr(es(0), es(1))),
     "simhash60"       -> (es => SimHash60Expr(es(0))),
     "simhash_wide120" -> (es => SimHashWide120Expr(es(0))),
     "minhash_sig31"   -> (es => MinHashSig31Expr(es(0), es(1))),
@@ -57,6 +60,9 @@ object GraftFunctions {
   def shingleHashes(tokens: Column, k: Column): Column = call_function("shingle_hashes", tokens, k)
   def minhashSig(hashes: Column, n: Column): Column = call_function("minhash_sig", hashes, n)
   def shingleStrings(tokens: Column, k: Column): Column = call_function("shingle_strings", tokens, k)
+  def overlapMarks(srcs: Column): Column = call_function("overlap_marks", srcs)
+  def lshBuckets(emb: Column): Column = call_function("lsh_buckets", emb)
+  def vecMeanAgg(v: Column, dim: Column): Column = call_function("vec_mean_agg", v, dim)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
   def simhashWide120(tokens: Column): Column = call_function("simhash_wide120", tokens)
   def minhashSig31(grams: Column, n: Column): Column = call_function("minhash_sig31", grams, n)

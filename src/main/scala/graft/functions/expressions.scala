@@ -34,6 +34,30 @@ object GraftTypeCheck {
   * bodies here means doGenCode emits a single static call — the expression
   * stays inside whole-stage codegen without us generating the loop by hand.
   */
+/** Deterministic random-hyperplane constants for the LSH family —
+  * splitmix64 -> [-1, 1) floats, the single source of truth shared by the
+  * fused [[kernels.lshBuckets]] kernel and the Column-level per-plane
+  * cosines of the query-side flip policy (Similarity.planes reads these).
+  */
+object lshplanes {
+  val NumTables = 8
+  val PlanesPerTable = 4
+  val Dim = 64
+  private def mix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  val Planes: Array[Array[Float]] =
+    Array.tabulate(NumTables * PlanesPerTable) { p =>
+      Array.tabulate(Dim) { i =>
+        val u = (mix(p * 64L + i) >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+        (2.0 * u - 1.0).toFloat
+      }
+    }
+}
+
 object kernels {
 
   /** Cosine similarity over float vectors, accumulated in double. */
@@ -252,6 +276,68 @@ object kernels {
       j += 1
     }
     new GenericInternalRow(Array[Any](best, bestSim))
+  }
+
+  /** All [[lshplanes.NumTables]] LSH sign-bucket ids of a float vector in
+    * ONE fused pass: per table, [[lshplanes.PlanesPerTable]] dot products
+    * against the static primitive plane rows, bit i set when the dot is
+    * >= 0. Bit-identical to the unfused per-plane form
+    * `when(cosine_sim(v, plane_i) >= 0, 1L << i)`: the cosine's
+    * denominator is positive (and the zero-norm guard returns 0.0, which
+    * also passes >= 0 exactly when the dot is 0), so the sign test on the
+    * raw double dot decides identically — while the fused kernel walks the
+    * vector 32× with primitive-array plane rows instead of 32 separate
+    * expression calls each re-decoding a boxed GenericArrayData literal.
+    */
+  def lshBuckets(emb: ArrayData): ArrayData = {
+    import lshplanes._
+    val m = math.min(emb.numElements(), Dim)
+    val out = new Array[Long](NumTables)
+    var t = 0
+    while (t < NumTables) {
+      var b = 0L
+      var i = 0
+      while (i < PlanesPerTable) {
+        val pl = Planes(t * PlanesPerTable + i)
+        var dot = 0.0
+        var j = 0
+        while (j < m) { dot += emb.getFloat(j).toDouble * pl(j); j += 1 }
+        if (dot >= 0.0) b |= (1L << i)
+        i += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Membership + ordered-pair markers over a sorted source array (the
+    * d36/d38 overlap-matrix fan-out): n membership rows (src_b null)
+    * followed by the n·(n-1)/2 ordered pairs. One tight loop per DISTINCT
+    * shingle — the equivalent transform/sequence/flatten/concat HOF chain
+    * evaluates interpreted per element (the d36 lesson) and its per-call
+    * Catalyst allocation dominated the marks stage at sf0.1.
+    */
+  def overlapMarks(srcs: ArrayData): ArrayData = {
+    val n = srcs.numElements()
+    val out = new Array[Any](n + n * (n - 1) / 2)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      out(o) = new GenericInternalRow(Array[Any](srcs.getUTF8String(i), null))
+      o += 1; i += 1
+    }
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(o) = new GenericInternalRow(
+          Array[Any](srcs.getUTF8String(i), srcs.getUTF8String(j)))
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** MinHash signature: sig(i) = min over shingle hashes h of a_i*h+b_i
@@ -782,6 +868,40 @@ case class TermCountsExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "term_counts"
+}
+
+/** lsh_buckets(array<float>) -> array<long>: all 8 LSH table bucket ids in
+  * one fused pass (see kernels.lshBuckets).
+  */
+case class LshBucketsExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(child), Seq(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(emb: Any): Any =
+    kernels.lshBuckets(emb.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.lshBuckets($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lsh_buckets"
+}
+
+/** overlap_marks(array<string>) -> array<struct<src_a, src_b>>: membership
+  * (src_b null) + ordered-pair markers, codegen'd (see kernels.overlapMarks).
+  */
+case class OverlapMarksExpr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(child), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("src_a", StringType, nullable = false),
+    StructField("src_b", StringType, nullable = true))), containsNull = false)
+  override def nullSafeEval(srcs: Any): Any =
+    kernels.overlapMarks(srcs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.overlapMarks($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "overlap_marks"
 }
 
 /** shingle_strings(array<string>, k) -> array<string>: k-gram strings. */

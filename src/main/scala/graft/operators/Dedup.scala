@@ -1117,18 +1117,13 @@ object Dedup {
     // totals and pairs as two consumers; exchange reuse dedupes the
     // partial agg but each consumer re-ran the object-hash FINAL merge —
     // measured 8.1 s at sf0.1, 2.3 s with the marker union.)
-    val m = size($"srcs")
-    val pairArr = flatten(transform(sequence(lit(1), m - 1), i =>
-      transform(sequence(i + 1, m), j =>
-        struct(element_at($"srcs", i).as("src_a"),
-               element_at($"srcs", j).as("src_b")))))
+    // membership + ordered-pair markers through the codegen'd overlap_marks
+    // kernel — the equivalent transform/sequence/flatten/concat HOF chain
+    // evaluates interpreted per element and measured as the dominant cost of
+    // this stage (d36 noop wall 1.9 s -> 1.1 s at sf0.1 with the kernel)
     val marked = byShingle.select(
       (if (withSketch) Seq($"shingle") else Nil) :+
-      explode(concat(
-        transform($"srcs", s0 =>
-          struct(s0.as("src_a"), lit(null).cast("string").as("src_b"))),
-        when(m >= 2, pairArr)
-          .otherwise(array().cast("array<struct<src_a:string,src_b:string>>")))).as("p"): _*)
+      explode(graft.functions.GraftFunctions.overlapMarks($"srcs")).as("p"): _*)
     val marks = marked.groupBy($"p.src_a".as("a"), $"p.src_b".as("b"))
       .agg(count(lit(1)).as("n"),
         (if (withSketch) Seq(hll_sketch_agg($"shingle", lit(SketchLgK)).as("sk"))

@@ -56,33 +56,25 @@ object Similarity {
   // testdata is isotropic random, so near neighbors sit at cosine ~0.3 and
   // collision probabilities are driven by candidate volume; clustered
   // production embeddings get much better recall at the same cost).
-  private val NumTables = 8
-  private val PlanesPerTable = 4 // 16 buckets per table
+  private val NumTables = graft.functions.lshplanes.NumTables
+  private val PlanesPerTable = graft.functions.lshplanes.PlanesPerTable // 16 buckets per table
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 -> [-1, 1)),
-    * NumTables * PlanesPerTable of them.
+    * NumTables * PlanesPerTable of them — sourced from the kernel-side
+    * constants so the fused `lsh_buckets` corpus path and the per-plane
+    * query-side flip margins can never diverge.
     */
-  private[operators] lazy val planes: Seq[Seq[Float]] = {
-    def mix(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (0 until NumTables * PlanesPerTable).map { p =>
-      (0 until 64).map { i =>
-        val u = (mix(p * 64L + i) >>> 11).toDouble / (1L << 53).toDouble // [0,1)
-        (2.0 * u - 1.0).toFloat
-      }
-    }
-  }
+  private[operators] lazy val planes: Seq[Seq[Float]] =
+    graft.functions.lshplanes.Planes.toSeq.map(_.toSeq)
 
-  /** Sign-bucket id of `v` in LSH table `t`. */
-  private[operators] def lshBucket(v: Column, t: Int): Column = {
-    (0 until PlanesPerTable).map { i =>
-      when(cosineSim(v, typedlit(planes(t * PlanesPerTable + i))) >= 0, 1L << i).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  /** Sign-bucket id of `v` in LSH table `t` — element t+1 of the fused
+    * `lsh_buckets` kernel call (all 32 plane dots in one pass over the
+    * vector with primitive plane rows; the unfused 32-call form re-decoded
+    * a boxed array literal per plane — see kernels.lshBuckets for the
+    * bit-identity argument).
+    */
+  private[operators] def lshBucket(v: Column, t: Int): Column =
+    element_at(lshBuckets(v), t + 1)
 
   /** Embedding-cosine near-duplicate pairs over a deterministic corpus
     * subset: all unordered pairs with cosine above [[NearDupThreshold]].
@@ -209,13 +201,13 @@ object Similarity {
     * training job the deterministic samples stand in for elsewhere. Per
     * iteration: the codebook collapses to ONE broadcast row and assignment
     * is a pure argmax-cosine projection (no shuffle); new centroids are
-    * element-wise means via [[EmbedDim]] built-in sum() aggregates (one
-    * codegen'd HashAggregate), which partial-aggregates map-side so the
-    * shuffle carries at most k x partitions rows — never the corpus. Sums
-    * accumulate in Double so the merge-order nondeterminism of the partial
-    * merge cannot perturb the Float means (ULP drift at argmax ties would
-    * otherwise make neighbor lists vary run-to-run). The 100 TB shape:
-    * per-iteration cost is one corpus scan.
+    * element-wise means via the vec_mean_agg imperative aggregate (one
+    * in-place buffer per centroid), which partial-aggregates map-side so
+    * the shuffle carries at most k x partitions rows — never the corpus.
+    * Sums accumulate in Double so the merge-order nondeterminism of the
+    * partial merge cannot perturb the Float means (ULP drift at argmax ties
+    * would otherwise make neighbor lists vary run-to-run). The 100 TB
+    * shape: per-iteration cost is one corpus scan.
     *
     * Each iteration's codebook is MATERIALIZED (localCheckpoint of k ≤
     * [[IvfMaxCentroids]] rows — driver-bounded by construction): iteration
@@ -228,26 +220,26 @@ object Similarity {
     */
   def kmeansCentroids(emb: DataFrame, iters: Int): DataFrame = {
     import emb.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     var centroids = sampledCentroids(emb)
     for (_ <- 1 to iters) {
       val assigned = assignCells(emb, collapseCodebook(centroids))
         .select($"embedding", $"centroid_id")
-      // Element-wise mean as EmbedDim codegen'd DeclarativeAggregates: one
-      // whole-stage HashAggregate with (count, 64 double sums) per centroid,
-      // partial map-side so the exchange carries k×partitions 520-byte rows.
-      // The r12 shape was a typed map/groupByKey/reduceGroups chain — the
-      // same partial-reduce volume, but every corpus row paid InternalRow →
-      // Array[Float] → tuple deserialization and the reduce ran as an
-      // interpreted Scala closure outside codegen (guide: prefer built-in
-      // aggregates in hot paths). Double accumulation keeps the Float means
-      // stable against partial-merge order, exactly as before.
-      val sums = (1 to EmbedDim).map(i =>
-        sum(element_at($"embedding", i).cast("double")).as(s"s_$i"))
+      // Element-wise mean through the vec_mean_agg TypedImperativeAggregate:
+      // an in-place (count, 64 double sums) buffer per centroid, partial
+      // map-side so the exchange carries one 520-byte buffer per (centroid,
+      // partition). Measured against both alternatives at sf0.1 (noop sink,
+      // hot, 200 synthetic cells): this kernel 0.11 s; the r12 typed
+      // map/groupByKey/reduceGroups chain 0.22 s (per-row Array[Double]
+      // allocation + tuple ser/deser); 64 built-in sum(element_at(...))
+      // aggregates 0.42 s hot plus a ~2.5 s codegen compile of the
+      // generated 65-slot function.
+      // Double accumulation keeps the Float means stable against
+      // partial-merge order, exactly as before.
       centroids = assigned
         .groupBy($"centroid_id")
-        .agg(count(lit(1)).as("n"), sums: _*)
-        .select($"centroid_id",
-          array((1 to EmbedDim).map(i => (col(s"s_$i") / $"n").cast("float")): _*).as("ce"))
+        .agg(graft.functions.GraftFunctions
+          .vecMeanAgg($"embedding", lit(EmbedDim)).as("ce"))
         .localCheckpoint(true) // k rows; truncates the per-iteration lineage
     }
     centroids
@@ -733,11 +725,14 @@ object Similarity {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
-    val buckets = array((0 until NumTables).map(t =>
-      struct(lit(t).as("table_id"), lshBucket($"embedding", t).as("bucket"))): _*)
+    // ONE fused lsh_buckets call per corpus row, posexploded into the
+    // (table_id, bucket) rows the band join consumes — the prior shape
+    // built the 8-struct array from 8 per-table bucket expressions (32
+    // cosine kernel calls per row against boxed array literals)
     val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding", explode(buckets).as("tb"))
-      .select($"vec_id", $"embedding", $"tb.table_id", $"tb.bucket")
+      .select($"vec_id", $"embedding",
+        posexplode(graft.functions.GraftFunctions.lshBuckets($"embedding")))
+      .select($"vec_id", $"embedding", $"pos".as("table_id"), $"col".as("bucket"))
     // query probes per table: own bucket + margin-guided bit flips
     val probesPerTable = array((0 until NumTables).map { t =>
       val base = lshBucket($"embedding", t)

@@ -308,4 +308,76 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(math.abs(kernels.cosineF(aa, aa) - 1.0) < 1e-9)
     }
   }
+
+  // --- r13 optimization kernels: each must be extensionally equal to the
+  // --- slower form it replaced (the optimization changed internals only).
+
+  test("overlap_marks emits exactly the membership + ordered-pair markers") {
+    (1 to 50).foreach { _ =>
+      val n = 1 + rng.nextInt(8)
+      val srcs = (0 until n).map(i => s"src$i").sorted
+      val out = kernels.overlapMarks(arr(srcs))
+      val rows = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2)
+        (r.getUTF8String(0).toString, if (r.isNullAt(1)) null else r.getUTF8String(1).toString)
+      }
+      val expected =
+        srcs.map(s => (s, null: String)) ++
+        (for (i <- srcs.indices; j <- (i + 1) until srcs.length) yield (srcs(i), srcs(j)))
+      assert(rows == expected, s"n=$n")
+    }
+  }
+
+  test("vec_mean_agg buffer equals the typed reduceGroups mean it replaced") {
+    import graft.functions.VecSumBuffer
+    (1 to 20).foreach { _ =>
+      val dim = 8
+      val vecs = List.fill(1 + rng.nextInt(40))(Array.fill(dim)(rng.nextFloat() * 4f - 2f))
+      // reference: the r12 typed chain — per-row double widening, then sum/n
+      val sums = new Array[Double](dim)
+      vecs.foreach(v => (0 until dim).foreach(i => sums(i) += v(i).toDouble))
+      val expected = sums.map(s => (s / vecs.length).toFloat)
+      // kernel path, split across two partial buffers merged (the map-side shape)
+      val (va, vb) = vecs.splitAt(vecs.length / 2)
+      val b1 = new VecSumBuffer(dim); val b2 = new VecSumBuffer(dim)
+      va.foreach(v => b1.add(new GenericArrayData(v.toArray[Any])))
+      vb.foreach(v => b2.add(new GenericArrayData(v.toArray[Any])))
+      b1.mergeFrom(b2)
+      val got = (0 until dim).map(i => (b1.sums(i) / b1.n).toFloat)
+      assert(got == expected.toSeq)
+    }
+  }
+
+  test("lsh_buckets equals the per-plane cosine sign form it replaced") {
+    import graft.functions.lshplanes
+    (1 to 50).foreach { _ =>
+      val v = Array.fill(lshplanes.Dim)(rng.nextFloat() * 2f - 1f)
+      val out = kernels.lshBuckets(new GenericArrayData(v.toArray[Any]))
+      (0 until lshplanes.NumTables).foreach { t =>
+        var expected = 0L
+        (0 until lshplanes.PlanesPerTable).foreach { i =>
+          val plane = lshplanes.Planes(t * lshplanes.PlanesPerTable + i)
+          val pArr = new GenericArrayData(plane.toArray[Any])
+          if (kernels.cosineF(new GenericArrayData(v.toArray[Any]), pArr) >= 0)
+            expected |= (1L << i)
+        }
+        assert(out.getLong(t) == expected, s"table $t")
+      }
+    }
+  }
+
+  test("lsh_buckets planes match the r12 Similarity-side splitmix constants") {
+    import graft.functions.lshplanes
+    // the r12 generator, verbatim — the kernel constants must never drift
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    for (p <- 0 until lshplanes.NumTables * lshplanes.PlanesPerTable; i <- 0 until 64) {
+      val u = (mix(p * 64L + i) >>> 11).toDouble / (1L << 53).toDouble
+      assert(lshplanes.Planes(p)(i) == (2.0 * u - 1.0).toFloat)
+    }
+  }
 }

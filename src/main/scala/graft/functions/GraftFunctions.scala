@@ -22,6 +22,7 @@ object GraftFunctions {
     "minhash_sig"     -> (es => MinHashSignatureExpr(es(0), es(1))),
     "shingle_strings" -> (es => ShingleStringsExpr(es(0), es(1))),
     "overlap_marks"   -> (es => OverlapMarksExpr(es(0))),
+    "overlap_marks_mask" -> (es => OverlapMarksMaskExpr(es(0), es(1))),
     "lsh_buckets"     -> (es => LshBucketsExpr(es(0))),
     "vec_mean_agg"    -> (es => VecMeanAggExpr(es(0), es(1))),
     "simhash60"       -> (es => SimHash60Expr(es(0))),
@@ -61,6 +62,8 @@ object GraftFunctions {
   def minhashSig(hashes: Column, n: Column): Column = call_function("minhash_sig", hashes, n)
   def shingleStrings(tokens: Column, k: Column): Column = call_function("shingle_strings", tokens, k)
   def overlapMarks(srcs: Column): Column = call_function("overlap_marks", srcs)
+  def overlapMarksMask(mask: Column, names: Column): Column =
+    call_function("overlap_marks_mask", mask, names)
   def lshBuckets(emb: Column): Column = call_function("lsh_buckets", emb)
   def vecMeanAgg(v: Column, dim: Column): Column = call_function("vec_mean_agg", v, dim)
   def simhash60(tokens: Column): Column = call_function("simhash60", tokens)

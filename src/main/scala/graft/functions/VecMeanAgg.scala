@@ -16,6 +16,11 @@ final class VecSumBuffer(val dim: Int) {
   val sums = new Array[Double](dim)
   var n = 0L
   def add(v: ArrayData): Unit = {
+    // fail loudly on a malformed vector: UnsafeArrayData.getFloat has no
+    // bounds check, so a shorter-than-dim row would otherwise read garbage
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"vec_mean_agg: input vector has ${v.numElements()} elements, expected $dim")
     var i = 0
     while (i < dim) { sums(i) += v.getFloat(i); i += 1 }
     n += 1L
@@ -72,6 +77,11 @@ case class VecMeanAggExpr(
   }
 
   override def eval(buffer: VecSumBuffer): Any = {
+    // a group whose vectors were all null reaches eval with n = 0; dividing
+    // would silently emit a NaN-filled non-null array — raise instead
+    if (buffer.n == 0L)
+      throw new IllegalArgumentException(
+        "vec_mean_agg: group contains no non-null vectors — mean is undefined")
     val out = new Array[Any](dim)
     var i = 0
     while (i < dim) { out(i) = (buffer.sums(i) / buffer.n).toFloat; i += 1 }

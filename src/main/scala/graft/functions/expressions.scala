@@ -320,7 +320,15 @@ object kernels {
     */
   def overlapMarks(srcs: ArrayData): ArrayData = {
     val n = srcs.numElements()
-    val out = new Array[Any](n + n * (n - 1) / 2)
+    // size the output in Long first: n + n(n-1)/2 overflows Int past ~65k
+    // distinct sources per shingle — fail with a clear message instead of a
+    // NegativeArraySizeException / silent truncation
+    val sz = n.toLong + n.toLong * (n - 1L) / 2L
+    if (sz > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"overlap_marks: $n distinct sources yield $sz marker rows, " +
+          "beyond array addressing — shard the source domain first")
+    val out = new Array[Any](sz.toInt)
     var o = 0
     var i = 0
     while (i < n) {
@@ -333,6 +341,51 @@ object kernels {
       while (j < n) {
         out(o) = new GenericInternalRow(
           Array[Any](srcs.getUTF8String(i), srcs.getUTF8String(j)))
+        o += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[overlapMarks]] over a BIT-MASK membership encoding: bit i of `mask`
+    * set means `names(i)` holds the shingle, with `names` the globally
+    * sorted source domain (collected once per query — catalog metadata at
+    * scale). Ascending bit order IS ascending name order, so the emitted
+    * rows are exactly overlapMarks(sort_array(collect_set(source))) — the
+    * property spec pins the equivalence. The mask form exists because the
+    * shingle-keyed aggregate feeding it is then a codegen'd long `bit_or`
+    * instead of a per-row object-hash collect_set merge (guide: prefer
+    * codegen-friendly aggregates in the corpus-sized hot path); it is only
+    * legal for ≤64 sources — the caller guards and falls back to the
+    * collect_set form on a wider domain.
+    */
+  def overlapMarksMask(mask: Long, names: ArrayData): ArrayData = {
+    val total = names.numElements()
+    if (total < 64 && (mask >>> total) != 0L)
+      throw new IllegalArgumentException(
+        s"overlap_marks_mask: mask $mask has bits beyond the $total-name domain")
+    val n = java.lang.Long.bitCount(mask)
+    val sel = new Array[Any](n)
+    val lim = math.min(total, 64) // Java's << wraps past 63: never re-test low bits
+    var b = 0
+    var i = 0
+    while (b < lim) {
+      if ((mask & (1L << b)) != 0L) { sel(i) = names.getUTF8String(b); i += 1 }
+      b += 1
+    }
+    val out = new Array[Any](n + n * (n - 1) / 2) // n <= 64: no overflow
+    var o = 0
+    i = 0
+    while (i < n) {
+      out(o) = new GenericInternalRow(Array[Any](sel(i), null))
+      o += 1; i += 1
+    }
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(o) = new GenericInternalRow(Array[Any](sel(i), sel(j)))
         o += 1; j += 1
       }
       i += 1
@@ -902,6 +955,27 @@ case class OverlapMarksExpr(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.kernels.overlapMarks($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "overlap_marks"
+}
+
+/** overlap_marks_mask(bigint, array<string>) -> array<struct<src_a, src_b>>:
+  * [[OverlapMarksExpr]] over a bit-mask membership encoding against the
+  * sorted source-domain array (see kernels.overlapMarksMask for the
+  * equivalence argument). Codegen'd; ≤64-source domains only.
+  */
+case class OverlapMarksMaskExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GraftTypeCheck.expect(prettyName, Seq(left, right), Seq(LongType, ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("src_a", StringType, nullable = false),
+    StructField("src_b", StringType, nullable = true))), containsNull = false)
+  override def nullSafeEval(mask: Any, names: Any): Any =
+    kernels.overlapMarksMask(mask.asInstanceOf[Long], names.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (m, ns) => s"graft.functions.kernels.overlapMarksMask($m, $ns)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "overlap_marks_mask"
 }
 
 /** shingle_strings(array<string>, k) -> array<string>: k-gram strings. */

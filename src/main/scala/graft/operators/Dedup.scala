@@ -1103,30 +1103,57 @@ object Dedup {
     // equivalent transform(sequence…concat_ws) higher-order lambda measured
     // 9.9 s vs 0.3 s at sf0.1: Spark evals HOF lambdas interpreted,
     // per element, and that dominated the whole key
-    val byShingle = Tables.documents(s, dir)
+    val exploded = Tables.documents(s, dir)
       .select($"source", explode(
         expr(s"shingle_strings(split(lower(trim(text)), '\\\\s+'), $ShingleK)"))
         .as("shingle"))
-      .groupBy($"shingle")
-      .agg(sort_array(collect_set($"source")).as("srcs"))
+    // Source domain, collected once: |sources| rows off a column-pruned
+    // scan — the twoPhaseIndex bounded-collect rule; at 100 TB this list is
+    // catalog/partition metadata, not a job. It gates the aggregate choice
+    // below and supplies the bit→name decode for the mask path.
+    val srcNames: Seq[String] = Tables.documents(s, dir)
+      .select($"source").distinct().orderBy($"source")
+      .collect().toSeq.map(_.getString(0))
     // ONE consumer of the corpus-sized shingle aggregate: each shingle row
     // emits its per-source membership markers (src_b null) AND its ordered
-    // pair markers in a single explode, so the non-codegen collect_set
-    // merge runs exactly once — everything downstream of the next
+    // pair markers in a single explode — everything downstream of the next
     // aggregate is (|sources| + |sources|²/2) rows. (The first cut derived
     // totals and pairs as two consumers; exchange reuse dedupes the
     // partial agg but each consumer re-ran the object-hash FINAL merge —
     // measured 8.1 s at sf0.1, 2.3 s with the marker union.)
-    // membership + ordered-pair markers through the codegen'd overlap_marks
-    // kernel — the equivalent transform/sequence/flatten/concat HOF chain
-    // evaluates interpreted per element and measured as the dominant cost of
-    // this stage (d36 noop wall 1.9 s -> 1.1 s at sf0.1 with the kernel)
-    val marked = byShingle.select(
-      (if (withSketch) Seq($"shingle") else Nil) :+
-      explode(graft.functions.GraftFunctions.overlapMarks($"srcs")).as("p"): _*)
+    // The membership set per shingle aggregates as a LONG BIT-MASK over the
+    // sorted source domain when it fits (≤64 sources): bit_or is a
+    // codegen'd DeclarativeAggregate updating one long in place, where
+    // collect_set pays a per-row object-hash set merge — and the mask
+    // explodes through the same codegen'd marker kernel
+    // (overlap_marks_mask ≡ overlap_marks ∘ sort_array ∘ collect_set,
+    // property-spec-pinned). A wider-than-64 domain falls back to the
+    // collect_set form — the unbounded-domain shape SURVEY documents.
+    val marked =
+      if (srcNames.length <= 64) {
+        val bit = call_function("shiftleft", lit(1L),
+          (array_position(typedlit(srcNames), $"source") - 1L).cast("int"))
+        exploded.groupBy($"shingle").agg(bit_or(bit).as("mask"))
+          .select(
+            (if (withSketch) Seq($"shingle") else Nil) :+
+            explode(overlapMarksMask($"mask", typedlit(srcNames))).as("p"): _*)
+      } else {
+        exploded.groupBy($"shingle")
+          .agg(sort_array(collect_set($"source")).as("srcs"))
+          .select(
+            (if (withSketch) Seq($"shingle") else Nil) :+
+            explode(graft.functions.GraftFunctions.overlapMarks($"srcs")).as("p"): _*)
+      }
+    // sketch only the membership rows (src_b null): they are exactly the
+    // DISTINCT (source, shingle) pairs the totals branch keeps — pair rows
+    // feed null, which the aggregate skips, instead of paying register
+    // updates on the quadratically larger pair population whose sketches
+    // were discarded anyway
     val marks = marked.groupBy($"p.src_a".as("a"), $"p.src_b".as("b"))
       .agg(count(lit(1)).as("n"),
-        (if (withSketch) Seq(hll_sketch_agg($"shingle", lit(SketchLgK)).as("sk"))
+        (if (withSketch)
+           Seq(hll_sketch_agg(when($"p.src_b".isNull, $"shingle"),
+             lit(SketchLgK)).as("sk"))
          else Nil): _*)
     val totals = marks.filter($"b".isNull)
     val inter = marks.filter($"b".isNotNull)

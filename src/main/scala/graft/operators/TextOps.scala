@@ -772,6 +772,15 @@ object TextOps {
     // transform(sequence…array_join(slice…)) lambda evals interpreted per
     // window and measured ~6x slower corpus-wide (the d36 lesson)
     graft.functions.GraftFunctions.register(s)
+    // Two lazy passes over the corpus (census + probe), DELIBERATELY not
+    // de-duplicated via a materialized shared subtree: an r14 probe that
+    // localCheckpoint'd the tokenized (doc_id, t) projection measured flat
+    // at sf0.1 (best 0.98 vs 0.99 s, medians equal) — the saved scan +
+    // regex split is repaid by the checkpoint's materialize-and-read cost,
+    // and at 100 TB storing a corpus-sized token-array copy per run is a
+    // worse bargain than re-reading the column-pruned parquet. The window
+    // fan-out itself must stay lazy in both passes regardless (k× the
+    // corpus is never stored).
     val wins = docs
       .select($"doc_id", split(lower(trim($"text")), "\\s+").as("t"))
       .filter(size($"t") >= k)
@@ -1179,12 +1188,14 @@ object TextOps {
     * (d24/q43's calibration pattern: cumsum over |distinct score| histogram
     * rows, never a corpus-wide rank sort), with the whole boundary tie
     * block kept (deterministic overshoot, documented — production DSIR
-    * breaks ties with Gumbel noise; a hash oracle can't). Plan: ONE corpus
-    * token exchange feeds BOTH censuses (raw and target share the partial
-    * agg), the model is a vocab-sized left join, scoring re-joins tokens
-    * co-partitioned on term and folds per doc — t15/t30's vocabulary
-    * shape; the cutoff window runs over histogram rows only; at 100 TB
-    * the vocab tables bucket by term and nothing corpus-sized moves twice.
+    * breaks ties with Gumbel noise; a hash oracle can't). Plan: the corpus
+    * is scanned and tokenized ONCE into the (doc, term, k) count projection
+    * (map-side partial agg, one exchange), which feeds BOTH the censuses
+    * (raw and target) and the scoring join — the model is a vocab-sized
+    * join, scoring folds per doc weighted by k (t15/t30's vocabulary
+    * shape); the cutoff window runs over histogram rows only; at 100 TB
+    * the doc-term projection is the materialize-the-proxy step of guide §8
+    * and nothing corpus-sized moves twice.
     */
   val DsirTarget = "src0"
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
@@ -1193,28 +1204,37 @@ object TextOps {
   private[graft] def dsirOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = docs.select($"doc_id", $"source",
+    // The corpus is tokenized ONCE: the (doc, term) occurrence counts — the
+    // projection BOTH consumers (census and scoring) fold from — materialize
+    // off a single scan (the d38 one-scan rule), collapsed map-side by the
+    // partial agg before the one exchange. The r13 shape re-scanned and
+    // re-split the corpus for the scoring join; the term-count fold replays
+    // each term's occurrences as `k` (count ≡ sum k, per-token imp ≡ imp·k),
+    // so every downstream number is value-identical.
+    val tokCounts = docs.select($"doc_id", $"source",
         explode(split(lower(trim($"text")), "\\s+")).as("term"))
       .filter($"term" =!= "")
-    val raw = toks.groupBy($"term")
-      .agg(count(lit(1)).as("cnt_raw"),
-           sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("cnt_t"))
+      .groupBy($"doc_id", $"source", $"term")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val raw = tokCounts.groupBy($"term")
+      .agg(sum($"k").as("cnt_raw"),
+           sum(when($"source" === DsirTarget, $"k").otherwise(0L)).as("cnt_t"))
     // The unigram model is consumed by TWO subtrees (the totals row and the
     // scoring join) and the per-doc scores by two more (the histogram-cutoff
     // path and the final verdict) — materialize each once (vocab-sized and
-    // |docs|-sized respectively), so the corpus token explode runs twice
-    // (census + scoring join) instead of four times. Same rows, same math.
+    // |docs|-sized respectively). Same rows, same math.
     val model = raw.select($"term", $"cnt_raw", ($"cnt_t" + 1L).as("cnt_tgt"))
       .localCheckpoint(true)
     val totals = model.agg(sum($"cnt_raw").as("total_raw"),
                            sum($"cnt_tgt").as("total_tgt"))
     def bits2(c: Column) = length(bin(c * c))
-    val scored = toks.join(model, "term").crossJoin(broadcast(totals))
-      .select($"doc_id", $"source",
+    val scored = tokCounts.join(model, "term").crossJoin(broadcast(totals))
+      .select($"doc_id", $"source", $"k",
         ((bits2($"total_raw") - bits2($"cnt_raw"))
           - (bits2($"total_tgt") - bits2($"cnt_tgt"))).cast("long").as("imp"))
       .groupBy($"doc_id", $"source")
-      .agg(count(lit(1)).as("n_toks"), sum($"imp").as("imp_halfbits_total"))
+      .agg(sum($"k").as("n_toks"), sum($"imp" * $"k").as("imp_halfbits_total"))
       .select($"doc_id", $"source", $"n_toks", $"imp_halfbits_total",
         expr("imp_halfbits_total * 1000 div n_toks").as("mean_imp_milli"))
       .localCheckpoint(true)

@@ -1033,9 +1033,11 @@ object Streams {
     * digest within partitions for parquet min/max locality).
     *
     * Later folds: (1) aggregate the batch ONCE (localCheckpoint — it feeds
-    * both the touched-partition probe and the merge); (2) the touched-pb
-    * list is ≤ [[ChunkStatePartitions]] values — a bounded, documented
-    * collect, the twoPhaseIndex offsets rule; (3) read back ONLY the store
+    * the merge, and the SAME job carries the touched-partition probe as an
+    * observed bit_or mask over [[chunkPb]], so no second pass over the
+    * batch exists); (2) the touched-pb list decodes from that ≤64-bit mask
+    * on the driver — bounded metadata, the twoPhaseIndex offsets rule;
+    * (3) read back ONLY the store
     * partitions the batch touches (partition-pruned scan); (4) merge and
     * commit under dynamic partition overwrite — untouched partitions'
     * files are NEVER rewritten (spec-asserted at the file level). The
@@ -1082,10 +1084,22 @@ object Streams {
         .write.option("path", chunkStatePath(tbl)).partitionBy("pb")
         .mode("overwrite").saveAsTable(tbl)
     } else if (!committed) {
-      val inc = chunkStoreMerge(None, batchChunks).localCheckpoint(true)
-      // bounded collect: at most ChunkStatePartitions distinct values
-      val touched = inc.select(chunkPb($"chunk_hash").as("pb")).distinct()
-        .collect().map(_.getInt(0)).sorted
+      // the touched-pb set rides the SAME job that checkpoints inc, as one
+      // observed bit_or mask (ChunkStatePartitions = 32 ≤ 64 bits) — the
+      // previous shape paid a second distinct+collect job over the
+      // checkpointed batch just to learn ≤32 small integers
+      require(ChunkStatePartitions <= 64,
+        "chunkFold: touched-partition mask needs ChunkStatePartitions <= 64")
+      val obs = org.apache.spark.sql.Observation()
+      val inc = chunkStoreMerge(None, batchChunks)
+        .observe(obs, bit_or(call_function("shiftleft", lit(1L),
+          chunkPb($"chunk_hash"))).as("pb_mask"))
+        .localCheckpoint(true)
+      val mask = obs.get("pb_mask") match {
+        case null => 0L // empty batch: bit_or over zero rows is null
+        case m    => m.asInstanceOf[Long]
+      }
+      val touched = (0 until ChunkStatePartitions).filter(p => (mask & (1L << p)) != 0L)
       val prior = s.table(tbl)
         .filter($"pb".isin(touched.toSeq: _*))
         .select($"chunk_hash", $"n_copies", $"first")

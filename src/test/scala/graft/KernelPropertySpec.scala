@@ -366,6 +366,57 @@ class KernelPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  // --- r14 optimization kernels / guards.
+
+  test("overlap_marks_mask equals overlap_marks over the decoded member subset") {
+    (1 to 100).foreach { _ =>
+      val total = 1 + rng.nextInt(12)
+      val names = (0 until total).map(i => f"src$i%02d").sorted
+      val mask = (rng.nextLong() & ((1L << total) - 1)) match {
+        case 0L => 1L // at least one member, as every shingle has a source
+        case m  => m
+      }
+      val members = (0 until total).filter(b => (mask & (1L << b)) != 0L).map(names)
+      val viaMask = kernels.overlapMarksMask(mask, arr(names))
+      val viaSet = kernels.overlapMarks(arr(members))
+      assert(viaMask.numElements() == viaSet.numElements(), s"mask=$mask")
+      (0 until viaMask.numElements()).foreach { i =>
+        val a = viaMask.getStruct(i, 2); val b = viaSet.getStruct(i, 2)
+        assert(a.getUTF8String(0) == b.getUTF8String(0), s"row $i src_a")
+        assert(a.isNullAt(1) == b.isNullAt(1), s"row $i null")
+        if (!a.isNullAt(1)) assert(a.getUTF8String(1) == b.getUTF8String(1), s"row $i src_b")
+      }
+    }
+    // a mask bit beyond the name domain must fail loudly, not read garbage
+    intercept[IllegalArgumentException] {
+      kernels.overlapMarksMask(0x8L, arr(Seq("a", "b")))
+    }
+  }
+
+  test("overlap_marks rejects a source domain whose marker count overflows Int") {
+    val big = new GenericArrayData(
+      Array.fill[Any](70000)(UTF8String.fromString("s")))
+    val e = intercept[IllegalArgumentException] { kernels.overlapMarks(big) }
+    assert(e.getMessage.contains("shard the source domain"))
+  }
+
+  test("vec_mean_agg fails loudly on malformed input instead of reading garbage") {
+    import graft.functions.{VecMeanAggExpr, VecSumBuffer}
+    // a shorter-than-dim vector: UnsafeArrayData.getFloat has no bounds
+    // check, so silent acceptance would yield garbage sums
+    val b = new VecSumBuffer(8)
+    intercept[IllegalArgumentException] {
+      b.add(new GenericArrayData(Array.fill[Any](4)(1.0f)))
+    }
+    // an all-null group reaches eval with n = 0: the mean is undefined and
+    // must not silently emit NaNs through a nullable=false column
+    val agg = VecMeanAggExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(8))
+    intercept[IllegalArgumentException] { agg.eval(new VecSumBuffer(8)) }
+  }
+
   test("lsh_buckets planes match the r12 Similarity-side splitmix constants") {
     import graft.functions.lshplanes
     // the r12 generator, verbatim — the kernel constants must never drift

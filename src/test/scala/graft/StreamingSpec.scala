@@ -437,6 +437,34 @@ class StreamingSpec extends SparkSpec {
     assert(debris.isEmpty, s"unexpected scratch dirs: ${debris.mkString(",")}")
   }
 
+  test("s23 incremental fold runs no separate touched-partition probe job") {
+    // r14: the touched-pb set rides the inc-checkpoint job as an observed
+    // bit_or mask, so a non-first fold's job budget is exactly (1) the
+    // committed-marker read, (2) the batch aggregate + checkpoint (carrying
+    // the mask), (3) the merge + dynamic-overwrite commit. The r13 shape
+    // paid one more: a distinct+collect probe over the checkpointed batch.
+    // Asserting the measured ceiling pins the probe job OUT — a regression
+    // that reintroduces a per-fold pass over the batch trips this.
+    val s = spark
+    import s.implicits._
+    val key = "s23_spec_jobcount_store"
+    Streams.chunkFold(s, key, chunksOf(s, (0 until 200).map(i => s"jc_$i"), 0L),
+      0L, firstFold = true)
+    s.sparkContext.setJobGroup("s23jc", "s23 fold job-count probe")
+    try Streams.chunkFold(s, key,
+      chunksOf(s, (0 until 50).map(i => s"jc_new_$i"), 1L), 1L, firstFold = false)
+    finally s.sparkContext.clearJobGroup()
+    // the status store is listener-fed (async): poll until the count is
+    // stable rather than sleeping a fixed guess
+    def ids = s.sparkContext.statusTracker.getJobIdsForGroup("s23jc").length
+    var prev = -1; var cur = ids; var spins = 0
+    while (cur != prev && spins < 50) { prev = cur; Thread.sleep(100); cur = ids; spins += 1 }
+    // measured on this fixture (AQE splits each query into several jobs):
+    // r13 shape with the probe = 10 jobs, r14 observe shape = 8. The bound
+    // pins the 2-job probe out while tolerating AQE's own job accounting.
+    assert(cur <= 8, s"non-first fold ran $cur jobs — a probe job is back?")
+  }
+
   test("s23 re-driving a committed fold is a no-op (crash between commit and progress record)") {
     // the at-least-once seam: the fold's dynamic-overwrite job COMMITS, the
     // caller dies before recording progress, restarts, and re-drives the

@@ -564,6 +564,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     val hashed = Tables.documents(s, dir)
       .select($"doc_id", simhash60(split(lower(trim($"text")), "\\s+")).as("sh"))
+      .localCheckpoint(true)
     val banded = hashed.select($"doc_id", $"sh",
         explode(expr("transform(sequence(0, 3), " +
           "b -> struct(b AS band_id, shiftright(sh, b*15) & 32767 AS band_bits))")).as("band"))
@@ -604,6 +605,7 @@ object Dedup {
     val hashed = Tables.documents(s, dir)
       .select($"doc_id", simhashWide120(toks).as("shw"))
       .select($"doc_id", $"shw".getItem(0).as("sh_lo"), $"shw".getItem(1).as("sh_hi"))
+      .localCheckpoint(true)
     val banded = hashed.select($"doc_id", $"sh_lo", $"sh_hi",
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band_id, " +
           "CASE WHEN b < 2 THEN shiftright(sh_lo, b*30) & 1073741823 " +

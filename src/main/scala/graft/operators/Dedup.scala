@@ -181,7 +181,12 @@ object Dedup {
     */
   def fuzzyDecontaminate(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import s.implicits._
-    val banded = bandSignatures(signatures(s, dir))
+    // the eval and corpus band sides are two consumers of the same minhash
+    // lineage — ReuseExchange does not fire across the filter split, so the
+    // shingle+minhash kernel ran twice per doc; materialize the per-doc
+    // signatures once (doc_id + NumHashes ints — the d20 persisted-index
+    // shape) and band both sides off that
+    val banded = bandSignatures(signatures(s, dir).localCheckpoint(true))
     val isEval = $"doc_id" % 7 === 3
     val evalB = banded.filter(isEval)
       .select($"band_id", $"band_key", $"sig".as("eval_sig"))
@@ -517,8 +522,12 @@ object Dedup {
     */
   def histogramQualityGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the scored projection feeds the cutoff histogram AND the gate join:
+    // materialize it once (3 narrow columns) so the regex-heavy quality
+    // score runs one pass instead of two
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source", TextOps.qualityCol.as("quality"))
+      .localCheckpoint(true)
     docs.join(broadcast(histogramQualityCutoffs(docs)), "source")
       .filter($"quality" > $"cutoff")
       .select($"doc_id", $"source", $"quality", $"cutoff")
@@ -954,10 +963,14 @@ object Dedup {
     */
   def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // scored feeds the band histogram AND the final keep-join: materialize
+    // the 4 narrow columns once so the quality regexes + token-count lambda
+    // (the per-row cost) run one pass instead of two
     val scored = Tables.documents(s, dir)
       .select($"doc_id", $"source", TextOps.qualityCol.as("quality"),
         size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
           .cast("long").as("tokens"))
+      .localCheckpoint(true)
     val bands = scored.groupBy($"source", $"quality").agg(sum($"tokens").as("band_toks"))
     val wDesc = Window.partitionBy($"source").orderBy($"quality".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -132,26 +132,36 @@ object EndToEnd {
     */
   def curatedPacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
+    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
+    // ONE per-row pass computes every heavy text derivation the pipeline
+    // needs (quality regexes, fingerprint, token count) and drops text; the
+    // cutoff histogram, the eval blocklist, and the main curated lineage all
+    // read the same narrow materialized frame — the r13 shape paid the
+    // quality regexes twice and the fingerprint 1 + 1/7 times across three
+    // corpus scans. Downstream only ever needed n_toks from text (the
+    // packing law), so nothing wide is stored.
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source", TextOps.qualityCol.as("quality"),
+        fp.as("content_md5"),
+        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+          .cast("long").as("n_toks"))
+      .localCheckpoint(true)
     // 1. histogram-calibrated per-source quality gate (d24)
-    val scored = docs
-      .select($"doc_id", $"source", $"text", TextOps.qualityCol.as("quality"))
     val gated = scored
       .join(broadcast(Dedup.histogramQualityCutoffs(scored)), "source")
       .filter($"quality" > $"cutoff")
     // 2. decontaminate against the broadcast eval blocklist (d09), then
     //    exact-dedup survivors on the same fingerprint (d01)
-    val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
-    val evalFps = docs.filter($"doc_id" % 7 === 3).select(fp.as("eval_md5")).distinct()
+    val evalFps = scored.filter($"doc_id" % 7 === 3)
+      .select($"content_md5".as("eval_md5")).distinct()
     val wFp = Window.partitionBy($"content_md5").orderBy($"doc_id")
     val curated = gated
-      .withColumn("content_md5", fp)
       .join(broadcast(evalFps), $"content_md5" === $"eval_md5", "left_anti")
       .withColumn("rn", row_number().over(wFp))
       .filter($"rn" === 1)
-      .select($"doc_id", $"source", $"text")
+      .select($"doc_id", $"source", $"n_toks")
     // 3. pack what survived (p26's manifest, same budget/shards)
-    PipelineOps.packingManifest(curated)
+    PipelineOps.packingManifestTok(curated)
   }
 
   /** p33: curation attrition audit — per-doc FIRST-FAILING-STAGE attribution
@@ -176,14 +186,20 @@ object EndToEnd {
   def attritionFunnel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val scored = docs
-      .select($"doc_id", $"source", $"text", TextOps.qualityCol.as("quality"))
     val fp = md5(regexp_replace(lower($"text"), "\\s+", " "))
-    val evalFps = docs.filter($"doc_id" % 7 === 3)
-      .select(fp.as("eval_md5")).distinct()
+    // ONE narrow projection (no text) carries everything the audit needs —
+    // quality and fingerprint are the per-row heavy steps and the r13 shape
+    // paid them on three separate corpus scans (cutoff histogram, eval
+    // fingerprints, main lineage); all three consumers now read the same
+    // materialized 4-column frame
+    val scored = docs
+      .select($"doc_id", $"source", TextOps.qualityCol.as("quality"),
+        fp.as("content_md5"))
+      .localCheckpoint(true)
+    val evalFps = scored.filter($"doc_id" % 7 === 3)
+      .select($"content_md5".as("eval_md5")).distinct()
     val flagged = scored
       .join(broadcast(Dedup.histogramQualityCutoffs(scored)), "source")
-      .withColumn("content_md5", fp)
       .join(broadcast(evalFps), $"content_md5" === $"eval_md5", "left")
       .select($"doc_id", $"source", $"quality", $"content_md5",
               ($"quality" <= $"cutoff").as("q_fail"),

@@ -638,12 +638,22 @@ object PipelineOps {
   private[graft] def seqMembership(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    seqMembershipTok(docs.select($"doc_id", $"source",
+      size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
+        .cast("long").as("n_toks")))
+  }
+
+  /** The placement law over a (doc_id, source, n_toks) frame whose token
+    * counts are already computed — p27's curated lineage carries n_toks
+    * from its one-pass scored projection instead of re-tokenizing text.
+    */
+  private[graft] def seqMembershipTok(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select($"doc_id", $"source", ($"doc_id" % PackShards).as("shard"),
-        size(expr("filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"))
-          .cast("long").as("n_toks"))
+      .select($"doc_id", $"source", ($"doc_id" % PackShards).as("shard"), $"n_toks")
       .filter($"n_toks" > 0)
       .withColumn("start_off", sum($"n_toks").over(w) - $"n_toks")
       .select($"source", $"shard", $"doc_id", $"n_toks", $"start_off",
@@ -655,10 +665,17 @@ object PipelineOps {
   /** Packing manifest over any (doc_id, source, text) frame — p27 packs the
     * CURATED corpus through the same mechanism.
     */
-  private[graft] def packingManifest(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[graft] def packingManifest(docs: DataFrame): DataFrame =
+    manifestRollup(seqMembership(docs))
+
+  /** Manifest over a pre-tokenized (doc_id, source, n_toks) frame. */
+  private[graft] def packingManifestTok(docs: DataFrame): DataFrame =
+    manifestRollup(seqMembershipTok(docs))
+
+  private def manifestRollup(mem: DataFrame): DataFrame = {
+    val s = mem.sparkSession
     import s.implicits._
-    seqMembership(docs)
+    mem
       .groupBy($"source", $"shard", $"seq_id")
       .agg(
         count(lit(1)).as("n_docs"),

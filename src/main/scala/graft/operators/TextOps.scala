@@ -667,7 +667,18 @@ object TextOps {
     */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vocab = bpeVocab(s, dir)
+    // one corpus tokenize: the (doc_id, term, k) occurrence projection feeds
+    // BOTH the vocabulary census (identical wc = sum of per-doc counts) and
+    // the final per-doc encode join — the previous shape split+exploded the
+    // corpus twice (t34's two-tokenize pattern, same fix). The projection is
+    // smaller than the token stream (distinct terms per doc) and narrower
+    // than the corpus (no text).
+    val occ = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val vocab = occ.groupBy($"term").agg(sum($"k").as("wc"))
     var v = vocab.select($"term", expr(bpeCharSplit).as("s"), $"wc")
       .localCheckpoint(true)
     for (_ <- 1 to BpeLevels) {
@@ -682,14 +693,12 @@ object TextOps {
     val encoded = v.select($"term",
       length($"term").cast("long").as("n_chr"),
       expr("size(split(s, chr(31)))").cast("long").as("n_sym"))
-    Tables.documents(s, dir)
-      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
-      .filter($"term" =!= "")
+    occ
       .join(encoded, Seq("term"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_words"),
-           sum($"n_chr").as("n_char_symbols"),
-           sum($"n_sym").as("n_bpe_tokens"))
+      .agg(sum($"k").as("n_words"),
+           sum($"k" * $"n_chr").as("n_char_symbols"),
+           sum($"k" * $"n_sym").as("n_bpe_tokens"))
       .select($"doc_id", $"n_words", $"n_char_symbols", $"n_bpe_tokens",
         (floor($"n_char_symbols".cast("double") / $"n_bpe_tokens".cast("double")
            * 10000.0 + 0.5) / 10000.0).as("compression"))

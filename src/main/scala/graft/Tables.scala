@@ -19,6 +19,14 @@ object Tables {
     * scans and computes from the parquet inputs on every invocation.
     * Mutable state paths (streaming stores, chunk stores) do not go through
     * this loader and stay uncached.
+    *
+    * ASSUMPTION (deliberate, r14-adjudicated): inputs under a data dir are
+    * immutable for the life of the JVM, and every session in the JVM runs
+    * the same parquet-inference confs (all graft mains build one session).
+    * Regenerating a file in place with a DIFFERENT schema mid-JVM would
+    * pin the first-inferred schema; no graft main does that. events.ts'
+    * observed-schema branch is unaffected: the memoized schema IS the
+    * observed physical type it branches on.
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()

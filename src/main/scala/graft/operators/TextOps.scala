@@ -1213,22 +1213,23 @@ object TextOps {
   private[graft] def dsirOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // The corpus is tokenized ONCE: the (doc, term) occurrence counts — the
-    // projection BOTH consumers (census and scoring) fold from — materialize
-    // off a single scan (the d38 one-scan rule), collapsed map-side by the
-    // partial agg before the one exchange. The r13 shape re-scanned and
-    // re-split the corpus for the scoring join; the term-count fold replays
-    // each term's occurrences as `k` (count ≡ sum k, per-token imp ≡ imp·k),
-    // so every downstream number is value-identical.
-    val tokCounts = docs.select($"doc_id", $"source",
+    // DELIBERATELY two tokenize passes (census + scoring join), r14-probed:
+    // the one-scan variant (checkpoint a (doc_id, source, term, k) count
+    // projection feeding both consumers — the d38/t26 fold pattern) was
+    // implemented and measured PAIRED both run orders at sf0.1: 1.11 s
+    // two-pass vs 1.18-1.32 s one-scan. The occurrence-level checkpoint
+    // (block-manager write+read + broken codegen fusion) costs more than
+    // one extra streaming split+explode of the pruned (doc_id, source,
+    // text) columns, and unlike t26 there is no smaller post-agg frame to
+    // store: the scoring join consumes occurrence granularity. Kept the
+    // cheap recompute; the model/scored checkpoints below still cap the
+    // corpus tokenize at two passes (the r12 reduction).
+    val toks = docs.select($"doc_id", $"source",
         explode(split(lower(trim($"text")), "\\s+")).as("term"))
       .filter($"term" =!= "")
-      .groupBy($"doc_id", $"source", $"term")
-      .agg(count(lit(1)).as("k"))
-      .localCheckpoint(true)
-    val raw = tokCounts.groupBy($"term")
-      .agg(sum($"k").as("cnt_raw"),
-           sum(when($"source" === DsirTarget, $"k").otherwise(0L)).as("cnt_t"))
+    val raw = toks.groupBy($"term")
+      .agg(count(lit(1)).as("cnt_raw"),
+           sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("cnt_t"))
     // The unigram model is consumed by TWO subtrees (the totals row and the
     // scoring join) and the per-doc scores by two more (the histogram-cutoff
     // path and the final verdict) — materialize each once (vocab-sized and
@@ -1238,12 +1239,12 @@ object TextOps {
     val totals = model.agg(sum($"cnt_raw").as("total_raw"),
                            sum($"cnt_tgt").as("total_tgt"))
     def bits2(c: Column) = length(bin(c * c))
-    val scored = tokCounts.join(model, "term").crossJoin(broadcast(totals))
-      .select($"doc_id", $"source", $"k",
+    val scored = toks.join(model, "term").crossJoin(broadcast(totals))
+      .select($"doc_id", $"source",
         ((bits2($"total_raw") - bits2($"cnt_raw"))
           - (bits2($"total_tgt") - bits2($"cnt_tgt"))).cast("long").as("imp"))
       .groupBy($"doc_id", $"source")
-      .agg(sum($"k").as("n_toks"), sum($"imp" * $"k").as("imp_halfbits_total"))
+      .agg(count(lit(1)).as("n_toks"), sum($"imp").as("imp_halfbits_total"))
       .select($"doc_id", $"source", $"n_toks", $"imp_halfbits_total",
         expr("imp_halfbits_total * 1000 div n_toks").as("mean_imp_milli"))
       .localCheckpoint(true)

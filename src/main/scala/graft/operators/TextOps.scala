@@ -667,18 +667,16 @@ object TextOps {
     */
   def bpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // one corpus tokenize: the (doc_id, term, k) occurrence projection feeds
-    // BOTH the vocabulary census (identical wc = sum of per-doc counts) and
-    // the final per-doc encode join — the previous shape split+exploded the
-    // corpus twice (t34's two-tokenize pattern, same fix). The projection is
-    // smaller than the token stream (distinct terms per doc) and narrower
-    // than the corpus (no text).
-    val occ = Tables.documents(s, dir)
-      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
-      .filter($"term" =!= "")
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("k"))
-      .localCheckpoint(true)
-    val vocab = occ.groupBy($"term").agg(sum($"k").as("wc"))
+    // DELIBERATELY two tokenize passes (vocab census + encode join),
+    // r14-probed like t34: a one-scan (doc_id, term, k) occurrence
+    // checkpoint feeding both consumers measured FLAT in isolated paired
+    // probes (1.32 vs 1.31 s at sf0.1) but consistently ~1.3x WORSE inside
+    // the full-suite bench JVM (1.21 -> 1.52-1.61 s across three runs) —
+    // the occurrence-level checkpoint is the largest block-manager frame in
+    // the suite and pays storage contention the streaming split+explode
+    // never does. Same lesson as dsirOf: a shared projection must be
+    // SMALLER than what it replaces; this one is occurrence-granularity.
+    val vocab = bpeVocab(s, dir)
     var v = vocab.select($"term", expr(bpeCharSplit).as("s"), $"wc")
       .localCheckpoint(true)
     for (_ <- 1 to BpeLevels) {
@@ -693,12 +691,14 @@ object TextOps {
     val encoded = v.select($"term",
       length($"term").cast("long").as("n_chr"),
       expr("size(split(s, chr(31)))").cast("long").as("n_sym"))
-    occ
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower(trim($"text")), "\\s+")).as("term"))
+      .filter($"term" =!= "")
       .join(encoded, Seq("term"))
       .groupBy($"doc_id")
-      .agg(sum($"k").as("n_words"),
-           sum($"k" * $"n_chr").as("n_char_symbols"),
-           sum($"k" * $"n_sym").as("n_bpe_tokens"))
+      .agg(count(lit(1)).as("n_words"),
+           sum($"n_chr").as("n_char_symbols"),
+           sum($"n_sym").as("n_bpe_tokens"))
       .select($"doc_id", $"n_words", $"n_char_symbols", $"n_bpe_tokens",
         (floor($"n_char_symbols".cast("double") / $"n_bpe_tokens".cast("double")
            * 10000.0 + 0.5) / 10000.0).as("compression"))
